@@ -1,0 +1,91 @@
+"""Join operators (J1-J8, SURVEY.md §2.4).
+
+The reference does joins procedurally — per-row HTTP lookups (the N+1
+pattern at etl_service.py:589,600) and nested-loop flattening. Here every
+lookup is a real Spark join: small dimensions broadcast (no shuffle of the
+fact side), explodes are ``posexplode`` so ordinal semantics ("first
+variant", etl_service.py:624) stay deterministic (SURVEY.md §7 hard-part 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_nested(
+    df: DataFrame,
+    array_col: str,
+    alias: str,
+    keep_empty: bool = False,
+    with_pos: bool = True,
+) -> DataFrame:
+    """J1/J5: lateral unnest of an array<struct> column.
+
+    - inner explode (default): rows with empty/NULL arrays are dropped —
+      products with zero variants vanish (etl_service.py:571-575).
+    - ``keep_empty=True``: outer explode — document headers survive with
+      zero detail lines (etl_service.py:687-694).
+    - ``with_pos``: emits the array ordinal so "first element wins" logic
+      (A6) is deterministic.
+    """
+    fn = F.posexplode_outer if keep_empty else F.posexplode
+    if not with_pos:
+        fn = F.explode_outer if keep_empty else F.explode
+        return df.select("*", fn(array_col).alias(alias)).drop(array_col)
+    return df.select("*", fn(array_col).alias(f"{alias}_pos", alias)).drop(array_col)
+
+
+def broadcast_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """J2/J3: replace an N+1 per-row fetch with a broadcast hash join.
+
+    The reference fetched price (inner semantics — no price row ⇒ product
+    dropped, etl_service.py:589-597) and cost (left semantics, :600-602)
+    once per variant over HTTP. A broadcast join ships the small dimension
+    to every executor: zero shuffle of the fact side, which is what keeps
+    this linear at 100 TB.
+    """
+    return facts.join(F.broadcast(dim), on=on, how=how)
+
+
+def derive_cost(
+    df: DataFrame,
+    history_col: str = "history",
+    avg_cost_col: str = "averageCost",
+    price_col: str = "precio_neto",
+    out_col: str = "costo_neto",
+) -> DataFrame:
+    """J4 + A1: conditional cost derivation (etl_service.py:604-616).
+
+    If any history entry has cost > 0 → use averageCost; else if price is
+    valid → price × 0.65; else NULL (row then fails validation F2).
+    ``F.exists`` is a higher-order array function — no explode, no shuffle.
+    """
+    has_real_cost = F.coalesce(
+        F.exists(F.col(history_col), lambda h: h["cost"] > 0), F.lit(False)
+    )
+    price_ok = F.col(price_col).isNotNull() & (F.col(price_col) > 0)
+    return df.withColumn(
+        out_col,
+        F.when(has_real_cost, F.col(avg_cost_col).cast("double"))
+        .when(price_ok, F.round(F.col(price_col) * 0.65, 6))
+        .otherwise(F.lit(None).cast("double")),
+    )
+
+
+def delete_keys_anti(target: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """J7/K3 delete phase: remove target rows whose key appears in ``keys``
+    (the reference's ``DELETE WHERE key IN (...)``, etl_service.py:301-311)
+    as a left-anti join — a broadcast anti-join when keys is small."""
+    return target.join(F.broadcast(keys.select(key).distinct()), on=key, how="left_anti")
+
+
+def fk_orphan_report(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """J8: the reference skips FK validation (etl_service.py:667-670); the
+    engine surfaces dangling FKs as a data-quality report via anti-join."""
+    return child.join(parent.select(F.col(pk).alias(fk)).distinct(), on=fk, how="left_anti")

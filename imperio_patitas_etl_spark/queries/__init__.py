@@ -1,0 +1,32 @@
+"""Driver-facing query registry.
+
+Each query key from SURVEY.md §2 maps to a PySpark callable
+``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) an ANSI-SQL
+oracle string DuckDB runs on the same parquet tables. Column names are
+aliased identically on both sides — the driver sorts columns by name and
+hash-compares values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from imperio_patitas_etl_spark.queries import core, entity, text, vector
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for mod in (core, entity, text, vector):
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in (core, entity, text, vector):
+        out.update(mod.ORACLE)
+    return out

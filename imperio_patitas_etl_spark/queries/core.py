@@ -1,0 +1,571 @@
+"""Core relational queries (SURVEY.md §2.1, §2.4, §2.5, §2.7).
+
+Conventions for oracle parity:
+- every computed column aliased identically in Spark and SQL;
+- money aggregates rounded to 2 decimals on both sides (double roundoff is
+  below rounding granularity — SURVEY.md §7 hard-part 2);
+- running/windowed sums computed in integer cents (exact, no float drift);
+- all orderings made deterministic with explicit tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imperio_patitas_etl_spark.functions.cleaning import (
+    avg2_exact,
+    round2_exact,
+    sql_avg2_exact,
+    sql_round2_exact,
+    sql_sum2_exact,
+    sum2_exact,
+)
+from imperio_patitas_etl_spark.operators.dedup import dedup_first_wins, top_k_per_group
+from imperio_patitas_etl_spark.operators.joins import (
+    broadcast_lookup,
+    delete_keys_anti,
+    explode_nested,
+    fk_orphan_report,
+)
+from imperio_patitas_etl_spark.operators.upsert import delete_insert, upsert_latest_wins
+from imperio_patitas_etl_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# S1/S4 scans
+# --------------------------------------------------------------------------
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: columnar scan with pushed-down filter + pruned columns
+    (bsale_client.py:35-65 becomes a parquet scan; the filter and the
+    2-column ReadSchema reach the reader — verified via .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+
+
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: limited sample scan (scheduler_endpoints.py:149-165) — made
+    deterministic with an explicit order."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").limit(10).select("o_orderkey", "o_totalprice")
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 sorts: global top-N — Spark runs TakeOrderedAndProject, no full
+    sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# A1-A6 aggregates
+# --------------------------------------------------------------------------
+
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: COUNT(*) monitoring query (README.md:195-199)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+def q_count_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: valid/invalid-style counters as groupBy-count
+    (etl_service.py:522-533)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("valid", (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .groupBy("valid")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-group average (server-side averageCost analog,
+    etl_service.py:601)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        avg2_exact(F.sum("l_extendedprice"), F.count("*")).alias("avg_price"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_exists_any_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: EXISTS/any-over-group (``any(h.cost>0)``, etl_service.py:604-607)
+    via map-side-combinable max(case)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("has_big_discount"))
+        .groupBy("has_big_discount")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: first-wins dedup by key under explicit order
+    (processed_variants set, etl_service.py:568-582)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return dedup_first_wins(
+        li, "l_partkey", [F.col("l_orderkey"), F.col("l_linenumber")]
+    ).select("l_partkey", "l_orderkey", "l_linenumber")
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: first-match-per-group (break-on-success loop at
+    etl_service.py:578-633) as a rank-1 window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return top_k_per_group(
+        li,
+        "l_orderkey",
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber")],
+        k=1,
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 free-from-Spark: ROLLUP aggregation (declared in SURVEY.md §7
+    extended surface)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1-J8 joins
+# --------------------------------------------------------------------------
+
+def q_explode_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: build product→variants-style nested rows (array<struct>) then
+    lateral-unnest them back (etl_service.py:570-578). Inner explode: empty
+    arrays drop their parent. Round-trips to flat lineitem → SQL oracle is
+    the flat selection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
+        ).alias("items")
+    )
+    exploded = explode_nested(nested, "items", "item", keep_empty=False)
+    return exploded.select(
+        "l_orderkey",
+        F.col("item.l_linenumber").alias("l_linenumber"),
+        F.col("item.l_partkey").alias("l_partkey"),
+        F.col("item.l_quantity").alias("l_quantity"),
+    )
+
+
+def q_explode_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: outer explode — parents with zero children survive with NULL
+    child (document headers kept at etl_service.py:687-694). Orders with no
+    lineitem (none in TPC-H data, but semantics hold) keep a NULL line."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = o.select("o_orderkey").join(
+        li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "l_extendedprice"))).alias(
+                "items"
+            )
+        ),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left",
+    )
+    exploded = explode_nested(nested, "items", "item", keep_empty=True)
+    return exploded.select(
+        "o_orderkey",
+        F.col("item.l_linenumber").alias("l_linenumber"),
+        F.round(F.col("item.l_extendedprice"), 2).alias("l_extendedprice"),
+    )
+
+
+def q_join_price_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the per-variant price lookup (etl_service.py:589-597) as a
+    broadcast inner equi-join — no shuffle of the fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = broadcast_lookup(li, part.select("p_partkey", "p_retailprice"),
+                              F.col("l_partkey") == F.col("p_partkey"), "inner")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("p_retailprice") * F.col("l_quantity")), 2).alias("retail_value"),
+    )
+
+
+def q_join_cost_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left join to an aggregated cost table (etl_service.py:600-602):
+    customers keep NULL aggregates when they have no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        avg2_exact(F.sum("o_totalprice"), F.count("*")).alias("avg_order_value")
+    )
+    return (
+        c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select("c_custkey", "avg_order_value")
+    )
+
+
+def q_derived_cost_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+A1: conditional cost derivation (etl_service.py:604-616) mapped to
+    parts: if the part has any lineitem sale → avg sale price; else
+    retailprice × 0.65; both rounded."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy("l_partkey").agg(
+        avg2_exact(F.sum("l_extendedprice"), F.count("*")).alias("avg_sale"),
+    )
+    return (
+        p.join(hist, F.col("p_partkey") == F.col("l_partkey"), "left")
+        .select(
+            "p_partkey",
+            F.when(F.col("avg_sale").isNotNull(), F.col("avg_sale"))
+            .otherwise(round2_exact(F.col("p_retailprice") * 0.65, 4))
+            .alias("costo_neto"),
+        )
+    )
+
+
+def q_semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: key-membership as semi/anti join (``WHERE key IN``,
+    etl_service.py:301-311). Counts customers with vs without orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = c.join(o, "c_custkey", "left_semi").agg(
+        F.count("*").alias("n")
+    ).withColumn("membership", F.lit("with_orders"))
+    without = c.join(o, "c_custkey", "left_anti").agg(
+        F.count("*").alias("n")
+    ).withColumn("membership", F.lit("without_orders"))
+    return with_orders.unionByName(without).select("membership", "n")
+
+
+def q_fk_orphans_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: dangling-FK data-quality report (FK checks skipped in the
+    reference, etl_service.py:667-670). Parent artificially restricted so
+    orphans exist deterministically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 != 0)
+    orphans = fk_orphan_report(
+        li.select(F.col("l_partkey"), "l_orderkey"), part, "l_partkey", "p_partkey"
+    )
+    return orphans.agg(F.count("*").alias("n_orphans"))
+
+
+def q_multi_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse star join (README.md:50-55 FK design): fact lineitem →
+    orders → customer → nation → region with revenue aggregate. Dimension
+    chain broadcasts; only the fact side shuffles for the final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            sum2_exact(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J6/J7/K2/K3 upserts
+# --------------------------------------------------------------------------
+
+def _upsert_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic target/source split of orders: target = even keys,
+    source = keys % 3 == 0 with bumped totalprice (overlap = keys % 6 == 0)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    # +1.0 keeps the value an exact 2-decimal (×1.1 would create half-cent
+    # rounding ties where Spark and SQL engines disagree).
+    source = o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    return target, source
+
+
+def q_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/K2: MERGE-on-key upsert as latest-wins dedup
+    (etl_service.py:252-293,328-503)."""
+    target, source = _upsert_frames(spark, sf_dir)
+    out = upsert_latest_wins(target, source, "o_orderkey")
+    return out.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+def q_delete_insert_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: DELETE+INSERT fallback (etl_service.py:296-325) as anti-join +
+    union — same end state as MERGE with full-row sources."""
+    target, source = _upsert_frames(spark, sf_dir)
+    out = delete_insert(target, source, "o_orderkey")
+    return out.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+# --------------------------------------------------------------------------
+# §2.7 set ops / windows / incremental
+# --------------------------------------------------------------------------
+
+def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (free from Spark, declared in SURVEY.md §2.7): customers who
+    ordered in priority '1-URGENT' but never '5-LOW'."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.distinct().subtract(low.distinct())
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (§2.7): per-customer running order value in integer
+    cents — exact arithmetic, no float drift in the running sum."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w).alias("running_cents"),
+    )
+
+
+def q_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 + incremental semantics: trailing-window predicate
+    (scheduler_endpoints.py:82,197) against a FIXED anchor date so the
+    result is reproducible (no current_date in oracle-checked queries)."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-25").cast("date")  # events span 2024-01-01..-30
+    return (
+        e.filter(F.col("ts") >= F.date_sub(anchor, 7).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming §2.7: tumbling 1-hour event-time window aggregation — the
+    batch-equivalent plan of the Structured Streaming ingest path
+    (streaming/stream.py); F.window is identical in both modes."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "scan_parquet": q_scan_parquet,
+    "limit": q_limit,
+    "sort_limit": q_sort_limit,
+    "count_star": q_count_star,
+    "count_by_flag": q_count_by_flag,
+    "groupby_avg": q_groupby_avg,
+    "exists_any_agg": q_exists_any_agg,
+    "dedup_first": q_dedup_first,
+    "topk_per_group": q_topk_per_group,
+    "cube_rollup": q_cube_rollup,
+    "explode_variants": q_explode_variants,
+    "explode_details": q_explode_details,
+    "join_price_broadcast": q_join_price_broadcast,
+    "join_cost_left": q_join_cost_left,
+    "derived_cost_coalesce": q_derived_cost_coalesce,
+    "semi_anti_membership": q_semi_anti_membership,
+    "fk_orphans_antijoin": q_fk_orphans_antijoin,
+    "multi_join_star": q_multi_join_star,
+    "upsert_latest_wins": q_upsert_latest_wins,
+    "delete_insert_antijoin": q_delete_insert_antijoin,
+    "union_except": q_union_except,
+    "window_running_sum": q_window_running_sum,
+    "date_window": q_date_window,
+    "stream_tumbling_window": q_stream_tumbling_window,
+}
+
+ORACLE = {
+    "scan_parquet": """
+        SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45
+    """,
+    "limit": """
+        SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10
+    """,
+    "sort_limit": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "count_star": "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "count_by_flag": """
+        SELECT (l_quantity > 0 AND l_extendedprice > 0) AS valid, COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    """,
+    "groupby_avg": f"""
+        SELECT l_returnflag,
+               {sql_avg2_exact('SUM(l_extendedprice)', 'COUNT(*)')} AS avg_price,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "exists_any_agg": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   MAX(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS has_big_discount
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT has_big_discount, COUNT(*) AS n_orders FROM per_order GROUP BY 1
+    """,
+    "dedup_first": """
+        SELECT l_partkey, l_orderkey, l_linenumber FROM (
+            SELECT l_partkey, l_orderkey, l_linenumber,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                      ORDER BY l_orderkey, l_linenumber) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+    "topk_per_group": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+            SELECT l_orderkey, l_linenumber, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+    "cube_rollup": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "explode_variants": """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+    """,
+    "explode_details": """
+        SELECT o_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS l_extendedprice
+        FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+    "join_price_broadcast": """
+        SELECT l_returnflag, COUNT(*) AS n,
+               ROUND(SUM(p_retailprice * l_quantity), 2) AS retail_value
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY l_returnflag
+    """,
+    "join_cost_left": f"""
+        SELECT c_custkey, avg_order_value
+        FROM customer LEFT JOIN (
+            SELECT o_custkey,
+                   {sql_avg2_exact('SUM(o_totalprice)', 'COUNT(*)')} AS avg_order_value
+            FROM orders GROUP BY o_custkey
+        ) ON c_custkey = o_custkey
+    """,
+    "derived_cost_coalesce": f"""
+        SELECT p_partkey,
+               COALESCE(avg_sale, {sql_round2_exact('p_retailprice * 0.65', 4)}) AS costo_neto
+        FROM part LEFT JOIN (
+            SELECT l_partkey,
+                   {sql_avg2_exact('SUM(l_extendedprice)', 'COUNT(*)')} AS avg_sale
+            FROM lineitem GROUP BY l_partkey
+        ) ON p_partkey = l_partkey
+    """,
+    "semi_anti_membership": """
+        SELECT 'with_orders' AS membership, COUNT(*) AS n FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'without_orders' AS membership, COUNT(*) AS n FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    "fk_orphans_antijoin": """
+        SELECT COUNT(*) AS n_orphans FROM lineitem
+        WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 7 != 0)
+    """,
+    "multi_join_star": f"""
+        SELECT r_name,
+               {sql_sum2_exact('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "upsert_latest_wins": """
+        WITH target AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        ), source AS (
+            SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0
+        ), unioned AS (
+            SELECT *, 0 AS rank FROM target
+            UNION ALL
+            SELECT *, 1 AS rank FROM source
+        )
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY rank DESC) AS rn
+            FROM unioned
+        ) WHERE rn = 1
+    """,
+    "delete_insert_antijoin": """
+        WITH target AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        ), source AS (
+            SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice
+            FROM orders WHERE o_orderkey % 3 = 0
+        )
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice FROM (
+            SELECT * FROM target WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+            UNION ALL
+            SELECT * FROM source
+        )
+    """,
+    "union_except": """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_cents
+        FROM orders
+    """,
+    "date_window": """
+        SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        WHERE ts >= CAST(DATE '2024-01-25' - INTERVAL 7 DAY AS TIMESTAMP)
+        GROUP BY event_type
+    """,
+    "stream_tumbling_window": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}

@@ -1,0 +1,57 @@
+"""Parquet table catalog (S1 scan; SURVEY.md §2.1).
+
+The reference's paginated REST scan (bsale_client.py:35-65) becomes, in the
+engine, a plain columnar scan: Catalyst pushes filters and prunes columns
+down to the parquet reader, so callers should express predicates on the
+returned DataFrame rather than pre-collecting. At 100 TB the tables are
+expected to be directory-partitioned (e.g. facts by date); a path-level
+partition column is pruned automatically by the same mechanism.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table from a scale-factor directory.
+
+    TIMESTAMP(NANOS) parquet columns (the ``events.ts`` column in the
+    testdata) are unreadable by Spark natively; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as long
+    nanoseconds and are converted to microsecond timestamps here, so every
+    downstream operator sees a plain TimestampType.
+    """
+    if name == "events":
+        # Runtime conf, set defensively: the caller's session (e.g. the
+        # driver harness) may not have it, and without it the NANOS column
+        # fails the scan outright.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Scan several tables; lazy — nothing is read until an action runs."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
