@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec}, "sf": ...}.
+
+Each query is executed to completion (count() over the result — forces the
+full plan without driver-side collect of wide rows). A warmup run of the
+smallest query amortizes JVM/codegen startup out of individual timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "multi_join_star",
+    "groupby_avg",
+    "topk_per_group",
+    "dedup_first",
+    "filter_project_detail",
+    "join_price_broadcast",
+    "upsert_latest_wins",
+    "window_running_sum",
+    "explode_variants",
+    "stream_tumbling_window",
+    # large-scale pipeline extensions (documents/embeddings tables)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "token_count",
+    "quality_score",
+    "ann_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from imperio_patitas_etl_spark.session import get_spark
+    from imperio_patitas_etl_spark.queries import all_queries
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # warmup: JVM + codegen + parquet footer reads
+    qs["count_star"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        if key not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[key](spark, sf_dir)
+        df.count()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

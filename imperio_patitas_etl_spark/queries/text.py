@@ -1,8 +1,407 @@
-"""Text-analysis + dedup queries over the ``documents`` table (placeholder —
-filled in with tokenization, lang-ID, quality scoring, fingerprints,
-exact + MinHash/SimHash/Jaccard dedup)."""
+"""Text-analysis + dedup operators over the ``documents`` table.
+
+Large-scale training-data pipeline surface (SURVEY.md §7 phase 3 /
+BASELINE.json north star): token counting, quality scoring, language-ID,
+fingerprinting, exact dedup, n-gram Jaccard near-dedup, deterministic
+MinHash-LSH, and SimHash.
+
+Everything is built from built-in Spark SQL expressions (split / transform /
+aggregate / array_* higher-order functions) — JVM-side, no Python UDFs — and
+every query has an exact DuckDB oracle: hashing is md5-prefix→int (identical
+in both engines, verified), ratios are exact integer basis points, and the
+MinHash permutations are fixed constants replicated in the SQL.
+
+Scale notes (100 TB):
+- shingling/minhash are per-row narrow transforms — fully parallel, no
+  shuffle until the band-bucket join;
+- LSH banding turns the O(n²) pair space into an equi-join on (band_idx,
+  band_signature) — the standard shuffle-bounded near-dedup at scale;
+- the n-gram variant blocks by ``lang`` to bound pair blowup; at 100 TB the
+  block key should also include a length bucket.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.sources.parquet import load_table
+
+# MinHash constants — fixed, mirrored literally into the oracle SQL.
+P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+PERMS = [
+    (1_000_003, 12_345),
+    (999_983, 54_321),
+    (1_000_033, 98_765),
+    (999_979, 13_579),
+    (1_000_037, 24_680),
+    (999_961, 11_111),
+    (1_000_039, 22_222),
+    (999_959, 33_333),
+]
+N_BANDS = 4  # bands of 2 signatures each
+JACCARD_T3 = "3 * n_inter >= n_a + n_b"  # Jaccard ≥ 0.5 on 3-gram shingles
+
+#: Spark-side md5-prefix→int (60-bit, fits signed 64); DuckDB twin below.
+_MD5INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _sql_md5int(x: str) -> str:
+    return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# tokenization / quality / language-ID / fingerprint
+# --------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (`[A-Za-z0-9]+` runs and
+    single punctuation marks) per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")).alias("word_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9\\s]")).alias("punct_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+    SELECT doc_id,
+           len(regexp_split_to_array(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS word_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_tokens
+    FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: word count, avg word length (×100),
+    stopword ratio in basis points — all exact integer arithmetic so the
+    oracle agrees bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("words", F.split(F.col("text"), " "))
+    n_words = F.size("words").cast("long")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("long")
+    n_stop = F.size(
+        F.filter(F.col("words"), lambda w: w.isin("the", "a"))
+    ).cast("long")
+    # half-up integer division: (2·num + den) div (2·den), via x − x mod d
+    awl_num = n_alpha * 100 * 2 + n_words
+    awl_den = n_words * 2
+    stop_num = n_stop * 10000 * 2 + n_words
+    stop_den = n_words * 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ((awl_num - awl_num % awl_den) / awl_den).cast("long").alias("avg_word_len_x100"),
+        ((stop_num - stop_num % stop_den) / stop_den).cast("long").alias("stopword_bp"),
+    )
+
+
+ORACLE_QUALITY_SCORE = """
+    SELECT doc_id, n_words,
+           ((n_alpha * 100 * 2 + n_words) // (n_words * 2)) AS avg_word_len_x100,
+           ((n_stop * 10000 * 2 + n_words) // (n_words * 2)) AS stopword_bp
+    FROM (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, ' '))::BIGINT AS n_words,
+               length(replace(text, ' ', ''))::BIGINT AS n_alpha,
+               len(list_filter(regexp_split_to_array(text, ' '),
+                               w -> w IN ('the', 'a')))::BIGINT AS n_stop
+        FROM documents
+    )
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-heuristic language ID (stopword-marker voting), reported as a
+    confusion count against the labeled ``lang`` column."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_en = F.size(F.filter(words, lambda w: w.isin("the", "a")))
+    pred = F.when(n_en > 0, F.lit("en")).otherwise(F.lit("unk"))
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_LANG_ID = """
+    SELECT lang,
+           CASE WHEN len(list_filter(regexp_split_to_array(text, ' '),
+                                     w -> w IN ('the', 'a'))) > 0
+                THEN 'en' ELSE 'unk' END AS pred_lang,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 60-bit content fingerprint of whitespace-normalized
+    lowercase text (rolling-hash analog, md5-based for oracle parity)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
+    fp = F.expr(_MD5INT.format(x="lower(regexp_replace(trim(text), '\\\\s+', ' '))"))
+    return d.select("doc_id", fp.alias("fingerprint"), F.length(norm).alias("norm_len"))
+
+
+_SQL_NORM_TEXT = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SQL_FP = _sql_md5int(_SQL_NORM_TEXT)
+
+ORACLE_DOC_FINGERPRINT = f"""
+    SELECT doc_id,
+           {_SQL_FP} AS fingerprint,
+           length({_SQL_NORM_TEXT}) AS norm_len
+    FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup: exact / n-gram Jaccard / MinHash-LSH / SimHash
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint: hash groupBy keeping
+    the lowest doc_id (map-side combinable — the cheapest dedup at scale)."""
+    fp = q_doc_fingerprint(spark, sf_dir)
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+    SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM (
+        SELECT doc_id, {_SQL_FP} AS fingerprint
+        FROM documents
+    ) GROUP BY fingerprint
+"""
+
+
+#: Spark expr: distinct word 3-gram shingles of ``text``.
+_SHINGLES = (
+    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
+    " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))) "
+    "ELSE array() END"
+)
+#: DuckDB twin (1-based inclusive list slicing).
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(text, ' ')) - 1, 1)),"
+    " i -> array_to_string((regexp_split_to_array(text, ' '))[i:i+2], ' ')))"
+)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", F.expr(_SHINGLES).alias("shingles"))
+
+
+def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, blocked by
+    ``lang`` to bound the pair space (the block key is the scale lever: at
+    100 TB add a length bucket). Jaccard threshold and reported value are
+    exact integer arithmetic: j ≥ 0.5 ⟺ 3·|∩| ≥ |A|+|B|."""
+    s = _shingled(spark, sf_dir)
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect("a.shingles", "b.shingles")).cast("long").alias("n_inter"),
+            F.size("a.shingles").cast("long").alias("n_a"),
+            F.size("b.shingles").cast("long").alias("n_b"),
+        )
+        .filter(F.expr(JACCARD_T3))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    num = F.col("n_inter") * 10000 * 2 + n_union
+    den = n_union * 2
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        ((num - num % den) / den).cast("long").alias("jaccard_bp"),
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+    WITH s AS (
+        SELECT doc_id, lang, {_SQL_SHINGLES} AS shingles FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles))::BIGINT AS n_inter,
+               len(a.shingles)::BIGINT AS n_a,
+               len(b.shingles)::BIGINT AS n_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ((n_inter * 10000 * 2 + (n_a + n_b - n_inter)) // ((n_a + n_b - n_inter) * 2))
+               AS jaccard_bp
+    FROM pairs WHERE {JACCARD_T3}
+"""
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signatures: shingle → md5int mod P, then min over
+    (aᵢ·x + bᵢ) mod P per permutation. Narrow per-row transform, no shuffle."""
+    s = _shingled(spark, sf_dir)
+    xs = f"transform(shingles, s -> {_MD5INT.format(x='s')} % {P})"
+    sig_cols = [
+        F.expr(f"array_min(transform({xs}, x -> ({a}L * x + {b}L) % {P}))").alias(f"sig{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return s.select("doc_id", "shingles", *sig_cols)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup: 8 fixed permutations, 4 bands × 2 rows;
+    candidate pairs from an equi-join on (band_idx, band_signature), then
+    exact-Jaccard verification at ≥ 0.5.
+
+    The banding join is the scale path: pair generation is shuffle-bounded
+    by band-bucket size instead of O(n²). Fully deterministic (fixed perms,
+    md5 shingle hashing), so the oracle replicates it exactly.
+    """
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.col(f"sig{2 * i}"), F.col(f"sig{2 * i + 1}"))
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = cand.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+        F.size("sh_a").cast("long").alias("n_a"),
+        F.size("sh_b").cast("long").alias("n_b"),
+    ).filter(F.expr(JACCARD_T3))
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    num = F.col("n_inter") * 10000 * 2 + n_union
+    den = n_union * 2
+    return verified.select(
+        "doc_a", "doc_b", ((num - num % den) / den).cast("long").alias("jaccard_bp")
+    )
+
+
+def _sql_minhash_bands() -> str:
+    xs = f"list_transform(shingles, s -> {_sql_md5int('s')} % {P})"
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform({xs}, x -> ({a} * x + {b}) % {P})) AS sig{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, shingles, {i} AS band_idx, "
+        f"(sig{2 * i} || '_' || sig{2 * i + 1}) AS band_sig FROM sigs"
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH s AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+    ), sigs AS (
+        SELECT doc_id, shingles,
+               {sig_exprs}
+        FROM s
+    ), bands AS (
+{band_selects}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS n_inter,
+               len(sa.shingles)::BIGINT AS n_a,
+               len(sb.shingles)::BIGINT AS n_b
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           ((n_inter * 10000 * 2 + (n_a + n_b - n_inter)) // ((n_a + n_b - n_inter) * 2))
+               AS jaccard_bp
+    FROM verified WHERE {JACCARD_T3}
+    """
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (token-hash bit voting),
+    grouped to near-dup buckets by exact signature. Narrow per-row
+    transform; the groupBy is the only shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _MD5INT.format(x="w")
+    simhash = F.expr(
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc + "
+        " CASE WHEN aggregate(split(text, ' '), CAST(0 AS BIGINT), "
+        f"   (a2, w) -> a2 + (CASE WHEN ({h} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        "  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return (
+        d.select("doc_id", simhash.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+    SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+    FROM (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 16), b ->
+                 CASE WHEN list_sum(list_transform(regexp_split_to_array(text, ' '),
+                        w -> CASE WHEN ({_sql_md5int('w')} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+        FROM documents
+    ) GROUP BY simhash
+"""
+
+
+QUERIES = {
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+ORACLE = {
+    "token_count": ORACLE_TOKEN_COUNT,
+    "quality_score": ORACLE_QUALITY_SCORE,
+    "lang_id": ORACLE_LANG_ID,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
+    "dedup_minhash_lsh": _sql_minhash_bands(),
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+}

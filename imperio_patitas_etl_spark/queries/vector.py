@@ -1,7 +1,249 @@
-"""Similarity-search queries over the ``embeddings`` table (placeholder —
-filled in with brute-force cosine top-k and LSH/IVF-bucketed ANN)."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Large-scale training-data pipeline surface (SURVEY.md §7 phase 3):
+brute-force cosine top-k as the correctness baseline, random-hyperplane
+LSH bucketing as the scale path, and cosine near-dup pairs.
+
+Exactness strategy: embeddings are scaled to integer units (×10⁷, exact for
+float32 inputs) so dot products and norms are exact 64-bit integers in both
+engines; the final cosine is then the SAME double-precision expression on
+identical integers — bit-for-bit reproducible, no rounding ambiguity.
+
+Scale notes (100 TB):
+- brute-force is a broadcast of the (small) query set against the full
+  corpus — one narrow pass, no shuffle, O(n·q·d);
+- LSH bucketing replaces the full scan with an equi-join on bucket id —
+  candidate generation becomes shuffle-bounded, the standard ANN trade;
+- for real workloads the bucketed variant generalizes to IVF with learned
+  centroids; the plumbing (assign → co-partition → per-bucket top-k) is
+  identical.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLE: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imperio_patitas_etl_spark.sources.parquet import load_table
+
+#: integer scaling: float32 → exact integer units (×1e7 < 2^31 for |x|<200)
+_IVEC = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+_SQL_IVEC = (
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"
+)
+
+TOP_K = 5
+QUERY_PRED = "vec_id % 100 = 0"  # 5 query vectors per 500 rows, deterministic
+
+
+def _with_ivec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr(_IVEC).alias("ivec"),
+        F.expr(
+            f"aggregate({_IVEC}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+        ).alias("norm2"),
+    )
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Exact integer dot product via zip_with + aggregate (JVM-side)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against every
+    candidate, rank per query. The baseline every ANN variant is judged
+    against; at scale this is one narrow broadcast pass over the corpus."""
+    v = _with_ivec(spark, sf_dir)
+    q = v.filter(F.expr(QUERY_PRED)).select(
+        F.col("vec_id").alias("q_id"), F.col("ivec").alias("q_vec"), F.col("norm2").alias("q_norm2")
+    )
+    cand = v.select("vec_id", "ivec", "norm2")
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                _dot("ivec", "q_vec")
+                / F.sqrt(F.col("norm2").cast("double") * F.col("q_norm2").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+    WITH v AS (
+        SELECT vec_id, label, {_SQL_IVEC} AS ivec,
+               list_sum(list_transform({_SQL_IVEC}, x -> x * x))::BIGINT AS norm2
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS q_id, ivec AS q_vec, norm2 AS q_norm2 FROM v WHERE {QUERY_PRED}
+    ), scored AS (
+        SELECT q.q_id, v.vec_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> v.ivec[i] * q.q_vec[i]))::BIGINT
+                 / sqrt(v.norm2::DOUBLE * q.q_norm2::DOUBLE) AS cosine
+        FROM v CROSS JOIN q WHERE v.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, ROUND(cosine, 6) AS cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+N_PLANES = 4
+PLANE_PRED = "vec_id IN (1, 2, 3, 4)"  # fixed hyperplane normals from the data
+
+
+def _bucket_expr(plane_rows: list) -> F.Column:
+    """Bucket id: sign bits of dot products against the fixed hyperplanes."""
+    bucket = F.lit(0)
+    for b, plane in enumerate(plane_rows):
+        arr = "array(" + ",".join(f"CAST({x} AS BIGINT)" for x in plane) + ")"
+        bucket = bucket + F.when(_dot("ivec", arr) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 4 random-hyperplane sign bits (planes = fixed data
+    vectors) partition the corpus into 16 buckets; each query searches only
+    its own bucket. Approximate by design — the oracle replicates the same
+    algorithm, so results match exactly.
+
+    The plane collect is a tiny driver-side lookup (4 rows); candidate
+    scoring becomes an equi-join on bucket — the shuffle-bounded scale path.
+    """
+    v = _with_ivec(spark, sf_dir)
+    planes = [
+        r["ivec"]
+        for r in v.filter(F.expr(PLANE_PRED)).orderBy("vec_id").select("ivec").collect()
+    ]
+    vb = v.withColumn("bucket", _bucket_expr(planes))
+    q = vb.filter(F.expr(QUERY_PRED)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_vec"),
+        F.col("norm2").alias("q_norm2"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        vb.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            "vec_id",
+            "bucket",
+            (
+                _dot("ivec", "q_vec")
+                / F.sqrt(F.col("norm2").cast("double") * F.col("q_norm2").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "bucket", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+ORACLE_ANN_LSH = f"""
+    WITH v AS (
+        SELECT vec_id, {_SQL_IVEC} AS ivec,
+               list_sum(list_transform({_SQL_IVEC}, x -> x * x))::BIGINT AS norm2
+        FROM embeddings
+    ), planes AS (
+        SELECT vec_id AS p_id, ivec AS p_vec FROM v WHERE {PLANE_PRED}
+    ), vb AS (
+        SELECT v.vec_id, v.ivec, v.norm2,
+               CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> v.ivec[i] * p.p_vec[i])) > 0
+                    THEN (1 << (p.p_id - 1)) ELSE 0 END) AS INTEGER) AS bucket
+        FROM v CROSS JOIN planes p
+        GROUP BY v.vec_id, v.ivec, v.norm2
+    ), q AS (
+        SELECT vec_id AS q_id, ivec AS q_vec, norm2 AS q_norm2, bucket AS q_bucket
+        FROM vb WHERE {QUERY_PRED}
+    ), scored AS (
+        SELECT q.q_id, vb.vec_id, vb.bucket,
+               list_sum(list_transform(range(1, 65),
+                   i -> vb.ivec[i] * q.q_vec[i]))::BIGINT
+                 / sqrt(vb.norm2::DOUBLE * q.q_norm2::DOUBLE) AS cosine
+        FROM vb JOIN q ON vb.bucket = q.q_bucket AND vb.vec_id != q.q_id
+    )
+    SELECT q_id, vec_id, bucket, ROUND(cosine, 6) AS cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+COS_DEDUP_T = 0.95
+
+
+def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.95 within the same ``label``
+    block (label blocking bounds the pair space; at scale the block key
+    comes from a coarse quantizer / LSH bucket instead)."""
+    v = _with_ivec(spark, sf_dir)
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                _dot("a.ivec", "b.ivec")
+                / F.sqrt(F.col("a.norm2").cast("double") * F.col("b.norm2").cast("double"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COS_DEDUP_T)
+        .select("vec_a", "vec_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+ORACLE_COS_DEDUP = f"""
+    WITH v AS (
+        SELECT vec_id, label, {_SQL_IVEC} AS ivec,
+               list_sum(list_transform({_SQL_IVEC}, x -> x * x))::BIGINT AS norm2
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_sum(list_transform(range(1, 65),
+                   i -> a.ivec[i] * b.ivec[i]))::BIGINT
+                 / sqrt(a.norm2::DOUBLE * b.norm2::DOUBLE) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cosine, 6) AS cosine
+    FROM pairs WHERE cosine >= {COS_DEDUP_T}
+"""
+
+
+QUERIES = {
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "embedding_cosine_dedup": q_embedding_cosine_dedup,
+}
+
+ORACLE = {
+    "ann_topk_bruteforce": ORACLE_ANN_TOPK,
+    "ann_lsh_bucketed": ORACLE_ANN_LSH,
+    "embedding_cosine_dedup": ORACLE_COS_DEDUP,
+}

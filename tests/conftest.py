@@ -1,0 +1,29 @@
+"""Shared Spark fixture for the unit-test suite.
+
+Small local session (4 threads, 4 shuffle partitions) — unit tests run on
+tiny inline DataFrames; the sf-scale correctness gate is tools/check.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from imperio_patitas_etl_spark.session import get_spark
+
+    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
