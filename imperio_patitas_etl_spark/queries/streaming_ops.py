@@ -1,0 +1,118 @@
+"""Oracle-checked batch twins of the streaming operators.
+
+``F.window`` / ``F.session_window`` produce identical results in batch and
+streaming mode (watermarks are a no-op on batch inputs), so each streaming
+operator in ``streaming/events.py`` is exercised here on the ``events``
+table as a batch plan with an exact DuckDB oracle:
+
+- sliding window → per-offset integer floor arithmetic in SQL;
+- session window → gaps-and-islands (lag + cumulative session starts);
+- props JSON access → ``get_json_object`` ↔ ``json_extract_string``.
+
+The true ``readStream`` paths (file source, availableNow, foreachBatch
+MERGE) are covered by tests/test_streaming.py, which asserts stream ≡ batch
+on the same input — the correctness argument is transitivity: stream ≡
+batch (test) and batch ≡ oracle (driver t2 gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.sources.parquet import load_table
+from imperio_patitas_etl_spark.streaming.events import (
+    session_counts,
+    sliding_value_sum,
+)
+
+WINDOW_S = 3600
+SLIDE_S = 1800
+
+
+def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min window over events — same plan the streaming path
+    runs (streaming/events.py:sliding_value_sum)."""
+    return sliding_value_sum(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SLIDING = f"""
+    WITH offsets AS (SELECT unnest(range(0, {WINDOW_S // SLIDE_S})) AS i),
+    assigned AS (
+        SELECT to_timestamp(
+                   ((epoch_us(ts) // 1000000 - i * {SLIDE_S}) // {WINDOW_S})
+                   * {WINDOW_S} + i * {SLIDE_S}
+               ) AS win_start,
+               value
+        FROM events CROSS JOIN offsets
+    )
+    SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM assigned GROUP BY win_start
+"""
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) session windows per user — the custom-stateful
+    streaming operator surface, batch twin (streaming/events.py:session_counts)."""
+    return session_counts(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SESSION = """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM ordered
+    )
+    SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM sessions GROUP BY user_id, sid
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON access (SURVEY.md §2.6 tail): the reference reads nested
+    dict fields everywhere (etl_service.py:571,601-602,687); for raw JSON
+    strings the Spark form is ``get_json_object`` — aggregated here so the
+    oracle check is compact."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "stream_sliding_window": q_stream_sliding_window,
+    "stream_session_window": q_stream_session_window,
+    "json_extract": q_json_extract,
+}
+
+ORACLE = {
+    "stream_sliding_window": ORACLE_SLIDING,
+    "stream_session_window": ORACLE_SESSION,
+    "json_extract": ORACLE_JSON_EXTRACT,
+}

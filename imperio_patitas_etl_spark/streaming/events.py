@@ -1,0 +1,142 @@
+"""Structured Streaming ingest over the ``events`` table (SURVEY.md §7
+phase 3).
+
+The reference has no streams — its "incremental sync" is a cron that
+re-pulls a trailing window and re-upserts (scheduler_endpoints.py:71-125).
+The streaming generalization keeps those semantics:
+
+- ``read_events_stream``      — file-source ``readStream`` with declared schema;
+- ``tumbling_counts`` / ``sliding_value_sum`` — watermarked windowed aggs
+  (the watermark is the explicit form of the reference's implicit
+  late-data policy: its trailing-window re-pull bounds how late an update
+  can arrive, SURVEY.md §2.7);
+- ``session_counts``          — built-in ``session_window`` (gap-based);
+- ``foreach_batch_upsert``    — micro-batch sink: every batch MERGEs into a
+  warehouse table, so the stream inherits the idempotent-upsert property
+  the reference relies on.
+
+Scale notes: windowed aggs shuffle once on (key, window); the watermark
+bounds state size — without it, 100 TB of events means unbounded state.
+File-source streams at scale read from a date-partitioned landing zone, so
+each micro-batch lists only new partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+#: Declared source schema — ``ts`` arrives as long (nanos) because the
+#: testdata parquet uses TIMESTAMP(NANOS) (see sources/parquet.py).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with a plain timestamp
+    column. ``maxFilesPerTrigger`` keeps micro-batches bounded."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        # the file source requires a directory or glob, not a bare file
+        # path; the single-character glob class streams the one-file
+        # testdata table (production would point at a landing directory)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-type tumbling-window counts with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_sum(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window value sums — each event lands in window/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (built-in ``session_window`` —
+    state merges adjacent events closer than ``gap``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "n_events", "first_ts", "last_ts")
+    )
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Micro-batch MERGE sink: ``foreachBatch`` + keyed upsert gives the
+    stream exactly-once *effective* semantics (replayed batches re-MERGE to
+    the same state — the streaming form of the reference's idempotent
+    re-pull, SURVEY.md §2.7)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warehouse.upsert(table, batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into an
+    in-memory table and return the final result as a batch DataFrame."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

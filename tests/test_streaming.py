@@ -1,0 +1,77 @@
+"""Structured Streaming tests: the file-source stream with availableNow
+must produce the same results as the identical batch plan, and the
+foreachBatch MERGE sink must be idempotent across stream restarts."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.sources.parquet import load_table
+from imperio_patitas_etl_spark.streaming.events import (
+    foreach_batch_upsert,
+    read_events_stream,
+    run_stream_to_memory,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def _as_set(df):
+    return set(map(tuple, df.collect()))
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    got = run_stream_to_memory(stream, "t_tumbling")
+    want = tumbling_counts(load_table(spark, sf_dir, "events"))
+    assert _as_set(got) == _as_set(want)
+    assert got.count() > 0
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    got = run_stream_to_memory(stream, "t_session")
+    want = session_counts(load_table(spark, sf_dir, "events"))
+    assert _as_set(got) == _as_set(want)
+
+
+def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the stream into the same warehouse table converges to the
+    same state (checkpoint cleared to force a full replay — the worst
+    case for an at-least-once source)."""
+    from imperio_patitas_etl_spark.sinks.warehouse import (
+        MERGE_KEYS,
+        WAREHOUSE_SCHEMAS,
+        ParquetWarehouse,
+    )
+    import pyspark.sql.types as T
+
+    # events keyed by event_id, projected into a minimal table
+    WAREHOUSE_SCHEMAS["stream_events"] = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), nullable=False),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    MERGE_KEYS["stream_events"] = "event_id"
+    from imperio_patitas_etl_spark.sinks.warehouse import UPDATE_COLS
+
+    UPDATE_COLS["stream_events"] = None
+    try:
+        wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+        src = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+        q = foreach_batch_upsert(src, wh, "stream_events", str(tmp_path / "ck1"))
+        q.awaitTermination()
+        n1 = wh.read("stream_events").count()
+        # fresh checkpoint → full replay → same end state
+        q2 = foreach_batch_upsert(src, wh, "stream_events", str(tmp_path / "ck2"))
+        q2.awaitTermination()
+        n2 = wh.read("stream_events").count()
+        assert n1 == n2 == load_table(spark, sf_dir, "events").count()
+    finally:
+        WAREHOUSE_SCHEMAS.pop("stream_events", None)
+        MERGE_KEYS.pop("stream_events", None)
+        UPDATE_COLS.pop("stream_events", None)
