@@ -13,20 +13,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from imperio_patitas_etl_spark.queries import core, entity, streaming_ops, text, vector
+from imperio_patitas_etl_spark.queries import (
+    core,
+    entity,
+    multimodal_ops,
+    streaming_ops,
+    text,
+    vector,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (core, entity, streaming_ops, text, vector):
+    for mod in (core, entity, multimodal_ops, streaming_ops, text, vector):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (core, entity, streaming_ops, text, vector):
+    for mod in (core, entity, multimodal_ops, streaming_ops, text, vector):
         out.update(mod.ORACLE)
     return out
