@@ -321,6 +321,48 @@ def q_delete_insert_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
 
 
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 end-to-end (rows-only check): the real warehouse MERGE path —
+    ensure-table DDL, keyed upsert with column-subset update semantics,
+    atomic swap — writing actual parquet under a scratch dir, then reading
+    the merged table back. Not SQL-expressible as one query (it is a write
+    pipeline), hence no oracle; the driver records the weaker rows check
+    (SURVEY.md §2.2 K2)."""
+    import tempfile
+
+    from imperio_patitas_etl_spark.sinks.warehouse import ParquetWarehouse
+
+    target, source = _upsert_frames(spark, sf_dir)
+    as_doc = lambda df: df.select(  # noqa: E731 — local column adapter
+        F.col("o_orderkey").alias("id_documento"),
+        F.col("o_custkey").alias("id_cliente"),
+        F.lit(None).cast("long").alias("id_tipo_documento"),
+        F.lit(None).cast("long").alias("folio"),
+        F.lit(None).cast("timestamp").alias("fecha_emision"),
+        F.round("o_totalprice", 2).alias("monto_neto"),
+        F.lit(0.0).alias("monto_iva"),
+        F.round("o_totalprice", 2).alias("monto_total"),
+        F.lit(None).cast("timestamp").alias("fecha_creacion"),
+    )
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="wh_q_"))
+    wh.overwrite("documento_venta", as_doc(target))
+    wh.upsert("documento_venta", as_doc(source))
+    return wh.read("documento_venta").select(
+        "id_documento", "id_cliente", "monto_neto", "monto_total"
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (free Spark surface, SURVEY.md §2.5 tail):
+    exact COUNT(DISTINCT) + SUM(DISTINCT) per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.sum_distinct(F.col("l_quantity").cast("long")).alias("sum_qty_distinct"),
+    )
+
+
 # --------------------------------------------------------------------------
 # §2.7 set ops / windows / incremental
 # --------------------------------------------------------------------------
@@ -406,6 +448,8 @@ QUERIES = {
     "multi_join_star": q_multi_join_star,
     "upsert_latest_wins": q_upsert_latest_wins,
     "delete_insert_antijoin": q_delete_insert_antijoin,
+    "upsert_merge": q_upsert_merge,
+    "distinct_agg": q_distinct_agg,
     "union_except": q_union_except,
     "window_running_sum": q_window_running_sum,
     "date_window": q_date_window,
@@ -548,6 +592,13 @@ ORACLE = {
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         EXCEPT
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    "distinct_agg": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS n_supp,
+               COUNT(DISTINCT l_partkey) AS n_part,
+               SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS sum_qty_distinct
+        FROM lineitem GROUP BY l_returnflag
     """,
     "window_running_sum": """
         SELECT o_custkey, o_orderkey,

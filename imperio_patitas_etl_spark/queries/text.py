@@ -247,14 +247,21 @@ ORACLE_NGRAM_JACCARD = f"""
 
 def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signatures: shingle → md5int mod P, then min over
-    (aᵢ·x + bᵢ) mod P per permutation. Narrow per-row transform, no shuffle."""
+    (aᵢ·x + bᵢ) mod P per permutation. Narrow per-row transform, no shuffle.
+
+    The md5 of each shingle is materialized ONCE (projection step) before
+    the 8 permutation columns — inlining it per permutation re-hashes every
+    shingle 8×, which dominated the whole benchmark at sf0.1."""
     s = _shingled(spark, sf_dir)
-    xs = f"transform(shingles, s -> {_MD5INT.format(x='s')} % {P})"
+    hashed = s.select(
+        "doc_id",
+        F.expr(f"transform(shingles, s -> {_MD5INT.format(x='s')} % {P})").alias("hx"),
+    )
     sig_cols = [
-        F.expr(f"array_min(transform({xs}, x -> ({a}L * x + {b}L) % {P}))").alias(f"sig{i}")
+        F.expr(f"array_min(transform(hx, x -> ({a}L * x + {b}L) % {P}))").alias(f"sig{i}")
         for i, (a, b) in enumerate(PERMS)
     ]
-    return s.select("doc_id", "shingles", *sig_cols)
+    return hashed.select("doc_id", *sig_cols)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,9 +274,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 shingle hashing), so the oracle replicates it exactly.
     """
     sigs = _minhash_sigs(spark, sf_dir)
+    # bands carry ONLY (doc_id, band) — the equi-join stays skinny; shingle
+    # arrays rejoin after candidate dedup, so each is shipped once per
+    # surviving pair instead of once per band collision.
     bands = sigs.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -291,18 +300,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    verified = cand.select(
-        "doc_a",
-        "doc_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
-        F.size("sh_a").cast("long").alias("n_a"),
-        F.size("sh_b").cast("long").alias("n_b"),
-    ).filter(F.expr(JACCARD_T3))
+    s = _shingled(spark, sf_dir)
+    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+        .filter(F.expr(JACCARD_T3))
+    )
     n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     num = F.col("n_inter") * 10000 * 2 + n_union
     den = n_union * 2
