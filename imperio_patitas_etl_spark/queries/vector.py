@@ -38,14 +38,17 @@ QUERY_PRED = "vec_id % 100 = 0"  # 5 query vectors per 500 rows, deterministic
 
 
 def _with_ivec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-step select so the float→integer transform runs once per row,
+    # with norm2 computed from the materialized ivec column
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select(
+    iv = e.select("vec_id", "label", F.expr(_IVEC).alias("ivec"))
+    return iv.select(
         "vec_id",
         "label",
-        F.expr(_IVEC).alias("ivec"),
-        F.expr(
-            f"aggregate({_IVEC}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
-        ).alias("norm2"),
+        "ivec",
+        F.expr("aggregate(ivec, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)").alias(
+            "norm2"
+        ),
     )
 
 

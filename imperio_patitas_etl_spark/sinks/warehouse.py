@@ -109,42 +109,117 @@ UPDATE_COLS: dict[str, list[str] | None] = {
 }
 
 
+#: Date-partition layout for the fact tables (scale path): partition column
+#: name → timestamp column it is derived from. Partition key MUST be stable
+#: per merge key (a fact's emission date never moves partitions on update —
+#: the standard date-partitioned-fact contract).
+PARTITION_SPEC: dict[str, tuple[str, str]] = {
+    "documento_venta": ("fecha_dia", "fecha_emision"),
+    "detalle_documento": ("fecha_dia", "fecha_creacion"),
+}
+
+
 class ParquetWarehouse:
     """The 4-table warehouse rooted at a directory, one parquet dataset per
     table. All mutating operations end in an atomic swap so a concurrent
-    reader sees either the old or the new table, never a partial write."""
+    reader sees either the old or the new table, never a partial write.
 
-    def __init__(self, spark: SparkSession, root: str):
+    With ``partitioned=True`` the fact tables are laid out as
+    ``fecha_dia=YYYY-MM-DD/`` date partitions (PARTITION_SPEC) and upserts
+    become PARTITION-SCOPED: only the dates present in the source are read,
+    merged, and dynamically overwritten. That is the 100 TB path — an
+    incremental day of data rewrites one day's partitions, not the table,
+    and incremental readers prune by date at the file-listing level. The
+    dimension tables stay unpartitioned (they are small and broadcast)."""
+
+    def __init__(self, spark: SparkSession, root: str, partitioned: bool = False):
         self.spark = spark
         self.root = root
+        self.partitioned = partitioned
         os.makedirs(root, exist_ok=True)
+
+    def _part_col(self, table: str) -> tuple[str, str] | None:
+        return PARTITION_SPEC.get(table) if self.partitioned else None
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
     def exists(self, table: str) -> bool:
         p = self.path(table)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
-        )
+        if not os.path.isdir(p):
+            return False
+        for _, _, files in os.walk(p):
+            if any(f.endswith(".parquet") or f == "_SUCCESS" for f in files):
+                return True
+        return False
 
     # -- K6: DDL / ensure-table ------------------------------------------
     def ensure_table(self, table: str) -> None:
         """Create the table with its declared schema iff missing
         (bigquery_client.py:58-73)."""
         if not self.exists(table):
-            empty = self.spark.createDataFrame([], WAREHOUSE_SCHEMAS[table])
-            empty.write.mode("overwrite").parquet(self.path(table))
+            empty = self.spark.createDataFrame([], self._storage_schema(table))
+            w = empty.write.mode("overwrite")
+            part = self._part_col(table)
+            if part:
+                w = w.partitionBy(part[0])
+            w.parquet(self.path(table))
 
     def ensure_all(self) -> None:
         """Called at every sync start (etl_service.py:511,555,657)."""
         for t in WAREHOUSE_SCHEMAS:
             self.ensure_table(t)
 
-    def read(self, table: str) -> DataFrame:
+    def _storage_schema(self, table: str) -> T.StructType:
+        schema = WAREHOUSE_SCHEMAS[table]
+        part = self._part_col(table)
+        if part:
+            schema = T.StructType(
+                list(schema.fields) + [T.StructField(part[0], T.StringType())]
+            )
+        return schema
+
+    def _with_part(self, table: str, df: DataFrame) -> DataFrame:
+        part = self._part_col(table)
+        if not part:
+            return df
+        name, ts_col = part
+        return df.withColumn(name, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+
+    def _raw_read(self, table: str) -> DataFrame:
+        """Storage-layout read (includes the partition column if any)."""
         self.ensure_table(table)
-        # read with declared schema: empty datasets keep exact types
-        return self.spark.read.schema(WAREHOUSE_SCHEMAS[table]).parquet(self.path(table))
+        return self.spark.read.schema(self._storage_schema(table)).parquet(
+            self.path(table)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        """Public-schema read — partition layout is an implementation
+        detail, so the derived date column is dropped."""
+        df = self._raw_read(table)
+        part = self._part_col(table)
+        return df.drop(part[0]) if part else df
+
+    def read_window(self, table: str, start_date: str, end_date: str | None = None) -> DataFrame:
+        """Incremental read: on a partitioned table the predicate lands on
+        the partition column, so the scan LISTS only the matching date
+        directories (partition pruning) — the 100 TB incremental path. On
+        unpartitioned tables it degrades to a normal filter."""
+        part = self._part_col(table)
+        if part:
+            df = self._raw_read(table)
+            cond = F.col(part[0]) >= start_date
+            if end_date:
+                cond = cond & (F.col(part[0]) <= end_date)
+            return df.filter(cond).drop(part[0])
+        ts_col = PARTITION_SPEC.get(table, (None, None))[1]
+        df = self.read(table)
+        if ts_col is None:
+            return df
+        cond = F.col(ts_col) >= F.to_timestamp(F.lit(start_date))
+        if end_date:
+            cond = cond & (F.col(ts_col) < F.date_add(F.to_timestamp(F.lit(end_date)), 1))
+        return df.filter(cond)
 
     def _conform(self, table: str, df: DataFrame) -> DataFrame:
         """Cast/reorder the incoming frame to the declared schema — the
@@ -163,7 +238,11 @@ class ParquetWarehouse:
         Spark's lazy evaluation would otherwise clobber its own input.
         """
         tmp = self.path(table) + "_tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        part = self._part_col(table)
+        if part:
+            w = w.partitionBy(part[0])
+        w.parquet(tmp)
         final = self.path(table)
         if os.path.isdir(final):
             shutil.rmtree(final)
@@ -173,15 +252,20 @@ class ParquetWarehouse:
     def append(self, table: str, df: DataFrame) -> None:
         """Streaming-insert analog (bigquery_client.py:28-43)."""
         self.ensure_table(table)
-        self._conform(table, df).write.mode("append").parquet(self.path(table))
+        out = self._with_part(table, self._conform(table, df))
+        w = out.write.mode("append")
+        part = self._part_col(table)
+        if part:
+            w = w.partitionBy(part[0])
+        w.parquet(self.path(table))
 
     # -- K4: truncate / overwrite ----------------------------------------
     def overwrite(self, table: str, df: DataFrame) -> None:
-        self._swap_in(table, self._conform(table, df))
+        self._swap_in(table, self._with_part(table, self._conform(table, df)))
 
     def truncate(self, table: str) -> None:
         """DELETE ... WHERE TRUE (endpoints.py:29-32)."""
-        empty = self.spark.createDataFrame([], WAREHOUSE_SCHEMAS[table])
+        empty = self.spark.createDataFrame([], self._storage_schema(table))
         self._swap_in(table, empty)
 
     def truncate_all(self) -> None:
@@ -197,6 +281,9 @@ class ParquetWarehouse:
 
         Tries a real Delta ``MERGE INTO`` first (operators/upsert.py:
         merge_into_delta); plain-parquet mode computes latest-wins and swaps.
+        On a partitioned table the merge is PARTITION-SCOPED: only the
+        dates present in the source are read and dynamically overwritten —
+        an incremental day touches one day's files, not 100 TB.
         """
         self.ensure_table(table)
         key = MERGE_KEYS[table]
@@ -205,8 +292,35 @@ class ParquetWarehouse:
 
         if merge_into_delta(self.spark, self.path(table), src, key):
             return
-        merged = upsert_latest_wins(self.read(table), src, key, UPDATE_COLS[table])
-        self._swap_in(table, merged)
+        part = self._part_col(table)
+        if not part:
+            merged = upsert_latest_wins(self.read(table), src, key, UPDATE_COLS[table])
+            self._swap_in(table, merged)
+            return
+        self._upsert_partitioned(table, src, key, part[0])
+
+    def _upsert_partitioned(
+        self, table: str, src: DataFrame, key: str, part_name: str
+    ) -> None:
+        """Partition-scoped MERGE: read only touched partitions, merge,
+        dynamic-overwrite exactly those partitions. Requires the partition
+        key to be stable per merge key (PARTITION_SPEC contract)."""
+        src = self._with_part(table, src)
+        days = [r[0] for r in src.select(part_name).distinct().collect()]
+        target = self._raw_read(table).filter(F.col(part_name).isin(days))
+        update_cols = UPDATE_COLS[table]
+        merged = upsert_latest_wins(target, src, key, update_cols)
+        # materialize: merged reads the same files dynamic overwrite replaces
+        tmp = self.path(table) + "_stage"
+        merged.write.mode("overwrite").parquet(tmp)
+        staged = self.spark.read.schema(self._storage_schema(table)).parquet(tmp)
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_name)
+            .parquet(self.path(table))
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # -- K3: delete+insert ------------------------------------------------
     def delete_and_insert(self, table: str, source: DataFrame) -> None:
