@@ -1,0 +1,86 @@
+"""Property-based invariants (SURVEY.md §5.4) over random row sets:
+
+- upsert never yields duplicate keys, and is idempotent;
+- validation partitions the input (accepted + rejected = input, and every
+  rejected row violates at least one declared rule);
+- delete+insert and latest-wins upsert agree on full-row sources.
+
+Few examples, tiny frames — each example round-trips through Spark.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.operators.upsert import delete_insert, upsert_latest_wins
+from imperio_patitas_etl_spark.operators.validate import EntitySpec, Rule
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=9),          # key (collisions likely)
+    st.integers(min_value=-5, max_value=5),         # value
+    st.sampled_from(["a", "b", ""]),                # name
+)
+rows = st.lists(row, min_size=0, max_size=12)
+
+
+def _df(spark, data):
+    return spark.createDataFrame(data, "k int, v int, name string") if data else (
+        spark.createDataFrame([], "k int, v int, name string")
+    )
+
+
+@_settings
+@given(target=rows, source=rows)
+def test_upsert_no_dup_keys_and_idempotent(spark, target, source):
+    # upsert requires unique keys per side (MERGE precondition): dedup inputs
+    t = _df(spark, target).dropDuplicates(["k"])
+    s = _df(spark, source).dropDuplicates(["k"])
+    out = upsert_latest_wins(t, s, "k")
+    keys = [r["k"] for r in out.select("k").collect()]
+    assert len(keys) == len(set(keys))
+    assert set(keys) == {r[0] for r in target} | {r[0] for r in source}
+    again = upsert_latest_wins(out, s, "k")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+@_settings
+@given(target=rows, source=rows)
+def test_delete_insert_equals_upsert(spark, target, source):
+    t = _df(spark, target).dropDuplicates(["k"])
+    s = _df(spark, source).dropDuplicates(["k"])
+    a = sorted(map(tuple, upsert_latest_wins(t, s, "k").collect()))
+    b = sorted(map(tuple, delete_insert(t, s, "k").collect()))
+    assert a == b
+
+
+@_settings
+@given(data=rows)
+def test_validation_partitions_input(spark, data):
+    spec = EntitySpec(
+        name="p",
+        rules=[
+            Rule("nonneg", F.col("v") >= 0),
+            Rule("named", F.length("name") > 0),
+        ],
+        projection={"k": F.col("k"), "v": F.col("v")},
+    )
+    df = _df(spark, data)
+    res = spec.apply(df)
+    n_acc, n_rej = res.accepted.count(), res.rejected.count()
+    assert n_acc + n_rej == df.count()
+    # every rejected row violates ≥1 declared rule, and carries its reason
+    for r in res.rejected.collect():
+        assert r["v"] < 0 or len(r["name"]) == 0
+        assert r["reject_reason"] in ("nonneg", "named")
+    # every accepted row satisfies all rules
+    for r in res.accepted.collect():
+        assert r["v"] >= 0
