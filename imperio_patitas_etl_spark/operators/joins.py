@@ -89,3 +89,34 @@ def fk_orphan_report(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> D
     """J8: the reference skips FK validation (etl_service.py:667-670); the
     engine surfaces dangling FKs as a data-quality report via anti-join."""
     return child.join(parent.select(F.col(pk).alias(fk)).distinct(), on=fk, how="left_anti")
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key over ``n_salts``
+    shuffle partitions.
+
+    When one key holds a disproportionate share of the fact rows, a plain
+    shuffle join puts that whole key in one task — the straggler that
+    dominates wall-clock at 100 TB. Salting splits it: facts get a
+    deterministic per-row salt (hash of all columns, so no ordering or
+    row-id dependency), the dim side is replicated ``n_salts``× with every
+    salt value, and the join key becomes (key, salt). Result rows are
+    identical to the unsalted join (verified by test); cost is dim×salts
+    replication, so use it when the dim is too big to broadcast but far
+    smaller than the fact table. AQE's skew-join handles moderate skew
+    automatically (session.py enables it); explicit salting is for the
+    pathological keys AQE's split thresholds miss.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
+    f = facts.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = f.join(d, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

@@ -18,9 +18,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     from imperio_patitas_etl_spark.session import get_spark
 
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        # saveAsTable targets (bucketed-join tests) land in a scratch dir,
+        # not ./spark-warehouse inside the repo
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="sparkwh_")},
+    )
     yield s
 
 

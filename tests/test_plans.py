@@ -1,0 +1,103 @@
+"""Physical-plan regression tests — the scale discipline, asserted.
+
+A correct result with a bad plan is a failure at 100 TB: these tests pin
+the plan properties that matter (filter pushdown into the parquet scan,
+broadcast joins for small dims, no fact-side shuffle before the final
+aggregate, salted-join equivalence, bucketed co-located joins with zero
+exchanges)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.operators.joins import salted_join
+from imperio_patitas_etl_spark.queries import all_queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = all_queries()["scan_parquet"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = all_queries()["scan_parquet"](spark, sf_dir)
+    plan = _plan(df)
+    # 2-column projection must not read all 16 lineitem columns
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    df = all_queries()["multi_join_star"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 4  # orders, customer, nation, region
+    assert "SortMergeJoin" not in plan
+    # the only Exchange is the final single-stage aggregate shuffle
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1
+
+
+def test_broadcast_join_used_for_small_dim(spark, sf_dir):
+    df = all_queries()["join_price_broadcast"](spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # '*(n)' node prefixes mark whole-stage-codegen stages in the plan string
+    df = all_queries()["filter_project_detail"](spark, sf_dir)
+    assert "*(1)" in _plan(df)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of facts share key 1
+    facts = spark.createDataFrame(
+        [(1 if i % 10 else 2, i, float(i)) for i in range(1000)], "k int, id int, v double"
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k int, d string")
+    plain = facts.join(dim, "k")
+    salted = salted_join(facts, dim, "k", n_salts=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    facts = spark.createDataFrame([(1, 1), (9, 2)], "k int, id int")
+    dim = spark.createDataFrame([(1, "x")], "k int, d string")
+    out = salted_join(facts, dim, "k", n_salts=4, how="left")
+    got = {r["id"]: r["d"] for r in out.collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located join: both sides bucketed by the join key → zero
+    Exchange in the plan. This is the repeated-upsert/join scale lever
+    (SURVEY.md §2.2 scale note): pay the shuffle once at write time.
+    (warehouse dir is pointed at a scratch location in conftest)"""
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_dim")
+    facts = spark.range(0, 10000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    facts.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_facts")
+    dim.write.bucketBy(8, "k").saveAsTable("b_dim")
+    # disable broadcast so the co-location is what saves the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_facts").join(spark.table("b_dim"), "k")
+        plan = _plan(joined)
+        assert "Exchange" not in plan
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_dim")
