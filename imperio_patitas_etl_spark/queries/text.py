@@ -306,8 +306,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingled(spark, sf_dir)
     sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # candidate pairs are tiny relative to the corpus (that is LSH's whole
+    # point) — broadcast them so the corpus-side shingle lookups never
+    # shuffle the corpus
     verified = (
-        cand.join(sh_a, "doc_a")
+        sh_a.join(F.broadcast(cand), "doc_a")
         .join(sh_b, "doc_b")
         .select(
             "doc_a",
