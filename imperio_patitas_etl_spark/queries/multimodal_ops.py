@@ -32,8 +32,13 @@ _OUT = T.StructType(
 def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing over a real table: text → binary →
     mapInPandas byte stats (the same batch shape decode_media uses)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    # coalesce: the documents table is small relative to the executor
+    # count — 4 Arrow batches beat 32 near-empty Python workers. At real
+    # scale the equivalent sizing lever is arrow.maxRecordsPerBatch.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+        .coalesce(4)
     )
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

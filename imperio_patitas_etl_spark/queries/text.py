@@ -274,9 +274,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 shingle hashing), so the oracle replicates it exactly.
     """
     sigs = _minhash_sigs(spark, sf_dir)
-    # bands carry ONLY (doc_id, band) — the equi-join stays skinny; shingle
-    # arrays rejoin after candidate dedup, so each is shipped once per
-    # surviving pair instead of once per band collision.
+    # bands carry ONLY (doc_id, band): candidate generation is a groupBy on
+    # the band key with bucket-local pair explosion — ONE pass over the
+    # signature pipeline and one skinny shuffle. (A band self-join computes
+    # the whole MinHash pipeline twice and shuffles both sides; with
+    # bounded bucket sizes the collect_list + pairwise explode is strictly
+    # cheaper and is the standard LSH shape at scale.)
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -288,30 +291,40 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_idx", "band_sig"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    s = _shingled(spark, sf_dir)
-    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     # candidate pairs are tiny relative to the corpus (that is LSH's whole
-    # point) — broadcast them so the corpus-side shingle lookups never
-    # shuffle the corpus
+    # point): broadcast them, join the raw text, and shingle ONLY the
+    # paired docs — the corpus-wide shingle pipeline runs once (in sigs),
+    # not three times, and the verification shuffles nothing.
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    txt_a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    txt_b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    sh_a = _SHINGLES.replace("text", "text_a")
+    sh_b = _SHINGLES.replace("text", "text_b")
     verified = (
-        sh_a.join(F.broadcast(cand), "doc_a")
-        .join(sh_b, "doc_b")
+        txt_a.join(F.broadcast(cand), "doc_a")
+        .join(txt_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(sh_a).alias("sh_a"),
+            F.expr(sh_b).alias("sh_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
