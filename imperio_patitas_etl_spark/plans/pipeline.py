@@ -48,6 +48,11 @@ class EtlPipeline:
     spark: SparkSession
     warehouse: ParquetWarehouse
     sources: dict[str, SourceFn] = field(default_factory=dict)
+    #: K5 mirror target: ``(table_name, [[header], [row], ...]) -> None``;
+    #: None disables the mirror (tests inject a collector; production
+    #: plugs the Sheets client). Mirror errors are NON-FATAL by contract
+    #: (etl_service.py:737-741).
+    exporter: Callable[[str, list[list[str]]], None] | None = None
     #: collected per-run (entity, valid, invalid) tuples
     _report_rows: list[tuple[str, int, int]] = field(default_factory=list)
 
@@ -121,12 +126,29 @@ class EtlPipeline:
             self.sync_documents(start_date)
         elif entity == "all":
             # clients → products → documents, the reference's order
-            # (endpoints.py:63-80)
+            # (endpoints.py:63-80), then the full-refresh mirror
             self.sync_clients()
             self.sync_products()
             self.sync_documents(start_date)
+            self.mirror_all()
         else:
             raise ValueError(f"unknown entity {entity!r}")
+
+    def mirror_all(self) -> bool:
+        """K5: full-refresh mirror of all 4 tables (sheets_sync.py:49-59).
+        Returns False (and keeps going) on any export error — the mirror
+        must never fail the sync (etl_service.py:737-741)."""
+        if self.exporter is None:
+            return True
+        ok = True
+        from imperio_patitas_etl_spark.sinks.warehouse import WAREHOUSE_SCHEMAS
+
+        for table in WAREHOUSE_SCHEMAS:
+            try:
+                self.exporter(table, self.warehouse.export_stringified(table))
+            except Exception:
+                ok = False
+        return ok
 
     def clean_and_reload(self) -> None:
         """Truncate all 4 tables then full resync (endpoints.py:18-48)."""
