@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def explode_nested(
@@ -89,6 +90,53 @@ def fk_orphan_report(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> D
     """J8: the reference skips FK validation (etl_service.py:667-670); the
     engine surfaces dangling FKs as a data-quality report via anti-join."""
     return child.join(parent.select(F.col(pk).alias(fk)).distinct(), on=fk, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """As-of (backward) join: for every left row, the most recent right row
+    with ``right.ts <= left.ts`` within the same key — the standard
+    point-in-time lookup for feature stores and event-state reconstruction.
+
+    Spark has no native ASOF JOIN; the composition here is union + window
+    (last non-null value over an ordered frame), which costs exactly ONE
+    shuffle on (key) and no range self-join — the O(n·m) inequality-join
+    trap at 100 TB. Right rows sort before left rows at equal timestamps,
+    so a right row at the same instant is visible (>= semantics, matching
+    DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` which oracles this op).
+    """
+    l_tag = left.withColumn("_is_left", F.lit(1))
+    for c in value_cols:
+        if c not in left.columns:
+            l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    r_tag = right.select(
+        key, ts, *value_cols, F.lit(0).alias("_is_left")
+    )
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.select(
+        *left.columns,
+        "_is_left",
+        *[
+            F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return out.filter(F.col("_is_left") == 1).drop("_is_left")
 
 
 def salted_join(

@@ -105,14 +105,45 @@ ORACLE_JSON_EXTRACT = """
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no native ASOF): each
+    purchase event gets the most recent prior-or-simultaneous click value
+    for the same user. One shuffle via union+window
+    (operators/joins.py:asof_join); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from imperio_patitas_etl_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 2).alias("click_value")
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", value_cols=["click_value"])
+    return out.select("event_id", "user_id", "purchase_value", "asof_click_value")
+
+
+ORACLE_ASOF = """
+    SELECT p.event_id, p.user_id,
+           ROUND(p.value, 2) AS purchase_value,
+           ROUND(c.value, 2) AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
     "json_extract": q_json_extract,
+    "asof_join": q_asof_join,
 }
 
 ORACLE = {
     "stream_sliding_window": ORACLE_SLIDING,
     "stream_session_window": ORACLE_SESSION,
     "json_extract": ORACLE_JSON_EXTRACT,
+    "asof_join": ORACLE_ASOF,
 }

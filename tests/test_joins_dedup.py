@@ -75,6 +75,29 @@ def test_fk_orphan_report(spark):
     assert [r["id"] for r in out.collect()] == [2]
 
 
+def test_asof_join_semantics(spark):
+    from imperio_patitas_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3"), (3, 10, "p4")],
+        "k int, ts long, id string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 9.0), (1, 150, 15.0), (1, 200, 20.0), (2, 60, 6.0)],
+        "k int, ts long, v double",
+    )
+    out = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(left, right, key="k", ts="ts", value_cols=["v"]).collect()
+    }
+    assert out == {
+        "p1": 9.0,    # latest right with ts <= 100
+        "p2": 20.0,   # tie at ts=200 counts (>= semantics)
+        "p3": None,   # right row is later (60 > 50)
+        "p4": None,   # no right rows for key 3
+    }
+
+
 def test_dedup_first_wins_deterministic(spark):
     df = spark.createDataFrame(
         [(1, 2, "b"), (1, 1, "a"), (2, 5, "z")], "k int, pos int, v string"

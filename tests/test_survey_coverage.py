@@ -34,7 +34,7 @@ SURVEY_KEYS = {
 EXTENSION_KEYS = {
     "cube_rollup", "union_except", "window_running_sum", "distinct_agg",
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
-    "json_extract",
+    "json_extract", "asof_join",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_dedup",
     "doc_fingerprint", "token_count", "quality_score", "lang_id",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "embedding_cosine_dedup",
