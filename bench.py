@@ -19,6 +19,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
     "multi_join_star",
     "groupby_avg",
     "topk_per_group",

@@ -19,6 +19,7 @@ from imperio_patitas_etl_spark.queries import (
     multimodal_ops,
     streaming_ops,
     text,
+    tpch,
     vector,
 )
 
@@ -27,13 +28,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (core, entity, multimodal_ops, streaming_ops, text, vector):
+    for mod in (core, entity, multimodal_ops, streaming_ops, text, tpch, vector):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (core, entity, multimodal_ops, streaming_ops, text, vector):
+    for mod in (core, entity, multimodal_ops, streaming_ops, text, tpch, vector):
         out.update(mod.ORACLE)
     return out

@@ -1,0 +1,162 @@
+"""Classic TPC-H-shaped queries over the testdata star schema.
+
+Q1 (pricing summary), Q3 (shipping priority top-k), and a GROUPING SETS
+aggregate — the standard OLAP shapes a warehouse query layer must serve,
+on top of the reference-fidelity surface. Money aggregates follow the
+engine's exact-arithmetic discipline (functions/cleaning.py): per-row
+integerization before SUM so results are identical in Spark and DuckDB
+and order-independent under partial aggregation/AQE at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.functions.cleaning import (
+    avg2_exact,
+    sql_avg2_exact,
+    sql_sum2_exact,
+    sum2_exact,
+)
+from imperio_patitas_etl_spark.sources.parquet import load_table
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: grouped sums/averages over lineitem with a
+    ship-date predicate (pushed to the scan). disc_price = price·(1−disc)
+    has ≤ 4 exact decimals; charge = disc_price·(1+tax) has ≤ 6 — each is
+    integerized at its own scale before summing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            sum2_exact(F.col("l_extendedprice")).alias("sum_base_price"),
+            sum2_exact(disc_price, true_decimals=4).alias("sum_disc_price"),
+            sum2_exact(charge, true_decimals=6).alias("sum_charge"),
+            avg2_exact(F.sum("l_extendedprice"), F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           {sql_sum2_exact("l_extendedprice")} AS sum_base_price,
+           {sql_sum2_exact("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+           {sql_sum2_exact("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+           {sql_avg2_exact("SUM(l_extendedprice)", "COUNT(*)")} AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3_DATE = "1995-03-15"
+Q3_TOPK = 10
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: join orders→lineitem with date
+    predicates on both sides, revenue per order, top-10. The orders side
+    is filtered before the join (pushdown) and the final top-k is a single
+    ordered limit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    revenue_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = (
+        li.filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue_units).alias("revenue_units"))
+    )
+    half_up = ((F.col("revenue_units") + 50) - (F.col("revenue_units") + 50) % 100).cast(
+        "long"
+    ) / 100 / F.lit(100.0)
+    return (
+        joined.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            half_up.alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(Q3_TOPK)
+    )
+
+
+ORACLE_Q3 = f"""
+    WITH j AS (
+        SELECT o.o_orderkey, o.o_orderdate,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+                   AS revenue_units
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           (((revenue_units + 50) - (revenue_units + 50) % 100) // 100) / 100.0
+               AS revenue
+    FROM j
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT {Q3_TOPK}
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup): totals by
+    (returnflag, linestatus), by returnflag alone, and grand total, with
+    GROUPING ids distinguishing the levels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               COUNT(*) AS n,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           COUNT(*) AS n,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "grouping_sets": q_grouping_sets,
+}
+
+ORACLE = {
+    "tpch_q1": ORACLE_Q1,
+    "tpch_q3": ORACLE_Q3,
+    "grouping_sets": ORACLE_GROUPING_SETS,
+}
