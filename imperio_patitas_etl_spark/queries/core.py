@@ -352,6 +352,22 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/joins.py:salted_join): facts
+    spread over 8 salts, dim replicated — result must be identical to the
+    plain equi-join, which is exactly what the oracle runs."""
+    from imperio_patitas_etl_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    out = salted_join(
+        li, supp.withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", n_salts=8
+    )
+    return out.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"), F.sum("l_orderkey").alias("sum_ok")
+    )
+
+
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregates (free Spark surface, SURVEY.md §2.5 tail):
     exact COUNT(DISTINCT) + SUM(DISTINCT) per group."""
@@ -450,6 +466,7 @@ QUERIES = {
     "delete_insert_antijoin": q_delete_insert_antijoin,
     "upsert_merge": q_upsert_merge,
     "distinct_agg": q_distinct_agg,
+    "salted_join_skew": q_salted_join_skew,
     "union_except": q_union_except,
     "window_running_sum": q_window_running_sum,
     "date_window": q_date_window,
@@ -592,6 +609,11 @@ ORACLE = {
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         EXCEPT
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    "salted_join_skew": """
+        SELECT s.s_nationkey, COUNT(*) AS n, SUM(l.l_orderkey) AS sum_ok
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey
     """,
     "distinct_agg": """
         SELECT l_returnflag,
