@@ -139,6 +139,46 @@ def asof_join(
     return out.filter(F.col("_is_left") == 1).drop("_is_left")
 
 
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_micros: int = 600_000_000,
+) -> DataFrame:
+    """Point-in-interval join (point ∈ [start, end)) without the O(n·m)
+    inequality-join trap.
+
+    A naive ``p.ts >= i.start AND p.ts < i.end`` join has no equi-key, so
+    Spark falls back to a broadcast nested-loop — quadratic and undoable at
+    100 TB. Binning gives it one: both sides map to fixed-width time bins
+    (intervals explode to every bin they overlap), the join becomes an
+    equi-join on (key, bin), and the exact range predicate filters the few
+    in-bin false positives. Shuffle volume is bounded by bin width — pick
+    it near the typical interval length so intervals explode to O(1) bins.
+    Timestamps are compared in exact integer microseconds.
+    """
+    p_us = F.unix_micros(F.col(point_ts))
+    s_us = F.unix_micros(F.col(start_ts))
+    e_us = F.unix_micros(F.col(end_ts))
+    p = points.withColumn("_bin", F.floor(p_us / bin_micros))
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(F.floor(s_us / bin_micros), F.floor((e_us - 1) / bin_micros))
+        ),
+    )
+    out = p.join(i, on=[key, "_bin"]).filter(
+        (F.unix_micros(F.col(point_ts)) >= F.unix_micros(F.col(start_ts)))
+        & (F.unix_micros(F.col(point_ts)) < F.unix_micros(F.col(end_ts)))
+    )
+    # an interval spanning k bins meets an in-range point in exactly one
+    # bin (the point's own), so no pair-dedup is needed
+    return out.drop("_bin")
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,

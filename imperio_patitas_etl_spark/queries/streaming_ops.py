@@ -134,11 +134,53 @@ ORACLE_ASOF = """
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (custom operator): clicks landing inside the
+    10-minute window after each error event of the same user. Equi-join on
+    (user, bin) + exact range filter — no nested-loop inequality join
+    (operators/joins.py:range_join_binned). The oracle runs the plain
+    inequality join, which DuckDB executes as a range join."""
+    from imperio_patitas_etl_spark.operators.joins import range_join_binned
+
+    e = load_table(spark, sf_dir, "events")
+    intervals = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("win_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    pairs = range_join_binned(
+        clicks, intervals, key="user_id", point_ts="ts",
+        start_ts="win_start", end_ts="win_end",
+    )
+    return pairs.groupBy("err_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("click_value"), 2).alias("sum_click_value"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+    SELECT i.event_id AS err_id,
+           COUNT(*) AS n_clicks,
+           ROUND(SUM(c.value), 2) AS sum_click_value
+    FROM (SELECT event_id, user_id, ts AS win_start,
+                 ts + INTERVAL 10 MINUTE AS win_end
+          FROM events WHERE event_type = 'error') i
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON c.user_id = i.user_id AND c.ts >= i.win_start AND c.ts < i.win_end
+    GROUP BY i.event_id
+"""
+
+
 QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLE = {
@@ -146,4 +188,5 @@ ORACLE = {
     "stream_session_window": ORACLE_SESSION,
     "json_extract": ORACLE_JSON_EXTRACT,
     "asof_join": ORACLE_ASOF,
+    "range_join": ORACLE_RANGE_JOIN,
 }
