@@ -156,6 +156,40 @@ def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.mapInPandas(_resize, out_schema)
 
 
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, dim: int = 16, id_col: str = "asset_id") -> DataFrame:
+    """Feature extraction: binary content → fixed-``dim`` float vector.
+
+    The feature function is a deterministic byte-value histogram (``dim``
+    equal-width buckets over 0..255, L1-normalized) — a real deployment
+    swaps it for a model forward pass; the Spark shape is identical either
+    way: Arrow-batched ``mapInPandas``, one bounded batch in Python at a
+    time, ``array<double>`` out, ready to feed the ANN/dedup operators
+    (operators/dedup.py, queries/vector.py) downstream."""
+    width = 256 // dim
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for c in pdf["content"]:
+                b = bytes(c)
+                hist = [0] * dim
+                for byte in b:
+                    hist[byte // width] += 1
+                n = max(len(b), 1)
+                feats.append([h / n for h in hist])
+            yield pd.DataFrame({"asset_id": pdf[id_col], "features": feats})
+
+    return df.mapInPandas(_featurize, FEATURE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),

@@ -63,5 +63,47 @@ ORACLE_MULTIMODAL = """
 """
 
 
-QUERIES = {"multimodal_decode_stub": q_multimodal_decode_stub}
-ORACLE = {"multimodal_decode_stub": ORACLE_MULTIMODAL}
+def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing over a real table: text → binary →
+    mapInPandas byte-histogram features (operators/multimodal.py:
+    extract_features). dim=4 buckets bytes at 0x40 boundaries; the corpus
+    is ASCII, so bucket 0 = bytes < 0x40 and bucket 1 = bytes ≥ 0x40, which
+    DuckDB replicates with regexp character-class counts. The division
+    count/len is the same IEEE double op in both engines — no rounding
+    needed."""
+    from imperio_patitas_etl_spark.operators.multimodal import extract_features
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+        )
+        .coalesce(4)
+    )
+    feats = extract_features(d, dim=4)
+    return feats.select(
+        F.col("asset_id").alias("doc_id"),
+        F.element_at("features", 1).alias("f_low"),
+        F.element_at("features", 2).alias("f_high"),
+    )
+
+
+ORACLE_FEATURES = r"""
+    SELECT doc_id,
+           (length(text) - length(regexp_replace(text, '[\x00-\x3F]', '', 'g')))::DOUBLE
+               / length(text) AS f_low,
+           length(regexp_replace(text, '[\x00-\x3F]', '', 'g'))::DOUBLE
+               / length(text) AS f_high
+    FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_decode_stub": q_multimodal_decode_stub,
+    "multimodal_feature_extract": q_multimodal_feature_extract,
+}
+ORACLE = {
+    "multimodal_decode_stub": ORACLE_MULTIMODAL,
+    "multimodal_feature_extract": ORACLE_FEATURES,
+}

@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from imperio_patitas_etl_spark.operators.multimodal import (
     DECODED_SCHEMA,
+    FEATURE_SCHEMA,
     MEDIA_SCHEMA,
     decode_media,
+    extract_features,
     resize_media,
     sample_frames,
     synth_media,
@@ -58,6 +60,21 @@ def test_resize_media(media):
         # re-decode the resized content: header must agree with meta
     redecoded = {r["asset_id"]: r for r in decode_media(out).collect()}
     assert all(v["width"] == 8 and v["height"] == 8 for v in redecoded.values())
+
+
+def test_extract_features(media):
+    out = extract_features(media, dim=8)
+    assert out.schema == FEATURE_SCHEMA
+    rows = {r["asset_id"]: r["features"] for r in out.collect()}
+    assert len(rows) == 30
+    for feats in rows.values():
+        assert len(feats) == 8
+        # L1-normalized histogram
+        assert abs(sum(feats) - 1.0) < 1e-9
+        assert all(f >= 0.0 for f in feats)
+    # deterministic: same input → same vector
+    again = {r["asset_id"]: r["features"] for r in extract_features(media, dim=8).collect()}
+    assert rows == again
 
 
 def test_sample_frames(media):
