@@ -41,6 +41,11 @@ HEADLINE = [
     "stream_session_window",
     "json_extract",
     "multimodal_decode_stub",
+    "multimodal_feature_extract",
+    # custom join strategies (operators/joins.py)
+    "asof_join",
+    "range_join",
+    "salted_join_skew",
 ]
 
 
