@@ -38,6 +38,7 @@ HEADLINE = [
     "quality_score",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_ivf",
     "stream_session_window",
     "json_extract",
     "multimodal_decode_stub",

@@ -194,6 +194,146 @@ ORACLE_ANN_LSH = f"""
 """
 
 
+N_PROBE = 2
+CENT_PRED = "vec_id % 37 = 1"  # sample-init centroids: fixed data vectors
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize the corpus into cells (nearest of K
+    sample-init centroids by cosine), then each query probes only its
+    ``N_PROBE`` nearest cells. The learned-KMeans step is replaced by
+    deterministic sample-init (centroids = fixed data vectors) so the
+    oracle replicates training exactly; Lloyd iterations would change the
+    centroids, not the plumbing.
+
+    Scale shape: centroids are collected driver-side (tiny, like the LSH
+    planes) and shipped in the UDF closure, so cell assignment is a NARROW
+    per-partition pass — no shuffle over the corpus; probing is an
+    equi-join on cell against the broadcast query probes. At 100 TB the
+    corpus would be written bucketed by cell, making probes
+    partition-pruned reads.
+
+    Assignment is the one place this engine drops to a Pandas UDF on
+    purpose: K·d dot products per row is a dense matmul, and one exact
+    int64 ``X @ C.T`` per Arrow batch beats both codegen-unrolled
+    per-centroid expressions (K·d literals blow up codegen) and
+    interpreted higher-order-function lambdas by ~10×. The cosines that
+    decide cell order are the same IEEE doubles the oracle computes
+    (integer dot, then one division by one sqrt), so results still match
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    v = _with_ivec(spark, sf_dir)
+    cents = [
+        (r["vec_id"], r["ivec"], r["norm2"])
+        for r in v.filter(F.expr(CENT_PRED)).orderBy("vec_id").collect()
+    ]
+    cent_ids = np.array([c[0] for c in cents], dtype=np.int64)
+    cent_mat = np.array([list(c[1]) for c in cents], dtype=np.int64)  # K×d
+    cent_norms = np.array([float(c[2]) for c in cents])
+    n_probe = min(N_PROBE, len(cents))
+
+    assign_schema = (
+        "vec_id long, ivec array<bigint>, norm2 long, cell long, probes array<bigint>"
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            x = np.array(pdf["ivec"].tolist(), dtype=np.int64)  # n×d, exact
+            dots = x @ cent_mat.T  # exact int64: |x|<2^28 per coord, d=64
+            cos = dots / np.sqrt(
+                pdf["norm2"].to_numpy(dtype=np.float64)[:, None] * cent_norms[None, :]
+            )
+            # per-row argsort by (cosine DESC, cent_id ASC)
+            order = np.lexsort(
+                (np.broadcast_to(cent_ids, cos.shape), -cos), axis=-1
+            )[:, :n_probe]
+            near = cent_ids[order]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "ivec": pdf["ivec"],
+                    "norm2": pdf["norm2"],
+                    "cell": near[:, 0],
+                    "probes": list(near),
+                }
+            )
+
+    assigned = v.mapInPandas(_assign, assign_schema)
+    # the probes branch re-evaluates the plan — assign only the query rows
+    # there, not the whole corpus a second time
+    probes = v.filter(F.expr(QUERY_PRED)).mapInPandas(_assign, assign_schema).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("ivec").alias("q_vec"),
+        F.col("norm2").alias("q_norm2"),
+        F.explode("probes").alias("probe_cell"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            "cell",
+            (
+                _dot("ivec", "q_vec")
+                / F.sqrt(F.col("norm2").cast("double") * F.col("q_norm2").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cell", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+    WITH v AS (
+        SELECT vec_id, {_SQL_IVEC} AS ivec,
+               list_sum(list_transform({_SQL_IVEC}, x -> x * x))::BIGINT AS norm2
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cent_id, ivec AS c_vec, norm2 AS c_norm2 FROM v WHERE {CENT_PRED}
+    ), sim AS (
+        SELECT v.vec_id, v.ivec, v.norm2, c.cent_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> v.ivec[i] * c.c_vec[i]))::BIGINT
+                 / sqrt(v.norm2::DOUBLE * c.c_norm2::DOUBLE) AS c_cos,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_sum(list_transform(range(1, 65),
+                                      i -> v.ivec[i] * c.c_vec[i]))::BIGINT
+                                    / sqrt(v.norm2::DOUBLE * c.c_norm2::DOUBLE) DESC,
+                                  c.cent_id) AS rn
+        FROM v CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, ivec, norm2, cent_id AS cell FROM sim WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS q_id, cent_id AS probe_cell FROM sim
+        WHERE {QUERY_PRED} AND rn <= {N_PROBE}
+    ), q AS (
+        SELECT vec_id AS q_id, ivec AS q_vec, norm2 AS q_norm2 FROM v WHERE {QUERY_PRED}
+    ), scored AS (
+        SELECT p.q_id, a.vec_id, a.cell,
+               list_sum(list_transform(range(1, 65),
+                   i -> a.ivec[i] * q.q_vec[i]))::BIGINT
+                 / sqrt(a.norm2::DOUBLE * q.q_norm2::DOUBLE) AS cosine
+        FROM assigned a
+        JOIN probes p ON a.cell = p.probe_cell
+        JOIN q ON q.q_id = p.q_id
+        WHERE a.vec_id != p.q_id
+    )
+    SELECT q_id, vec_id, cell, ROUND(cosine, 6) AS cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
 COS_DEDUP_T = 0.95
 
 
@@ -242,11 +382,13 @@ ORACLE_COS_DEDUP = f"""
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf": q_ann_ivf,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
 }
 
 ORACLE = {
     "ann_topk_bruteforce": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
+    "ann_ivf": ORACLE_ANN_IVF,
     "embedding_cosine_dedup": ORACLE_COS_DEDUP,
 }
