@@ -409,6 +409,26 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (§2.7): lag/lead navigation and
+    rank/dense_rank per customer in one pass — one shuffle on the
+    partition key serves all four functions (same window frame family)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    byval = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag(cents, 1).over(seq).alias("prev_cents"),
+        F.lead(cents, 1).over(seq).alias("next_cents"),
+        F.rank().over(byval).alias("value_rank"),
+        F.dense_rank().over(byval).alias("value_dense_rank"),
+    )
+
+
 def q_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 + incremental semantics: trailing-window predicate
     (scheduler_endpoints.py:82,197) against a FIXED anchor date so the
@@ -469,6 +489,7 @@ QUERIES = {
     "salted_join_skew": q_salted_join_skew,
     "union_except": q_union_except,
     "window_running_sum": q_window_running_sum,
+    "window_lag_rank": q_window_lag_rank,
     "date_window": q_date_window,
     "stream_tumbling_window": q_stream_tumbling_window,
 }
@@ -629,6 +650,16 @@ ORACLE = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS running_cents
         FROM orders
+    """,
+    "window_lag_rank": """
+        SELECT o_custkey, o_orderkey,
+               LAG(CAST(ROUND(o_totalprice * 100) AS BIGINT), 1) OVER seq AS prev_cents,
+               LEAD(CAST(ROUND(o_totalprice * 100) AS BIGINT), 1) OVER seq AS next_cents,
+               RANK() OVER byval AS value_rank,
+               DENSE_RANK() OVER byval AS value_dense_rank
+        FROM orders
+        WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               byval AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
     "date_window": """
         SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
