@@ -35,11 +35,12 @@ EXTENSION_KEYS = {
     "cube_rollup", "union_except", "window_running_sum", "distinct_agg",
     "grouping_sets", "tpch_q1", "tpch_q3", "salted_join_skew",
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
-    "json_extract", "asof_join",
+    "json_extract", "asof_join", "range_join", "window_lag_rank",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_dedup",
     "doc_fingerprint", "token_count", "quality_score", "lang_id",
-    "ann_topk_bruteforce", "ann_lsh_bucketed", "embedding_cosine_dedup",
-    "multimodal_decode_stub",
+    "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf",
+    "embedding_cosine_dedup",
+    "multimodal_decode_stub", "multimodal_feature_extract",
 }
 
 #: keys intentionally without a SQL oracle (write pipelines / stateful)
