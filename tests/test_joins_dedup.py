@@ -98,6 +98,35 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_range_join_binned_semantics(spark):
+    from datetime import datetime
+
+    from imperio_patitas_etl_spark.operators.joins import range_join_binned
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    points = spark.createDataFrame(
+        [
+            (1, t(10), "at_start"),      # == start → included
+            (1, t(14), "inside"),
+            (1, t(15), "at_end"),        # == end → excluded
+            (1, t(3), "before"),
+            (2, t(12), "other_key"),     # in range but key 2 has no interval
+        ],
+        "k int, ts timestamp, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, t(10), t(15), "iv1")], "k int, s timestamp, e timestamp, iid string"
+    )
+    # 1-second bins: the 5-second interval explodes across 5+ bins; each
+    # in-range point must still appear exactly once
+    out = range_join_binned(
+        points, intervals, key="k", point_ts="ts", start_ts="s", end_ts="e",
+        bin_micros=1_000_000,
+    )
+    got = sorted(r["pid"] for r in out.collect())
+    assert got == ["at_start", "inside"]
+
+
 def test_dedup_first_wins_deterministic(spark):
     df = spark.createDataFrame(
         [(1, 2, "b"), (1, 1, "a"), (2, 5, "z")], "k int, pos int, v string"
