@@ -119,6 +119,57 @@ ORACLE_Q3 = f"""
 """
 
 
+Q18_QTY = 300
+Q18_TOPK = 100
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: the HAVING subquery becomes one
+    map-side-combinable aggregate over lineitem whose output (a few keys
+    after the > {Q18_QTY} filter) joins back to orders — AQE turns that
+    into a broadcast join at runtime since the filtered agg is tiny. The
+    customer dim joins after the fact side has already been reduced to the
+    qualifying orders, so the big table is touched exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(Q18_TOPK)
+    )
+
+
+ORACLE_Q18 = f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_QTY}
+    ) b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT {Q18_TOPK}
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond cube/rollup): totals by
     (returnflag, linestatus), by returnflag alone, and grand total, with
@@ -152,11 +203,13 @@ ORACLE_GROUPING_SETS = """
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q18": q_tpch_q18,
     "grouping_sets": q_grouping_sets,
 }
 
 ORACLE = {
     "tpch_q1": ORACLE_Q1,
     "tpch_q3": ORACLE_Q3,
+    "tpch_q18": ORACLE_Q18,
     "grouping_sets": ORACLE_GROUPING_SETS,
 }
