@@ -35,6 +35,7 @@ HEADLINE = [
     # large-scale pipeline extensions (documents/embeddings tables)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "kmv_distinct_sketch",
     "token_count",
     "quality_score",
     "ann_topk_bruteforce",

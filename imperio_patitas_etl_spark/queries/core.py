@@ -379,6 +379,59 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64
+_KMV_HASH = "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+_KMV_SCALE = float((KMV_K - 1) * 2**60)  # exact double: 63·2^60
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per group —
+    a real mergeable sketch, made fully deterministic by the md5-based
+    60-bit hash so DuckDB replicates the estimate bit-for-bit (unlike
+    HLL, whose register layout is engine-specific).
+
+    Scale shape: the distinct step is a combinable shuffle dedup, and the
+    bottom-k per group compiles to WindowGroupLimit — Spark keeps only k
+    rows per group per partition BEFORE the shuffle, so sketch memory is
+    O(k·groups), the same bound a custom UDAF would give. Estimator:
+    (k−1) / normalized kth-minimum; exact count when a group has < k
+    distinct values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_returnflag", F.expr(_KMV_HASH).alias("h")).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    mins = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= KMV_K)
+    g = mins.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_mins"), F.max("h").alias("kth_hash")
+    )
+    est = F.when(
+        F.col("n_mins") < KMV_K, F.col("n_mins").cast("double")
+    ).otherwise(F.lit(_KMV_SCALE) / F.col("kth_hash").cast("double"))
+    return g.select(
+        "l_returnflag", "n_mins", "kth_hash", F.round(est, 6).alias("est_distinct")
+    )
+
+
+ORACLE_KMV = f"""
+    WITH d AS (
+        SELECT DISTINCT l_returnflag,
+               (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+        FROM lineitem
+    ), r AS (
+        SELECT l_returnflag, h,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM d
+    ), m AS (
+        SELECT l_returnflag, COUNT(*) AS n_mins, MAX(h) AS kth_hash
+        FROM r WHERE rn <= {KMV_K} GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_mins, kth_hash,
+           ROUND(CASE WHEN n_mins < {KMV_K} THEN n_mins::DOUBLE
+                      ELSE {KMV_K - 1} * 1152921504606846976.0 / kth_hash::DOUBLE
+                 END, 6) AS est_distinct
+    FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.7 set ops / windows / incremental
 # --------------------------------------------------------------------------
@@ -486,6 +539,7 @@ QUERIES = {
     "delete_insert_antijoin": q_delete_insert_antijoin,
     "upsert_merge": q_upsert_merge,
     "distinct_agg": q_distinct_agg,
+    "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "salted_join_skew": q_salted_join_skew,
     "union_except": q_union_except,
     "window_running_sum": q_window_running_sum,
@@ -643,6 +697,7 @@ ORACLE = {
                SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS sum_qty_distinct
         FROM lineitem GROUP BY l_returnflag
     """,
+    "kmv_distinct_sketch": ORACLE_KMV,
     "window_running_sum": """
         SELECT o_custkey, o_orderkey,
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
