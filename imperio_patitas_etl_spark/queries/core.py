@@ -379,6 +379,30 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the (n−1)·p interpolation formula, so
+    on identical doubles the results are bit-equal (verified). Exact
+    percentile buffers each group's values; at 100 TB swap in
+    ``approx_percentile`` (t-digest, mergeable, bounded memory) — the
+    query shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+ORACLE_PERCENTILE = """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 KMV_K = 64
 _KMV_HASH = "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"
 _KMV_SCALE = float((KMV_K - 1) * 2**60)  # exact double: 63·2^60
@@ -539,6 +563,7 @@ QUERIES = {
     "delete_insert_antijoin": q_delete_insert_antijoin,
     "upsert_merge": q_upsert_merge,
     "distinct_agg": q_distinct_agg,
+    "percentile_agg": q_percentile_agg,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "salted_join_skew": q_salted_join_skew,
     "union_except": q_union_except,
@@ -697,6 +722,7 @@ ORACLE = {
                SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS sum_qty_distinct
         FROM lineitem GROUP BY l_returnflag
     """,
+    "percentile_agg": ORACLE_PERCENTILE,
     "kmv_distinct_sketch": ORACLE_KMV,
     "window_running_sum": """
         SELECT o_custkey, o_orderkey,

@@ -33,7 +33,7 @@ SURVEY_KEYS = {
 #: extension surface (SURVEY §7 phase 3 / north star) — also required
 EXTENSION_KEYS = {
     "cube_rollup", "union_except", "window_running_sum", "distinct_agg",
-    "kmv_distinct_sketch",
+    "kmv_distinct_sketch", "percentile_agg",
     "grouping_sets", "tpch_q1", "tpch_q3", "tpch_q18", "salted_join_skew",
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "json_extract", "asof_join", "range_join", "window_lag_rank",
