@@ -30,6 +30,7 @@ HEADLINE = [
     "join_price_broadcast",
     "upsert_latest_wins",
     "window_running_sum",
+    "window_range_rolling",
     "explode_variants",
     "stream_tumbling_window",
     # large-scale pipeline extensions (documents/embeddings tables)

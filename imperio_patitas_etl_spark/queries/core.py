@@ -506,6 +506,50 @@ def q_window_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling aggregate per user over event time — a
+    RANGE frame on epoch seconds (both engines treat the bounds as
+    inclusive [t−3600, t]), the time-series rollup shape. Value summed in
+    exact integer cents; one shuffle on the partition key."""
+    e = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_micros(F.col("ts")) / F.lit(1_000_000)
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch_s"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            epoch_s.cast("long").alias("epoch_s"),
+            cents.alias("cents"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("cents").over(w).alias("rolling_cents"),
+            F.count("*").over(w).alias("rolling_n"),
+        )
+    )
+
+
+ORACLE_RANGE_ROLLING = """
+    SELECT user_id, event_id,
+           SUM(cents) OVER w AS rolling_cents,
+           COUNT(*) OVER w AS rolling_n
+    FROM (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_date_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 + incremental semantics: trailing-window predicate
     (scheduler_endpoints.py:82,197) against a FIXED anchor date so the
@@ -569,6 +613,7 @@ QUERIES = {
     "union_except": q_union_except,
     "window_running_sum": q_window_running_sum,
     "window_lag_rank": q_window_lag_rank,
+    "window_range_rolling": q_window_range_rolling,
     "date_window": q_date_window,
     "stream_tumbling_window": q_stream_tumbling_window,
 }
@@ -724,6 +769,7 @@ ORACLE = {
     """,
     "percentile_agg": ORACLE_PERCENTILE,
     "kmv_distinct_sketch": ORACLE_KMV,
+    "window_range_rolling": ORACLE_RANGE_ROLLING,
     "window_running_sum": """
         SELECT o_custkey, o_orderkey,
                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (

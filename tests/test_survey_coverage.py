@@ -37,6 +37,7 @@ EXTENSION_KEYS = {
     "grouping_sets", "tpch_q1", "tpch_q3", "tpch_q18", "salted_join_skew",
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "json_extract", "asof_join", "range_join", "window_lag_rank",
+    "window_range_rolling",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_dedup",
     "doc_fingerprint", "token_count", "quality_score", "lang_id",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf",
