@@ -70,9 +70,11 @@ def main() -> int:
 
     qs, oracles = m.queries(), m.oracle_sql()
     failures = []
+    n_checked = 0
     for key, fn in sorted(qs.items()):
         if only and key not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -110,7 +112,7 @@ def main() -> int:
             continue
         print(f"ok   {key}: {len(s_norm)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} checked queries pass")
+    print(f"\n{n_checked - len(failures)}/{n_checked} checked queries pass")
     return 1 if failures else 0
 
 
