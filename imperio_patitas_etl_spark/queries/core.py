@@ -501,8 +501,8 @@ def q_window_lag_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.lag(cents, 1).over(seq).alias("prev_cents"),
         F.lead(cents, 1).over(seq).alias("next_cents"),
-        F.rank().over(byval).alias("value_rank"),
-        F.dense_rank().over(byval).alias("value_dense_rank"),
+        F.rank().over(byval).cast("long").alias("value_rank"),
+        F.dense_rank().over(byval).cast("long").alias("value_dense_rank"),
     )
 
 
@@ -537,7 +537,7 @@ def q_window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RANGE_ROLLING = """
     SELECT user_id, event_id,
-           SUM(cents) OVER w AS rolling_cents,
+           CAST(SUM(cents) OVER w AS BIGINT) AS rolling_cents,
            COUNT(*) OVER w AS rolling_n
     FROM (
         SELECT user_id, event_id,
@@ -756,7 +756,8 @@ ORACLE = {
         SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
     """,
     "salted_join_skew": """
-        SELECT s.s_nationkey, COUNT(*) AS n, SUM(l.l_orderkey) AS sum_ok
+        SELECT s.s_nationkey, COUNT(*) AS n,
+               CAST(SUM(l.l_orderkey) AS BIGINT) AS sum_ok
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_nationkey
     """,
@@ -764,7 +765,7 @@ ORACLE = {
         SELECT l_returnflag,
                COUNT(DISTINCT l_suppkey) AS n_supp,
                COUNT(DISTINCT l_partkey) AS n_part,
-               SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS sum_qty_distinct
+               CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_distinct
         FROM lineitem GROUP BY l_returnflag
     """,
     "percentile_agg": ORACLE_PERCENTILE,
@@ -772,10 +773,10 @@ ORACLE = {
     "window_range_rolling": ORACLE_RANGE_ROLLING,
     "window_running_sum": """
         SELECT o_custkey, o_orderkey,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS running_cents
+               ) AS BIGINT) AS running_cents
         FROM orders
     """,
     "window_lag_rank": """

@@ -39,10 +39,10 @@ def q_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SLIDING = f"""
     WITH offsets AS (SELECT unnest(range(0, {WINDOW_S // SLIDE_S})) AS i),
     assigned AS (
-        SELECT to_timestamp(
+        SELECT CAST(to_timestamp(
                    ((epoch_us(ts) // 1000000 - i * {SLIDE_S}) // {WINDOW_S})
                    * {WINDOW_S} + i * {SLIDE_S}
-               ) AS win_start,
+               ) AS TIMESTAMP) AS win_start,
                value
         FROM events CROSS JOIN offsets
     )
@@ -98,7 +98,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_EXTRACT = """
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type

@@ -60,9 +60,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")).alias("word_tokens"),
-        F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9\\s]")).alias("punct_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")).cast("long").alias("word_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9\\s]")).cast("long").alias("punct_tokens"),
     )
 
 
@@ -144,7 +144,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), "\\s+", " "))
     fp = F.expr(_MD5INT.format(x="lower(regexp_replace(trim(text), '\\\\s+', ' '))"))
-    return d.select("doc_id", fp.alias("fingerprint"), F.length(norm).alias("norm_len"))
+    return d.select(
+        "doc_id", fp.alias("fingerprint"), F.length(norm).cast("long").alias("norm_len")
+    )
 
 
 _SQL_NORM_TEXT = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"

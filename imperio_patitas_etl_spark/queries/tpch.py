@@ -48,7 +48,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q1 = f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            {sql_sum2_exact("l_extendedprice")} AS sum_base_price,
            {sql_sum2_exact("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
            {sql_sum2_exact("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
@@ -101,8 +101,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q3 = f"""
     WITH j AS (
         SELECT o.o_orderkey, o.o_orderdate,
-               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
-                   AS revenue_units
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS revenue_units
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
@@ -160,7 +160,7 @@ ORACLE_Q18 = f"""
            o.o_totalprice, b.sum_qty
     FROM orders o
     JOIN (
-        SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY l_orderkey
         HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_QTY}
     ) b ON o.o_orderkey = b.l_orderkey
@@ -181,8 +181,8 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
                COUNT(*) AS n,
-               GROUPING(l_returnflag) AS g_flag,
-               GROUPING(l_linestatus) AS g_status
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -191,10 +191,10 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_GROUPING_SETS = """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            COUNT(*) AS n,
-           GROUPING(l_returnflag) AS g_flag,
-           GROUPING(l_linestatus) AS g_status
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """

@@ -1,9 +1,15 @@
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — Arrow-type strict.
 
-Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
-over the same parquet tables, then compares row count, sorted column names,
-and an order-insensitive value multiset (floats rounded, timestamps
-normalized). Usage:
+Round-1 lesson (VERDICT.md "What's wrong"): the old checker rounded floats
+and stripped timezones, which masked 6 oracle-side type bugs (DuckDB
+``SUM(BIGINT)`` → HUGEINT/decimal128, ``to_timestamp`` → TIMESTAMPTZ) that
+the driver's type-sensitive hash caught. This version compares a CANONICAL
+TYPE per column on both sides — decimal, hugeint, and tz-aware timestamps
+never canonicalize to Spark's int64/float64/naive-timestamp, so the whole
+class fails loudly here before the driver sees it — and compares values
+EXACTLY (no rounding).
+
+Usage:
 
     python tools/check.py [sf_dir] [key ...]
 """
@@ -20,27 +26,97 @@ from decimal import Decimal
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pyarrow as pa
 
-FLOAT_DECIMALS = 6
+
+def _canon_arrow_type(t: pa.DataType) -> str:
+    """Canonical type label for an Arrow type (DuckDB result side)."""
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"  # never matches Spark int64
+    if pa.types.is_timestamp(t):
+        return "timestamptz" if t.tz else "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_canon_arrow_type(t.field(i).type)}" for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def _canon_spark_type(t) -> str:
+    """Canonical type label for a Spark SQL type (same label space)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.LongType):
+        return "int64"
+    if isinstance(t, T.IntegerType):
+        return "int32"
+    if isinstance(t, T.ShortType):
+        return "int16"
+    if isinstance(t, T.ByteType):
+        return "int8"
+    if isinstance(t, T.DoubleType):
+        return "float64"
+    if isinstance(t, T.FloatType):
+        return "float32"
+    if isinstance(t, T.DecimalType):
+        return f"decimal({t.precision},{t.scale})"
+    # Spark TIMESTAMP (LTZ) collects as naive datetimes under the pinned UTC
+    # session TZ, which is how the driver hashes it — treat both as naive.
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, T.StringType):
+        return "string"
+    if isinstance(t, T.BinaryType):
+        return "binary"
+    if isinstance(t, T.ArrayType):
+        return f"list<{_canon_spark_type(t.elementType)}>"
+    if isinstance(t, T.StructType):
+        inner = ",".join(f"{f.name}:{_canon_spark_type(f.dataType)}" for f in t.fields)
+        return f"struct<{inner}>"
+    return t.simpleString()
 
 
 def _norm_cell(v):
+    """Exact normalization: no rounding, no TZ stripping. Decimals stay
+    Decimal (they already failed the type gate; shown in diffs only)."""
     if v is None:
         return None
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, Decimal):
-        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, FLOAT_DECIMALS)
+        return v
+    if isinstance(v, Decimal):
+        return ("decimal", str(v))
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # tz-aware would have failed the type gate; keep full precision.
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
     return v
 
 
@@ -64,9 +140,7 @@ def main() -> int:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = m.queries(), m.oracle_sql()
     failures = []
@@ -79,6 +153,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = {f.name: _canon_spark_type(f.dataType) for f in sdf.schema.fields}
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(key)
@@ -88,19 +163,29 @@ def main() -> int:
             print(f"ok   {key}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[key])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            tbl = con.execute(oracles[key]).arrow()
+            d_cols = tbl.column_names
+            d_types = {
+                name: _canon_arrow_type(tbl.schema.field(name).type) for name in d_cols
+            }
+            d_rows = [tuple(r[c] for c in d_cols) for r in tbl.to_pylist()]
         except Exception as e:
             failures.append(key)
             print(f"FAIL {key}: duckdb error: {e}")
             continue
-        s_norm, s_sorted_cols = _normalize(s_rows, s_cols)
-        d_norm, d_sorted_cols = _normalize(d_rows, d_cols)
-        if s_sorted_cols != d_sorted_cols:
+        if sorted(s_cols) != sorted(d_cols):
             failures.append(key)
-            print(f"FAIL {key}: columns differ spark={s_sorted_cols} duck={d_sorted_cols}")
+            print(f"FAIL {key}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
             continue
+        type_diffs = {
+            c: (s_types[c], d_types[c]) for c in s_cols if s_types[c] != d_types[c]
+        }
+        if type_diffs:
+            failures.append(key)
+            print(f"FAIL {key}: TYPE mismatch (driver hash would fail): {type_diffs}")
+            continue
+        s_norm, _ = _normalize(s_rows, s_cols)
+        d_norm, _ = _normalize(d_rows, d_cols)
         if len(s_norm) != len(d_norm):
             failures.append(key)
             print(f"FAIL {key}: rowcount spark={len(s_norm)} duck={len(d_norm)}")
