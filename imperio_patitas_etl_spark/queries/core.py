@@ -322,12 +322,14 @@ def q_delete_insert_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K2 end-to-end (rows-only check): the real warehouse MERGE path —
-    ensure-table DDL, keyed upsert with column-subset update semantics,
-    atomic swap — writing actual parquet under a scratch dir, then reading
-    the merged table back. Not SQL-expressible as one query (it is a write
-    pipeline), hence no oracle; the driver records the weaker rows check
-    (SURVEY.md §2.2 K2)."""
+    """K2 end-to-end: the real warehouse MERGE path — ensure-table DDL,
+    keyed upsert with column-subset update semantics (UPDATE_COLS,
+    etl_service.py:452-457), atomic swap — writing actual parquet under a
+    scratch dir, then reading the merged table back. The read-back end
+    state IS SQL-expressible: latest-wins over target ∪ source restricted
+    to the documento columns (both frames derive from the same orders
+    projection, so the column-subset update degenerates to source-wins on
+    the returned columns)."""
     import tempfile
 
     from imperio_patitas_etl_spark.sinks.warehouse import ParquetWarehouse
@@ -720,6 +722,28 @@ ORACLE = {
         JOIN nation   ON c_nationkey = n_nationkey
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "upsert_merge": """
+        WITH target AS (
+            SELECT o_orderkey AS id_documento, o_custkey AS id_cliente,
+                   ROUND(o_totalprice, 2) AS monto_neto,
+                   ROUND(o_totalprice, 2) AS monto_total
+            FROM orders WHERE o_orderkey % 2 = 0
+        ), source AS (
+            SELECT o_orderkey AS id_documento, o_custkey AS id_cliente,
+                   ROUND(o_totalprice + 1.0, 2) AS monto_neto,
+                   ROUND(o_totalprice + 1.0, 2) AS monto_total
+            FROM orders WHERE o_orderkey % 3 = 0
+        ), unioned AS (
+            SELECT *, 0 AS rnk FROM target
+            UNION ALL
+            SELECT *, 1 AS rnk FROM source
+        )
+        SELECT id_documento, id_cliente, monto_neto, monto_total FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id_documento
+                                         ORDER BY rnk DESC) AS rn
+            FROM unioned
+        ) WHERE rn = 1
     """,
     "upsert_latest_wins": """
         WITH target AS (

@@ -45,8 +45,9 @@ EXTENSION_KEYS = {
     "multimodal_decode_stub", "multimodal_feature_extract",
 }
 
-#: keys intentionally without a SQL oracle (write pipelines / stateful)
-ROWS_ONLY = {"upsert_merge"}
+#: keys intentionally without a SQL oracle (none — every registered query
+#: has a DuckDB oracle; genuinely non-SQL surfaces live in pytest instead)
+ROWS_ONLY: set[str] = set()
 
 
 def test_survey_keys_registered():
