@@ -26,15 +26,22 @@ from imperio_patitas_etl_spark.queries import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+# Module order controls registry insertion order. External correctness
+# tooling samples a prefix of this registry, so modules whose keys have not
+# yet been externally verified (text, tpch, vector) come first; the
+# previously-verified core/entity/multimodal/streaming keys follow.
+_MODULES = (text, tpch, vector, core, entity, multimodal_ops, streaming_ops)
+
+
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (core, entity, multimodal_ops, streaming_ops, text, tpch, vector):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (core, entity, multimodal_ops, streaming_ops, text, tpch, vector):
+    for mod in _MODULES:
         out.update(mod.ORACLE)
     return out
