@@ -16,8 +16,9 @@ Scale notes (100 TB):
   shuffle until the band-bucket join;
 - LSH banding turns the O(n²) pair space into an equi-join on (band_idx,
   band_signature) — the standard shuffle-bounded near-dedup at scale;
-- the n-gram variant blocks by ``lang`` to bound pair blowup; at 100 TB the
-  block key should also include a length bucket.
+- the n-gram variant blocks on a compound (lang, binary-length-bucket) key —
+  lossless for Jaccard ≥ 0.5 (shingle counts of matching docs are within 2×),
+  so blocked results are provably identical to the all-pairs oracle.
 """
 
 from __future__ import annotations
@@ -202,15 +203,40 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, blocked by
-    ``lang`` to bound the pair space (the block key is the scale lever: at
-    100 TB add a length bucket). Jaccard threshold and reported value are
-    exact integer arithmetic: j ≥ 0.5 ⟺ 3·|∩| ≥ |A|+|B|."""
+    """Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, blocked on a
+    compound (lang, binary-length-bucket) key. Jaccard threshold and
+    reported value are exact integer arithmetic: j ≥ 0.5 ⟺ 3·|∩| ≥ |A|+|B|.
+
+    The blocking is LOSSLESS, so the all-pairs oracle stays the ground
+    truth: j ≥ 0.5 with n_inter ≤ min(n_a, n_b) forces
+    max(n_a, n_b) ≤ 2·min(n_a, n_b), hence ⌊log₂ n_a⌋ and ⌊log₂ n_b⌋ differ
+    by at most 1. Emitting every doc at buckets (bkt, bkt+1) therefore
+    guarantees each qualifying pair collides in ≥1 block, and requiring the
+    collision block to equal max(bkt_a, bkt_b) counts it exactly once —
+    no post-hoc dedup (equal buckets k collide at {k, k+1}, buckets k/k+1
+    collide only at {k+1}; max picks one member of each set). Candidate generation is an equi-join on (lang, blk):
+    shuffle-bounded by block size instead of O(n²) per language
+    (tests/test_plans.py pins the equi-join)."""
     s = _shingled(spark, sf_dir)
-    a = s.alias("a")
-    b = s.alias("b")
+    bkt = F.length(F.bin(F.greatest(F.size("shingles"), F.lit(1)).cast("long"))).cast("long")
+    e = s.select(
+        "doc_id",
+        "lang",
+        "shingles",
+        bkt.alias("bkt"),
+        F.explode(F.array(bkt, bkt + F.lit(1))).alias("blk"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
     pairs = (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # count each pair exactly once: at block max(bkt_a, bkt_b)
+            & (F.col("a.blk") == F.greatest(F.col("a.bkt"), F.col("b.bkt"))),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -56,6 +56,38 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "*(1)" in _plan(df)
 
 
+def _first_equijoin_keys(plan: str) -> str:
+    import re
+
+    m = re.search(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)(?:\(\w+\))?\s+\[([^\]]+)\]",
+        plan,
+    )
+    assert m is not None, f"no equi-join in plan:\n{plan}"
+    return m.group(1)
+
+
+def test_ngram_jaccard_is_blocked_equijoin(spark, sf_dir):
+    """Candidate generation must be an equi-join on the compound
+    (lang, length-bucket) block key — never an all-pairs nested loop."""
+    df = all_queries()["ngram_jaccard_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = _first_equijoin_keys(plan)
+    assert "lang" in keys and "blk" in keys
+
+
+def test_cosine_dedup_is_bucket_equijoin(spark, sf_dir):
+    """Pair generation must be an equi-join on the LSH bucket id —
+    never an all-pairs nested loop."""
+    df = all_queries()["embedding_cosine_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in _first_equijoin_keys(plan)
+
+
 def test_salted_join_matches_plain_join(spark):
     # heavy skew: 90% of facts share key 1
     facts = spark.createDataFrame(
