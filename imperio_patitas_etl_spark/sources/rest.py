@@ -14,8 +14,10 @@ Spark design decisions:
 - the N+1 per-row lookups DISAPPEAR: bulk-load the price/cost endpoints
   once each and broadcast-join (operators/joins.py:broadcast_lookup);
 - error handling is explicit (SURVEY.md §7 hard-part 3): ``lenient=True``
-  reproduces the reference's swallow-and-continue; the default raises on
-  the first failed page so partial extracts can't masquerade as complete;
+  reproduces the reference exactly — ANY page error discards every
+  accumulated row and returns ``[]`` (bsale_client.py:57-63); the default
+  raises on the first failed page so partial extracts can't masquerade as
+  complete (or as empty);
 - ``fetch`` is injectable (any ``(endpoint, params) -> dict``), which keeps
   the source testable without network and lets production plug in auth,
   retries, and real rate-limit backoff.
@@ -66,13 +68,18 @@ class PaginatedRestSource:
                 payload = self.fetch(endpoint, q)
             except Exception:
                 if self.lenient:
-                    return rows  # reference behavior: partial data, no error
+                    # reference behavior (bsale_client.py:57-63): any error
+                    # discards ALL accumulated rows and yields an empty
+                    # extract — silent but total, never partial
+                    return []
                 raise
             items = (payload or {}).get("items") or []
             if not items:
                 break
             rows.extend(items)
-            offset += self.page_size
+            # advance by rows RECEIVED (bsale_client.py:55), not by
+            # page_size: a short-but-non-empty page must not skip rows
+            offset += len(items)
             page += 1
             if self.delay_s:
                 time.sleep(self.delay_s)

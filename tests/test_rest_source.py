@@ -40,14 +40,32 @@ def test_fail_fast_raises():
         PaginatedRestSource(boom, page_size=10, delay_s=0).fetch_all("x")
 
 
-def test_lenient_returns_partial():
+def test_lenient_error_discards_everything():
+    """Reference behavior (bsale_client.py:57-63): ANY page error returns
+    [] — the rows already fetched are discarded, not returned partially."""
+
     def boom(endpoint, params):
         if params["offset"] >= 10:
             raise ConnectionError("502")
         return {"items": [{"id": i} for i in range(10)]}
 
     rows = PaginatedRestSource(boom, page_size=10, delay_s=0, lenient=True).fetch_all("x")
-    assert len(rows) == 10  # reference behavior: partial, silent
+    assert rows == []
+
+
+def test_short_page_does_not_skip_rows():
+    """The offset must advance by rows RECEIVED (bsale_client.py:55): an
+    endpoint that returns short-but-non-empty pages yields every row."""
+
+    def short_pages(endpoint, params):
+        off = params["offset"]
+        # server caps every response at 7 rows regardless of limit=10
+        items = [{"id": i} for i in range(off, min(off + 7, 20))]
+        return {"items": items}
+
+    src = PaginatedRestSource(short_pages, page_size=10, delay_s=0)
+    rows = src.fetch_all("things.json")
+    assert [r["id"] for r in rows] == list(range(20))
 
 
 def test_to_dataframe_declared_schema(spark):
