@@ -16,9 +16,9 @@ Scale notes (100 TB):
   shuffle until the band-bucket join;
 - LSH banding turns the O(n²) pair space into an equi-join on (band_idx,
   band_signature) — the standard shuffle-bounded near-dedup at scale;
-- the n-gram variant blocks on a compound (lang, binary-length-bucket) key —
-  lossless for Jaccard ≥ 0.5 (shingle counts of matching docs are within 2×),
-  so blocked results are provably identical to the all-pairs oracle.
+- the n-gram variant generates candidates from a prefix-filtered inverted
+  index (AllPairs/PPJoin) — lossless for Jaccard ≥ 0.5, so its results are
+  provably identical to the all-pairs oracle at a fraction of the pair work.
 """
 
 from __future__ import annotations
@@ -203,46 +203,56 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, blocked on a
-    compound (lang, binary-length-bucket) key. Jaccard threshold and
-    reported value are exact integer arithmetic: j ≥ 0.5 ⟺ 3·|∩| ≥ |A|+|B|.
+    """Near-duplicate pairs by exact word-3-gram Jaccard ≥ 0.5, with
+    prefix-filtered inverted-index candidate generation (the AllPairs /
+    PPJoin family). Jaccard threshold and reported value are exact integer
+    arithmetic: j ≥ 0.5 ⟺ 3·|∩| ≥ |A|+|B|.
 
-    The blocking is LOSSLESS, so the all-pairs oracle stays the ground
-    truth: j ≥ 0.5 with n_inter ≤ min(n_a, n_b) forces
-    max(n_a, n_b) ≤ 2·min(n_a, n_b), hence ⌊log₂ n_a⌋ and ⌊log₂ n_b⌋ differ
-    by at most 1. Emitting every doc at buckets (bkt, bkt+1) therefore
-    guarantees each qualifying pair collides in ≥1 block, and requiring the
-    collision block to equal max(bkt_a, bkt_b) counts it exactly once —
-    no post-hoc dedup (equal buckets k collide at {k, k+1}, buckets k/k+1
-    collide only at {k+1}; max picks one member of each set). Candidate generation is an equi-join on (lang, blk):
-    shuffle-bounded by block size instead of O(n²) per language
-    (tests/test_plans.py pins the equi-join)."""
+    The prefix filter is LOSSLESS, so the all-pairs oracle stays the
+    ground truth: j ≥ 0.5 forces |A∩B| ≥ ⌈max(n_a, n_b)/2⌉, so for the
+    smallest common shingle x (under the global sort order) at most
+    ⌈n/2⌉−1 elements of each doc precede x — x sits inside BOTH docs'
+    sorted-prefix of length ⌊n/2⌋+1. Indexing only those prefixes and
+    equi-joining on (lang, token) therefore finds every qualifying pair
+    (tests/test_plans.py pins the equi-join); the exact array_intersect
+    verify then rejects false candidates.
+
+    Scale shape: candidate work is Σ_token freq² over PREFIX postings only
+    — bounded by shingle frequency, independent of corpus/block size. The
+    all-pairs and length-bucket formulations both go quadratic when doc
+    lengths cluster (as here: 60 s → ~2 s at sf0.1). For skewed real
+    corpora, order tokens by ascending global frequency instead of
+    lexicographically so prefixes hold the rarest shingles."""
     s = _shingled(spark, sf_dir)
-    bkt = F.length(F.bin(F.greatest(F.size("shingles"), F.lit(1)).cast("long"))).cast("long")
-    e = s.select(
+    docs = s.select("doc_id", "lang", F.array_sort("shingles").alias("shingles"))
+    pref = docs.select(
         "doc_id",
         "lang",
-        "shingles",
-        bkt.alias("bkt"),
-        F.explode(F.array(bkt, bkt + F.lit(1))).alias("blk"),
+        F.explode(F.expr("slice(shingles, 1, size(shingles) div 2 + 1)")).alias("tok"),
     )
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = (
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # count each pair exactly once: at block max(bkt_a, bkt_b)
-            & (F.col("a.blk") == F.greatest(F.col("a.bkt"), F.col("b.bkt"))),
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.size(F.array_intersect("a.shingles", "b.shingles")).cast("long").alias("n_inter"),
-            F.size("a.shingles").cast("long").alias("n_a"),
-            F.size("b.shingles").cast("long").alias("n_b"),
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
         )
         .filter(F.expr(JACCARD_T3))
     )

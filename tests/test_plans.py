@@ -56,26 +56,23 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "*(1)" in _plan(df)
 
 
-def _first_equijoin_keys(plan: str) -> str:
+def _equijoin_key_sets(plan: str) -> list[str]:
     import re
 
-    m = re.search(
+    return re.findall(
         r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)(?:\(\w+\))?\s+\[([^\]]+)\]",
         plan,
     )
-    assert m is not None, f"no equi-join in plan:\n{plan}"
-    return m.group(1)
 
 
 def test_ngram_jaccard_is_blocked_equijoin(spark, sf_dir):
-    """Candidate generation must be an equi-join on the compound
-    (lang, length-bucket) block key — never an all-pairs nested loop."""
+    """Candidate generation must be an equi-join on the (lang, prefix
+    token) inverted index — never an all-pairs nested loop."""
     df = all_queries()["ngram_jaccard_dedup"](spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    keys = _first_equijoin_keys(plan)
-    assert "lang" in keys and "blk" in keys
+    assert any("lang" in k and "tok" in k for k in _equijoin_key_sets(plan))
 
 
 def test_cosine_dedup_is_bucket_equijoin(spark, sf_dir):
@@ -85,7 +82,7 @@ def test_cosine_dedup_is_bucket_equijoin(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "bucket" in _first_equijoin_keys(plan)
+    assert any("bucket" in k for k in _equijoin_key_sets(plan))
 
 
 def test_salted_join_matches_plain_join(spark):
