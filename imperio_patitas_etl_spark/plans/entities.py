@@ -117,17 +117,27 @@ def transform_products(
 
     ``raw_products`` must carry an explicit ordering column ``order_col``
     (API page order in the reference); variant order inside a product comes
-    from the array position. Steps:
+    from the array position.
+
+    The reference's per-product loop processes exactly ONE variant — every
+    path out of the loop body ``break``s (:593-633): the first state-active
+    variant not already claimed by an earlier product is the product's sole
+    candidate, and if its price row is missing (:593-597) or its validation
+    fails (:626-633) the WHOLE product is dropped — a later valid variant is
+    never considered. Steps:
 
     1. inner-explode ``variants.items`` (zero-variant products vanish, J1);
-    2. state filter (state == 0, :584);
-    3. broadcast-join price list 2 (J2). The reference *aborts the whole
-       product* at the first variant with no price row (:597 ``break``):
-       variants after the first price-miss are cut off per product;
-    4. broadcast-left-join costs + conditional derivation (J3/J4);
-    5. cross-product first-wins dedup on variant id (A5, :568-582);
-    6. validate/project (F2);
-    7. first valid variant per product wins (A6, :624 ``break``).
+    2. state filter (state == 0, :584-585 ``continue``);
+    3. cross-product first-wins dedup on variant id (A5, :580-581
+       ``continue``; see the module fidelity note on the success-conditional
+       ``processed_variants`` set);
+    4. candidate selection: first remaining variant per product (the
+       unconditional ``break``);
+    5. broadcast-join price list 2 (J2) and costs (J3) + conditional cost
+       derivation (J4) on the candidates only — the reference's N+1 lookups
+       also run after candidate selection;
+    6. validate/project (F2): a candidate missing its price row or failing
+       any rule rejects, dropping its product entirely.
     """
     v = explode_nested(raw_products, "variants.items", "v")
     flat = v.select(
@@ -145,8 +155,18 @@ def transform_products(
     )
     active = flat.filter(F.col("state") == 0)
 
+    deduped = dedup_first_wins(
+        active, "variant_id", [F.col(order_col), F.col("v_pos")]
+    )
+    w = Window.partitionBy("product_id").orderBy("v_pos")
+    candidate = (
+        deduped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
     priced = broadcast_lookup(
-        active,
+        candidate,
         price_list.select(
             F.col("variantid").alias("variant_id"),
             F.col("variantValue").alias("precio_neto"),
@@ -154,16 +174,6 @@ def transform_products(
         on="variant_id",
         how="left",
     )
-    # price-miss cutoff: positions at/after the first missing price in a
-    # product are never processed (the reference breaks, :597).
-    w_prod = Window.partitionBy("product_id")
-    cutoff = F.min(
-        F.when(F.col("precio_neto").isNull(), F.col("v_pos"))
-    ).over(w_prod)
-    priced = priced.withColumn("_cutoff", cutoff).filter(
-        F.col("_cutoff").isNull() | (F.col("v_pos") < F.col("_cutoff"))
-    )
-
     costed = broadcast_lookup(
         priced,
         costs.select(
@@ -176,27 +186,7 @@ def transform_products(
     )
     derived = derive_cost(costed, out_col="costo_neto").drop("averageCost", "history")
 
-    deduped = dedup_first_wins(
-        derived, "variant_id", [F.col(order_col), F.col("v_pos")]
-    )
-
-    res = product_spec().apply(deduped)
-    # A6: first valid variant per product (validation already applied).
-    keyed = deduped.select("variant_id", "product_id", order_col, "v_pos")
-    accepted = (
-        res.accepted.join(
-            F.broadcast(keyed.withColumnRenamed("variant_id", "id_producto")),
-            on="id_producto",
-            how="inner",
-        )
-    )
-    w = Window.partitionBy("product_id").orderBy("v_pos")
-    first_valid = (
-        accepted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "product_id", order_col, "v_pos")
-    )
-    return ValidationResult(accepted=first_valid, rejected=res.rejected)
+    return product_spec().apply(derived)
 
 
 # -- F3/F4 + J5: documents (header + lines from one input) ----------------

@@ -47,12 +47,17 @@ RAW_PRODUCTS = [
      ([(501, "SKU501", None, 0, True), (502, "SKU502", None, 0, True)],)),
     # p6: missing SKU → invalid, no fallback variant
     (5, 6, "SinSku", None, 1700000000, ([(601, None, None, 0, True)],)),
+    # p7: FIRST active variant invalid (no SKU), second valid — the
+    # reference breaks on the validation failure (etl_service.py:626-633),
+    # so the whole product drops and 702 is never considered
+    (6, 7, "PrimeraInvalida", None, 1700000000,
+     ([(701, None, None, 0, True), (702, "SKU702", None, 0, True)],)),
 ]
 
 PRICE_SCHEMA = "variantid long, variantValue double"
 RAW_PRICES = [
     (101, 9990.0), (102, 5990.0), (302, 7990.0), (401, 3990.0),
-    (502, 1000.0), (601, 2000.0),
+    (502, 1000.0), (601, 2000.0), (701, 1500.0), (702, 1600.0),
     # 501 missing on purpose (price-abort case)
 ]
 
@@ -116,9 +121,10 @@ def test_sync_clients(pipeline):
 def test_sync_products_branches(pipeline):
     pipeline.sync_products()
     rows = {r["id_producto"]: r for r in pipeline.warehouse.read("producto").collect()}
-    # p1 → 101 (first valid), p3 → 302 (first ACTIVE valid), p4 → 401
+    # p1 → 101 (first active), p3 → 302 (first ACTIVE), p4 → 401
     # (101 deduped), p5 → nothing (price abort), p6 → nothing (no SKU),
-    # p2 → nothing (no variants)
+    # p2 → nothing (no variants), p7 → nothing (first active variant
+    # invalid drops the product; 702 never reached — reference break)
     assert set(rows) == {101, 302, 401}
     assert rows[101]["costo_neto"] == 4000.0          # real history → averageCost
     assert rows[302]["costo_neto"] == round(7990.0 * 0.65, 6)  # zero history
