@@ -109,6 +109,14 @@ def asof_join(
     trap at 100 TB. Right rows sort before left rows at equal timestamps,
     so a right row at the same instant is visible (>= semantics, matching
     DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` which oracles this op).
+
+    The carried payload is ONE STRUCT of all value columns, not per-column
+    ``last(..., ignorenulls=True)``: the struct is non-null for every right
+    row even when its fields are NULL, so the most recent match wins and
+    its NULLs are preserved (per-column last would leak an older row's
+    value through a newer row's NULL). Right rows tying on (key, ts) are
+    additionally ordered by the value struct, making the winner (the
+    greatest payload) deterministic.
     """
     l_tag = left.withColumn("_is_left", F.lit(1))
     for c in value_cols:
@@ -120,21 +128,20 @@ def asof_join(
     for c in left.columns:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    unioned = l_tag.unionByName(r_tag)
+    unioned = l_tag.unionByName(r_tag).withColumn(
+        "_rvals",
+        F.when(F.col("_is_left") == 0, F.struct(*[F.col(c) for c in value_cols])),
+    )
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .orderBy(F.col(ts).asc(), F.col("_is_left").asc(), F.col("_rvals").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    last_match = F.last("_rvals", ignorenulls=True).over(w)
     out = unioned.select(
         *left.columns,
         "_is_left",
-        *[
-            F.last(F.when(F.col("_is_left") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        *[last_match.getField(c).alias(f"asof_{c}") for c in value_cols],
     )
     return out.filter(F.col("_is_left") == 1).drop("_is_left")
 

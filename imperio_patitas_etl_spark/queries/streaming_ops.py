@@ -117,8 +117,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
     )
+    # every 7th click carries a NULL value: the fixture data has no NULLs,
+    # so inject some deterministically (mirrored in the oracle) to keep the
+    # check sensitive to as-of NULL semantics — the most recent match must
+    # win WITH its NULL, not leak an older row's value through it
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.round("value", 2).alias("click_value")
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round("value", 2))
+        .alias("click_value"),
     )
     out = asof_join(purchases, clicks, key="user_id", ts="ts", value_cols=["click_value"])
     return out.select("event_id", "user_id", "purchase_value", "asof_click_value")
@@ -127,9 +135,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ASOF = """
     SELECT p.event_id, p.user_id,
            ROUND(p.value, 2) AS purchase_value,
-           ROUND(c.value, 2) AS asof_click_value
+           c.click_value AS asof_click_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        SELECT user_id, ts,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE ROUND(value, 2) END AS click_value
+        FROM events WHERE event_type = 'click') c
       ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 

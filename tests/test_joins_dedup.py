@@ -79,11 +79,17 @@ def test_asof_join_semantics(spark):
     from imperio_patitas_etl_spark.operators.joins import asof_join
 
     left = spark.createDataFrame(
-        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3"), (3, 10, "p4")],
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3"), (3, 10, "p4"),
+         (4, 10, "p5"), (5, 10, "p6")],
         "k int, ts long, id string",
     )
     right = spark.createDataFrame(
-        [(1, 90, 9.0), (1, 150, 15.0), (1, 200, 20.0), (2, 60, 6.0)],
+        [(1, 90, 9.0), (1, 150, 15.0), (1, 200, 20.0), (2, 60, 6.0),
+         # key 4: the MOST RECENT match carries NULL — it must win with its
+         # NULL, not let ts=5's 7.0 leak through (per-column ignorenulls bug)
+         (4, 5, 7.0), (4, 8, None),
+         # key 5: two right rows tie on ts → deterministic winner (greatest)
+         (5, 10, 1.0), (5, 10, 2.0)],
         "k int, ts long, v double",
     )
     out = {
@@ -95,6 +101,8 @@ def test_asof_join_semantics(spark):
         "p2": 20.0,   # tie at ts=200 counts (>= semantics)
         "p3": None,   # right row is later (60 > 50)
         "p4": None,   # no right rows for key 3
+        "p5": None,   # most recent match (ts=8) is NULL — preserved
+        "p6": 2.0,    # equal-ts right rows: greatest payload wins
     }
 
 
