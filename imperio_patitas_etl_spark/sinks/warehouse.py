@@ -307,7 +307,14 @@ class ParquetWarehouse:
         key to be stable per merge key (PARTITION_SPEC contract)."""
         src = self._with_part(table, src)
         days = [r[0] for r in src.select(part_name).distinct().collect()]
-        target = self._raw_read(table).filter(F.col(part_name).isin(days))
+        # NULL partition values (NULL timestamp → __HIVE_DEFAULT_PARTITION__)
+        # never match isin(); without the explicit isNull branch the
+        # existing null-partition rows would be dropped when dynamic
+        # overwrite replaces that directory with source-only rows
+        cond = F.col(part_name).isin([d for d in days if d is not None])
+        if any(d is None for d in days):
+            cond = cond | F.col(part_name).isNull()
+        target = self._raw_read(table).filter(cond)
         update_cols = UPDATE_COLS[table]
         merged = upsert_latest_wins(target, src, key, update_cols)
         # materialize: merged reads the same files dynamic overwrite replaces

@@ -106,3 +106,27 @@ def test_detalle_partitioned_roundtrip(wh, spark):
     assert sorted(
         d for d in os.listdir(wh.path("detalle_documento")) if d.startswith("fecha_dia=")
     ) == ["fecha_dia=2024-01-01", "fecha_dia=2024-01-02"]
+
+
+def test_null_partition_rows_survive_upsert(wh, spark):
+    """A NULL timestamp lands in __HIVE_DEFAULT_PARTITION__; an upsert whose
+    source also carries NULL-partition rows must MERGE with the existing
+    ones, not replace the directory with source-only rows (the isin(days)
+    read never matched NULL, so the old rows weren't in the merge input)."""
+    wh.overwrite(
+        "documento_venta",
+        _docs(spark, [(1, 10, 7, None, 119.0), (2, 11, 8, D1, 119.0)]),
+    )
+    # source: one NEW null-partition row + one dated row
+    wh.upsert(
+        "documento_venta",
+        _docs(spark, [(3, 12, 9, None, 119.0), (4, 13, 10, D2, 119.0)]),
+    )
+    rows = {r["id_documento"]: r for r in wh.read("documento_venta").collect()}
+    assert set(rows) == {1, 2, 3, 4}  # doc 1 (null partition) survived
+    assert rows[1]["fecha_creacion"] is None
+    # and updates inside the null partition still apply
+    wh.upsert("documento_venta", _docs(spark, [(1, 99, 7, None, 238.0)]))
+    rows = {r["id_documento"]: r for r in wh.read("documento_venta").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1]["id_cliente"] == 99 and rows[1]["monto_total"] == 238.0
