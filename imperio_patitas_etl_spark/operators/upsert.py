@@ -81,23 +81,37 @@ def delete_insert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     return survivors.unionByName(source.select(target.columns))
 
 
-def merge_into_delta(spark, target_path: str, source: DataFrame, key: str) -> bool:
+def merge_into_delta(
+    spark,
+    target_path: str,
+    source: DataFrame,
+    key: str,
+    update_cols: list[str] | None = None,
+) -> bool:
     """K2 via Delta Lake ``MERGE INTO`` when the runtime has delta installed.
 
-    Returns True if the Delta path ran, False if delta-spark is absent (the
-    caller should fall back to ``upsert_latest_wins`` + overwrite). Kept
-    behind an import-try because the test container ships plain parquet only.
+    Returns True if the Delta path ran, False when it must decline — either
+    delta-spark is absent (this test container ships plain parquet only) or
+    ``target_path`` is not a Delta table (a parquet warehouse dir must not
+    be handed to ``DeltaTable.forPath``, which would throw instead of
+    falling back). On decline the caller runs ``upsert_latest_wins`` +
+    overwrite.
+
+    ``update_cols`` restricts the matched-UPDATE to a column subset, same
+    contract as ``upsert_latest_wins`` (the documento MERGE updates only
+    id_cliente/monto_* — etl_service.py:452-457); None updates all columns.
     """
     try:
         from delta.tables import DeltaTable  # type: ignore
     except Exception:
         return False
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        return False
     tbl = DeltaTable.forPath(spark, target_path)
-    (
-        tbl.alias("t")
-        .merge(source.alias("s"), f"t.{key} = s.{key}")
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
-        .execute()
-    )
+    m = tbl.alias("t").merge(source.alias("s"), f"t.{key} = s.{key}")
+    if update_cols is None:
+        m = m.whenMatchedUpdateAll()
+    else:
+        m = m.whenMatchedUpdate(set={c: f"s.{c}" for c in update_cols})
+    m.whenNotMatchedInsertAll().execute()
     return True

@@ -290,7 +290,7 @@ class ParquetWarehouse:
         src = self._conform(table, source)
         from imperio_patitas_etl_spark.operators.upsert import merge_into_delta
 
-        if merge_into_delta(self.spark, self.path(table), src, key):
+        if merge_into_delta(self.spark, self.path(table), src, key, UPDATE_COLS[table]):
             return
         part = self._part_col(table)
         if not part:
