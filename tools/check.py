@@ -137,6 +137,10 @@ def main() -> int:
 
     spark = get_spark("check")
     con = duckdb.connect()
+    # pin the session TZ like the Spark side (session.py): DuckDB's
+    # TIMESTAMPTZ→TIMESTAMP casts otherwise use the HOST timezone, shifting
+    # CAST(to_timestamp(...) AS TIMESTAMP) oracles on any non-UTC box
+    con.execute("SET TimeZone='UTC'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
@@ -165,10 +169,13 @@ def main() -> int:
         try:
             tbl = con.execute(oracles[key]).arrow()
             d_cols = tbl.column_names
+            # duplicate result column names would silently collapse in a
+            # name-keyed dict — build rows positionally instead
+            assert len(set(d_cols)) == len(d_cols), f"duplicate oracle columns: {d_cols}"
             d_types = {
                 name: _canon_arrow_type(tbl.schema.field(name).type) for name in d_cols
             }
-            d_rows = [tuple(r[c] for c in d_cols) for r in tbl.to_pylist()]
+            d_rows = list(zip(*[col.to_pylist() for col in tbl.columns])) if tbl.num_columns else []
         except Exception as e:
             failures.append(key)
             print(f"FAIL {key}: duckdb error: {e}")
