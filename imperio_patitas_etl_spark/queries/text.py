@@ -115,13 +115,43 @@ ORACLE_QUALITY_SCORE = """
 """
 
 
+#: Per-language stopword-marker sets (most-frequent function words). The
+#: priority order of this dict is the deterministic tie-break: on equal
+#: vote counts the earlier language wins.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram-heuristic language ID (stopword-marker voting), reported as a
-    confusion count against the labeled ``lang`` column."""
+    """N-gram-heuristic language ID: per-language stopword-marker VOTING —
+    each language's marker-token count votes; argmax wins, ties break by
+    the fixed LANG_MARKERS priority order, zero votes → 'unk'. Reported as
+    a confusion count against the labeled ``lang`` column. (The synthetic
+    corpus draws the same pseudo-English vocabulary for every label, so
+    the matrix honestly shows en-or-unk predictions — the lens is real,
+    the corpus is not.)"""
     d = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    n_en = F.size(F.filter(words, lambda w: w.isin("the", "a")))
-    pred = F.when(n_en > 0, F.lit("en")).otherwise(F.lit("unk"))
+
+    def _vote(markers: tuple[str, ...]):
+        # closure factory, NOT a default arg: F.filter inspects the
+        # lambda's arity, and a second parameter would make it pass the
+        # array index as `markers`
+        return lambda w: w.isin(*markers)
+
+    votes = {
+        lang: F.size(F.filter(words, _vote(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*votes.values())
+    pred = F.when(best == 0, F.lit("unk"))
+    for lang in LANG_MARKERS:
+        pred = pred.when(votes[lang] == best, F.lit(lang))
     return (
         d.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -129,11 +159,21 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_LANG_ID = """
+def _sql_lang_votes() -> str:
+    def vote(markers: tuple[str, ...]) -> str:
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        return f"len(list_filter(regexp_split_to_array(text, ' '), w -> w IN ({inlist})))"
+
+    votes = {lang: vote(m) for lang, m in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(votes.values()) + ")"
+    arms = "\n                ".join(
+        f"WHEN {votes[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
     SELECT lang,
-           CASE WHEN len(list_filter(regexp_split_to_array(text, ' '),
-                                     w -> w IN ('the', 'a'))) > 0
-                THEN 'en' ELSE 'unk' END AS pred_lang,
+           CASE WHEN {best} = 0 THEN 'unk'
+                {arms}
+           END AS pred_lang,
            COUNT(*) AS n
     FROM documents GROUP BY 1, 2
 """
@@ -467,7 +507,7 @@ QUERIES = {
 ORACLE = {
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_score": ORACLE_QUALITY_SCORE,
-    "lang_id": ORACLE_LANG_ID,
+    "lang_id": _sql_lang_votes(),
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
