@@ -461,35 +461,107 @@ def _sql_minhash_bands() -> str:
     """
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (token-hash bit voting),
-    grouped to near-dup buckets by exact signature. Narrow per-row
-    transform; the groupBy is the only shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    h = _MD5INT.format(x="w")
-    simhash = F.expr(
-        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, b) -> acc + "
+def _simhash_expr(nbits: int) -> str:
+    """SimHash: per-bit majority vote over md5-hashed tokens (Spark expr)."""
+    return (
+        f"aggregate(sequence(0, {nbits - 1}), CAST(0 AS BIGINT), (acc, b) -> acc + "
         " CASE WHEN aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-        f"   (a2, w) -> a2 + (CASE WHEN ({h} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"   (a2, w) -> a2 + (CASE WHEN ({_MD5INT.format(x='w')} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
         "  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"
     )
+
+
+SIMHASH_MAX_HAMMING = 3  # banding guarantee: 4 bands find every d <= 3
+#: near-dup uses a 32-bit signature: at 16 bits this shared-vocabulary
+#: corpus collapses (313k pairs within d<=1 at sf0.1); the exact-bucket
+#: variant keeps 16 bits as a deliberately coarse bucketing.
+SIMHASH_NEAR_BITS = 32
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str, nbits: int = 16) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_simhash_expr(nbits)).alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (token-hash bit voting),
+    grouped to dup buckets by exact signature — the cheap exact-signature
+    variant; ``simhash_near_dup`` is the Hamming-tolerant one. Narrow
+    per-row transform; the groupBy is the only shuffle."""
     return (
-        d.select("doc_id", simhash.alias("simhash"))
+        _simhash_sigs(spark, sf_dir)
         .groupBy("simhash")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
     )
 
 
+def _sql_simhash(nbits: int) -> str:
+    return f"""list_sum(list_transform(range(0, {nbits}), b ->
+                 CASE WHEN list_sum(list_transform(regexp_split_to_array(text, ' '),
+                        w -> CASE WHEN ({_sql_md5int('w')} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT"""
+
+
 ORACLE_DEDUP_SIMHASH = f"""
     SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
     FROM (
-        SELECT doc_id,
-               list_sum(list_transform(range(0, 16), b ->
-                 CASE WHEN list_sum(list_transform(regexp_split_to_array(text, ' '),
-                        w -> CASE WHEN ({_sql_md5int('w')} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                      THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+        SELECT doc_id, {_sql_simhash(16)} AS simhash
         FROM documents
     ) GROUP BY simhash
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash NEAR-dup pairs within Hamming distance ≤ 3, with banded
+    candidate generation: the 32-bit signature splits into 4 bands of 8
+    bits, and by pigeonhole two signatures differing in ≤ 3 bits must agree
+    on ≥ 1 whole band — so an equi-join on (band_idx, band_bits) finds
+    every qualifying pair (LOSSLESS; the all-pairs oracle is ground truth)
+    and exact popcount(xor) verification rejects false candidates. This is
+    the Hamming-neighbor probing the exact-signature ``dedup_simhash``
+    bucket lacks; candidate work is shuffle-bounded by band-bucket size."""
+    sigs = _simhash_sigs(spark, sf_dir, SIMHASH_NEAR_BITS)
+    band_width = SIMHASH_NEAR_BITS // 4
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("simhash", band_width * i) % (1 << band_width))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs
+
+
+ORACLE_SIMHASH_NEAR_DUP = f"""
+    WITH sigs AS (
+        SELECT doc_id, {_sql_simhash(SIMHASH_NEAR_BITS)} AS simhash FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -502,6 +574,7 @@ QUERIES = {
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "simhash_near_dup": q_simhash_near_dup,
 }
 
 ORACLE = {
@@ -513,4 +586,5 @@ ORACLE = {
     "ngram_jaccard_dedup": ORACLE_NGRAM_JACCARD,
     "dedup_minhash_lsh": _sql_minhash_bands(),
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
 }

@@ -75,6 +75,16 @@ def test_ngram_jaccard_is_blocked_equijoin(spark, sf_dir):
     assert any("lang" in k and "tok" in k for k in _equijoin_key_sets(plan))
 
 
+def test_simhash_near_dup_is_banded_equijoin(spark, sf_dir):
+    """Hamming-neighbor candidates must come from the 4-band equi-join —
+    never an all-pairs nested loop."""
+    df = all_queries()["simhash_near_dup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any("band_idx" in k and "band_bits" in k for k in _equijoin_key_sets(plan))
+
+
 def test_cosine_dedup_is_bucket_equijoin(spark, sf_dir):
     """Pair generation must be an equi-join on the LSH bucket id —
     never an all-pairs nested loop."""
