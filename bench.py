@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {key: sec}, "sf": ...}.
 
-Each query is executed to completion (count() over the result — forces the
-full plan without driver-side collect of wide rows). A warmup run of the
-smallest query amortizes JVM/codegen startup out of individual timings.
+Each query is executed to completion through a `noop`-format write: every
+result column is fully computed and materialized executor-side, so Catalyst
+cannot prune the measured operator the way a bare count() can (a count
+collapses deterministic projections and whole Window operators into a
+zero-column scan). A warmup run of the smallest query amortizes
+JVM/codegen startup out of individual timings.
 """
 
 from __future__ import annotations
@@ -36,12 +39,16 @@ HEADLINE = [
     # large-scale pipeline extensions (documents/embeddings tables)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "ngram_jaccard_dedup",
+    "simhash_near_dup",
     "kmv_distinct_sketch",
     "token_count",
     "quality_score",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "ann_recall",
+    "embedding_cosine_dedup",
     "stream_session_window",
     "json_extract",
     "multimodal_decode_stub",
@@ -77,7 +84,7 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         df = qs[key](spark, sf_dir)
-        df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[key] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

@@ -461,16 +461,6 @@ def _sql_minhash_bands() -> str:
     """
 
 
-def _simhash_expr(nbits: int) -> str:
-    """SimHash: per-bit majority vote over md5-hashed tokens (Spark expr)."""
-    return (
-        f"aggregate(sequence(0, {nbits - 1}), CAST(0 AS BIGINT), (acc, b) -> acc + "
-        " CASE WHEN aggregate(split(text, ' '), CAST(0 AS BIGINT), "
-        f"   (a2, w) -> a2 + (CASE WHEN ({_MD5INT.format(x='w')} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
-        "  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"
-    )
-
-
 SIMHASH_MAX_HAMMING = 3  # banding guarantee: 4 bands find every d <= 3
 #: near-dup uses a 32-bit signature: at 16 bits this shared-vocabulary
 #: corpus collapses (313k pairs within d<=1 at sf0.1); the exact-bucket
@@ -479,8 +469,35 @@ SIMHASH_NEAR_BITS = 32
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str, nbits: int = 16) -> DataFrame:
+    """Per-doc SimHash via the RELATIONAL formulation: explode the per-word
+    hashes (md5 computed exactly once per word) and take ``nbits``
+    codegen'd bit-count SUMs per doc; bit b of the signature is set iff
+    more than half the words carry it (identical to the ±1 vote:
+    Σ±1 > 0 ⟺ 2·cnt_set > n).
+
+    Why not a higher-order ``aggregate`` over the hash array: lambda
+    functions are interpreted per element, so nbits × words evaluations
+    per doc ran 25 s at sf0.1; the explode→groupBy form stays inside
+    whole-stage codegen with a map-side-combined single shuffle on doc_id
+    and runs ~20× faster. At 100 TB the explode multiplies rows by
+    words/doc, but partial aggregation returns one row per doc before the
+    shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.expr(_simhash_expr(nbits)).alias("simhash"))
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(split(text, ' '), w -> {_MD5INT.format(x='w')})")
+        ).alias("h"),
+    )
+    aggs = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(nbits)
+    ] + [F.count("*").alias("n")]
+    cnt = words.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(nbits):
+        sim = sim + F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1 << b)).otherwise(0)
+    return cnt.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
