@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
     "tpch_q18",
     "multi_join_star",
     "groupby_avg",

@@ -200,9 +200,110 @@ ORACLE_GROUPING_SETS = """
 """
 
 
+Q5_REGION = "ASIA"
+Q5_YEAR_LO, Q5_YEAR_HI = "1996-01-01", "1997-01-01"
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume: the 6-table join (lineitem × orders
+    × customer × supplier × nation × region) with the customer-and-supplier
+    -same-nation constraint. Declared as plain joins: region/nation/
+    supplier/customer broadcast, the date filter prunes orders before it
+    meets lineitem, and the fact table is touched once. Revenue uses the
+    exact-integer discipline (4 true decimals) so partial aggregation
+    order can't change the result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_YEAR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_YEAR_HI).cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum2_exact(disc_price, true_decimals=4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+ORACLE_Q5 = f"""
+    SELECT n.n_name,
+           {sql_sum2_exact("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{Q5_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{Q5_YEAR_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q5_YEAR_HI} 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+"""
+
+
+Q10_LO, Q10_HI = "1996-01-01", "1996-04-01"
+Q10_TOPK = 20
+
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting (adapted to the testdata customer
+    schema, which carries no address/phone/comment): revenue lost to
+    returned lineitems per customer in a quarter, top-20. One pass over
+    the filtered fact, customer/nation broadcast, deterministic tie-break
+    on c_custkey."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_HI).cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum2_exact(disc_price, true_decimals=4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(Q10_TOPK)
+    )
+
+
+ORACLE_Q10 = f"""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           {sql_sum2_exact("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{Q10_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q10_HI} 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT {Q10_TOPK}
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
     "grouping_sets": q_grouping_sets,
 }
@@ -210,6 +311,8 @@ QUERIES = {
 ORACLE = {
     "tpch_q1": ORACLE_Q1,
     "tpch_q3": ORACLE_Q3,
+    "tpch_q5": ORACLE_Q5,
+    "tpch_q10": ORACLE_Q10,
     "tpch_q18": ORACLE_Q18,
     "grouping_sets": ORACLE_GROUPING_SETS,
 }
