@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from imperio_patitas_etl_spark.sources.parquet import load_table
 from imperio_patitas_etl_spark.streaming.events import (
+    dedup_counts,
     session_counts,
     sliding_value_sum,
 )
@@ -74,6 +75,23 @@ ORACLE_SESSION = """
     )
     SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS first_ts, MAX(ts) AS last_ts
     FROM sessions GROUP BY user_id, sid
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream dedup, batch twin: distinct (user, type, minute)
+    keys counted per event type (streaming/events.py:dedup_counts; the
+    streaming path uses dropDuplicatesWithinWatermark and is asserted
+    stream ≡ batch in tests/test_streaming.py)."""
+    return dedup_counts(load_table(spark, sf_dir, "events"), streaming=False)
+
+
+ORACLE_STREAM_DEDUP = """
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (
+        SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS minute
+        FROM events
+    ) GROUP BY event_type
 """
 
 
@@ -190,6 +208,7 @@ ORACLE_RANGE_JOIN = """
 QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
+    "stream_dedup": q_stream_dedup,
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -198,6 +217,7 @@ QUERIES = {
 ORACLE = {
     "stream_sliding_window": ORACLE_SLIDING,
     "stream_session_window": ORACLE_SESSION,
+    "stream_dedup": ORACLE_STREAM_DEDUP,
     "json_extract": ORACLE_JSON_EXTRACT,
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,

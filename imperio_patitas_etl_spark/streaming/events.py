@@ -104,6 +104,35 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def dedup_counts(
+    events: DataFrame, watermark: str = "2 hours", streaming: bool = True
+) -> DataFrame:
+    """Watermarked stream dedup: at-least-once sources replay rows, so
+    near-line pipelines dedup on a business key before aggregating. Key =
+    (user_id, event_type, minute bucket); output = distinct-key counts per
+    event_type, which makes the result independent of WHICH duplicate
+    survives — the property that lets stream (first-arrival wins) and
+    batch (arbitrary-survivor dropDuplicates) agree exactly.
+
+    Streaming mode chains two stateful operators (dropDuplicates
+    WithinWatermark → aggregation), supported since Spark 3.5 with a
+    shared watermark; the watermark bounds dedup state, without which
+    100 TB of replayed events means unbounded state."""
+    keyed = events.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+        "ts",
+    )
+    if streaming:
+        deduped = keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["user_id", "event_type", "minute"]
+        )
+    else:
+        deduped = keyed.dropDuplicates(["user_id", "event_type", "minute"])
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
 def foreach_batch_upsert(
     stream_df: DataFrame,
     warehouse,

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from imperio_patitas_etl_spark.sources.parquet import load_table
 from imperio_patitas_etl_spark.streaming.events import (
+    dedup_counts,
     foreach_batch_upsert,
     read_events_stream,
     run_stream_to_memory,
@@ -35,6 +36,17 @@ def test_stream_session_equals_batch(spark, sf_dir):
     got = run_stream_to_memory(stream, "t_session")
     want = session_counts(load_table(spark, sf_dir, "events"))
     assert _as_set(got) == _as_set(want)
+
+
+def test_stream_dedup_equals_batch(spark, sf_dir):
+    """dropDuplicatesWithinWatermark chained into an aggregation (two
+    stateful operators) must produce the batch-dedup result — the output
+    counts distinct keys, so it can't depend on which duplicate survived."""
+    stream = dedup_counts(read_events_stream(spark, sf_dir), streaming=True)
+    got = run_stream_to_memory(stream, "t_dedup")
+    want = dedup_counts(load_table(spark, sf_dir, "events"), streaming=False)
+    assert _as_set(got) == _as_set(want)
+    assert got.count() > 0
 
 
 def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
