@@ -146,6 +146,14 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round("value", 2))
         .alias("click_value"),
     )
+    # one right row per (user_id, ts), keeping the greatest value: our
+    # asof_join breaks equal-timestamp ties deterministically (greatest
+    # payload struct), but DuckDB's ASOF JOIN — the oracle — picks an
+    # ARBITRARY duplicate-timestamp row, so the comparison is only sound on
+    # a tie-free right side. MAX matches the operator's greatest-struct
+    # order: NULL structs sort first, so any non-null value beats NULL, and
+    # an all-NULL group stays NULL.
+    clicks = clicks.groupBy("user_id", "ts").agg(F.max("click_value").alias("click_value"))
     out = asof_join(purchases, clicks, key="user_id", ts="ts", value_cols=["click_value"])
     return out.select("event_id", "user_id", "purchase_value", "asof_click_value")
 
@@ -157,9 +165,10 @@ ORACLE_ASOF = """
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (
         SELECT user_id, ts,
-               CASE WHEN event_id % 7 = 0 THEN NULL
-                    ELSE ROUND(value, 2) END AS click_value
-        FROM events WHERE event_type = 'click') c
+               MAX(CASE WHEN event_id % 7 = 0 THEN NULL
+                        ELSE ROUND(value, 2) END) AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 

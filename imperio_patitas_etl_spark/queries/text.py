@@ -41,7 +41,11 @@ PERMS = [
     (999_959, 33_333),
 ]
 N_BANDS = 4  # bands of 2 signatures each
-JACCARD_T3 = "3 * n_inter >= n_a + n_b"  # Jaccard ≥ 0.5 on 3-gram shingles
+# Jaccard ≥ 0.5 on 3-gram shingles. The n_a + n_b > 0 guard excludes
+# empty-vs-empty pairs (docs under 3 words): without it the all-pairs
+# oracle admits them (3·0 ≥ 0) and divides by a zero union — DuckDB errors
+# where Spark's candidate generation simply never pairs shingle-less docs.
+JACCARD_T3 = "3 * n_inter >= n_a + n_b AND n_a + n_b > 0"
 
 #: Spark-side md5-prefix→int (60-bit, fits signed 64); DuckDB twin below.
 _MD5INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
