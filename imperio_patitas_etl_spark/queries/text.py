@@ -466,10 +466,18 @@ def _sql_minhash_bands() -> str:
 
 
 SIMHASH_MAX_HAMMING = 3  # banding guarantee: 4 bands find every d <= 3
-#: near-dup uses a 32-bit signature: at 16 bits this shared-vocabulary
-#: corpus collapses (313k pairs within d<=1 at sf0.1); the exact-bucket
-#: variant keeps 16 bits as a deliberately coarse bucketing.
-SIMHASH_NEAR_BITS = 32
+#: near-dup uses the full 60-bit md5-prefix hash width, split into 4 bands
+#: of 15 bits. Band keyspace is the scale lever (VERDICT r3): each band
+#: must take enough distinct values that band buckets stay small — 8-bit
+#: bands cap at 256 values/band so bucket sizes (and the band self-join)
+#: grow O(n²/256); 15-bit bands give 32,768 values/band, and the
+#: pigeonhole guarantee (≤3 differing bits can touch at most 3 of 4
+#: bands, so one band is always untouched) depends only on the BAND
+#: COUNT, not the width. 60 is also the natural maximum here: signatures
+#: inherit the 60-bit md5-prefix word hashes, and bit 59 ≪ 63 keeps every
+#: `1 << b` inside a signed int64 in both engines. (The exact-bucket
+#: variant keeps 16 bits as a deliberately coarse bucketing.)
+SIMHASH_NEAR_BITS = 60
 
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str, nbits: int = 16) -> DataFrame:
@@ -534,13 +542,15 @@ ORACLE_DEDUP_SIMHASH = f"""
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash NEAR-dup pairs within Hamming distance ≤ 3, with banded
-    candidate generation: the 32-bit signature splits into 4 bands of 8
+    candidate generation: the 60-bit signature splits into 4 bands of 15
     bits, and by pigeonhole two signatures differing in ≤ 3 bits must agree
     on ≥ 1 whole band — so an equi-join on (band_idx, band_bits) finds
     every qualifying pair (LOSSLESS; the all-pairs oracle is ground truth)
     and exact popcount(xor) verification rejects false candidates. This is
     the Hamming-neighbor probing the exact-signature ``dedup_simhash``
-    bucket lacks; candidate work is shuffle-bounded by band-bucket size."""
+    bucket lacks; candidate work is shuffle-bounded by band-bucket size,
+    and the 15-bit band keyspace (32k values) keeps buckets small as the
+    corpus grows (see SIMHASH_NEAR_BITS note)."""
     sigs = _simhash_sigs(spark, sf_dir, SIMHASH_NEAR_BITS)
     band_width = SIMHASH_NEAR_BITS // 4
     bands = sigs.select(
