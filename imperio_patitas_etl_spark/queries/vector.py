@@ -126,11 +126,15 @@ def _bucket_expr(plane_rows: list) -> F.Column:
     return bucket
 
 
-def collect_planes(v: DataFrame) -> list:
-    """Driver-side fetch of the fixed hyperplane normals (tiny: 4 rows)."""
+def collect_planes(v: DataFrame, n_planes: int = N_PLANES) -> list:
+    """Driver-side fetch of the hyperplane normals (the ``n_planes``
+    smallest positive vec_ids — tiny, corpus-size-independent)."""
     return [
         r["ivec"]
-        for r in v.filter(F.expr(PLANE_PRED)).orderBy("vec_id").select("ivec").collect()
+        for r in v.filter(F.col("vec_id").between(1, n_planes))
+        .orderBy("vec_id")
+        .select("ivec")
+        .collect()
     ]
 
 
@@ -348,6 +352,26 @@ ORACLE_ANN_IVF = f"""
 #: threshold-independent.
 COS_DEDUP_T = 0.45
 
+#: Target LSH bucket occupancy for the dedup path. A FIXED plane count is
+#: the r3 scale-killer (4 planes = 16 buckets forever → O(n²/16) bucket
+#: self-join); instead the plane count adapts to the corpus so expected
+#: bucket size stays ~this constant and the self-join cost stays O(n ·
+#: DEDUP_TARGET_BUCKET) — linear. 32 keeps sf0.01 at 4 planes (16
+#: buckets for 500 rows) and reaches 8 planes at sf0.1, ~25 at 10⁹ rows.
+DEDUP_TARGET_BUCKET = 32
+DEDUP_MIN_PLANES = 4
+
+
+def dedup_n_planes(n_rows: int) -> int:
+    """Smallest p with 2^p ≥ n_rows / DEDUP_TARGET_BUCKET, floored at
+    DEDUP_MIN_PLANES. Integer arithmetic only (ceil-div + bit_length), so
+    the SQL twin — ``GREATEST(min, length(bin(ceil_div(count) - 1)))`` —
+    agrees exactly; no float log2 whose last ulp could flip a ceil.
+    Stays ≤ 31 for any corpus under 32·2³¹ rows, so ``1 << b`` bucket
+    bits fit an int32 in both engines."""
+    k = (n_rows + DEDUP_TARGET_BUCKET - 1) // DEDUP_TARGET_BUCKET
+    return max(DEDUP_MIN_PLANES, (k - 1).bit_length())
+
 
 def cosine_pairs_lsh(vb: DataFrame, threshold: float) -> DataFrame:
     """Exact-cosine near-dup pairs over LSH-bucket-prefiltered candidates.
@@ -378,13 +402,20 @@ def cosine_pairs_lsh(vb: DataFrame, threshold: float) -> DataFrame:
 
 
 def q_embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: random-hyperplane LSH buckets (same 4 fixed
-    planes as ``ann_lsh_bucketed``) prefilter the pair space, then exact
-    cosine ≥ COS_DEDUP_T verifies candidates. At sf0.1 the bucket equi-join
-    cuts ~2M all-pairs to ~129k candidates (6.5%) and the cut grows with
-    corpus size — the scale path a label/all-pairs block lacks."""
+    """Embedding near-dup pairs: random-hyperplane LSH buckets prefilter
+    the pair space, then exact cosine ≥ COS_DEDUP_T verifies candidates.
+
+    The plane count is CORPUS-ADAPTIVE (``dedup_n_planes``): buckets
+    multiply with the data so the bucket self-join stays ~linear
+    (O(n · DEDUP_TARGET_BUCKET)) instead of O(n²/16) under the old fixed
+    4 planes. The count() driving it is a parquet-metadata read, and the
+    oracle recomputes the same plane count from COUNT(*) with the same
+    integer arithmetic, so both engines bucket identically. At sf0.01
+    (500 rows) this resolves to the same 4 planes as before — non-empty
+    result preserved; at sf0.1 it is 8 planes / 256 buckets."""
+    n_rows = load_table(spark, sf_dir, "embeddings").count()
     v = _with_ivec(spark, sf_dir)
-    vb = v.withColumn("bucket", _bucket_expr(collect_planes(v)))
+    vb = v.withColumn("bucket", _bucket_expr(collect_planes(v, dedup_n_planes(n_rows))))
     return cosine_pairs_lsh(vb, COS_DEDUP_T)
 
 
@@ -393,8 +424,16 @@ ORACLE_COS_DEDUP = f"""
         SELECT vec_id, {_SQL_IVEC} AS ivec,
                list_sum(list_transform({_SQL_IVEC}, x -> x * x))::BIGINT AS norm2
         FROM embeddings
+    ), np AS (
+        -- corpus-adaptive plane count, same integer arithmetic as
+        -- dedup_n_planes(): length(bin(x)) == x.bit_length() for x >= 1
+        SELECT GREATEST({DEDUP_MIN_PLANES},
+                        length(bin(((COUNT(*) + {DEDUP_TARGET_BUCKET - 1})
+                                    // {DEDUP_TARGET_BUCKET}) - 1))) AS n_planes
+        FROM embeddings
     ), planes AS (
-        SELECT vec_id AS p_id, ivec AS p_vec FROM v WHERE {PLANE_PRED}
+        SELECT vec_id AS p_id, ivec AS p_vec FROM v
+        WHERE vec_id >= 1 AND vec_id <= (SELECT n_planes FROM np)
     ), vb AS (
         SELECT v.vec_id, v.ivec, v.norm2,
                CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
