@@ -207,48 +207,46 @@ ORACLE_ANN_LSH = f"""
 
 
 N_PROBE = 4
-CENT_PRED = "vec_id % 37 = 1"  # sample-init centroids: fixed data vectors
+#: Fixed-K sample-init centroids: the K smallest positive vec_ids. K must
+#: be CORPUS-SIZE-INDEPENDENT (r3 scale fix): the old ``vec_id % 37 = 1``
+#: predicate collected n/37 centroids to the driver and shipped them in
+#: the UDF closure — linear driver-side growth. A real deployment sizes K
+#: ~√n offline and stores centroids as a small table; the plumbing here
+#: (fixed-size driver collect → closure broadcast → narrow assignment) is
+#: exactly that shape.
+IVF_K = 64
+CENT_PRED = f"vec_id >= 1 AND vec_id <= {IVF_K}"
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: coarse-quantize the corpus into cells (nearest of K
-    sample-init centroids by cosine), then each query probes only its
-    ``N_PROBE`` nearest cells. The learned-KMeans step is replaced by
-    deterministic sample-init (centroids = fixed data vectors) so the
-    oracle replicates training exactly; Lloyd iterations would change the
-    centroids, not the plumbing.
+ASSIGN_SCHEMA = (
+    "vec_id long, ivec array<bigint>, norm2 long, cell long, probes array<bigint>"
+)
 
-    Scale shape: centroids are collected driver-side (tiny, like the LSH
-    planes) and shipped in the UDF closure, so cell assignment is a NARROW
-    per-partition pass — no shuffle over the corpus; probing is an
-    equi-join on cell against the broadcast query probes. At 100 TB the
-    corpus would be written bucketed by cell, making probes
-    partition-pruned reads.
 
-    Assignment is the one place this engine drops to a Pandas UDF on
-    purpose: K·d dot products per row is a dense matmul, and one exact
-    int64 ``X @ C.T`` per Arrow batch beats both codegen-unrolled
-    per-centroid expressions (K·d literals blow up codegen) and
-    interpreted higher-order-function lambdas by ~10×. The cosines that
-    decide cell order are the same IEEE doubles the oracle computes
-    (integer dot, then one division by one sqrt), so results still match
-    bit-for-bit."""
+def _collect_centroids(v: DataFrame):
+    """Driver-side fetch of the fixed-K sample-init centroids as numpy
+    arrays (ids, K×d int64 matrix, float64 norms)."""
     import numpy as np
-    import pandas as pd
 
-    v = _with_ivec(spark, sf_dir)
     cents = [
         (r["vec_id"], r["ivec"], r["norm2"])
         for r in v.filter(F.expr(CENT_PRED)).orderBy("vec_id").collect()
     ]
-    cent_ids = np.array([c[0] for c in cents], dtype=np.int64)
-    cent_mat = np.array([list(c[1]) for c in cents], dtype=np.int64)  # K×d
-    cent_norms = np.array([float(c[2]) for c in cents])
-    n_probe = min(N_PROBE, len(cents))
-
-    assign_schema = (
-        "vec_id long, ivec array<bigint>, norm2 long, cell long, probes array<bigint>"
+    return (
+        np.array([c[0] for c in cents], dtype=np.int64),
+        np.array([list(c[1]) for c in cents], dtype=np.int64),  # K×d
+        np.array([float(c[2]) for c in cents]),
     )
+
+
+def _assign_fn(cent_ids, cent_mat, cent_norms, n_probe: int):
+    """Arrow-batched cell assignment: one exact int64 ``X @ C.T`` per
+    batch, then per-row (cosine DESC, cent_id ASC) ordering — the same
+    IEEE-double cosine the oracle computes, so cell choice matches
+    bit-for-bit. Centroid arrays are FIXED-SIZE closures (corpus-
+    independent), so this stays a narrow pass at any scale."""
+    import numpy as np
+    import pandas as pd
 
     def _assign(batches):
         for pdf in batches:
@@ -272,10 +270,40 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    assigned = v.mapInPandas(_assign, assign_schema)
+    return _assign
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: coarse-quantize the corpus into cells (nearest of K
+    sample-init centroids by cosine), then each query probes only its
+    ``N_PROBE`` nearest cells. The learned-KMeans step is replaced by
+    deterministic sample-init (centroids = fixed data vectors) so the
+    oracle replicates training exactly; Lloyd iterations would change the
+    centroids, not the plumbing.
+
+    Scale shape: centroids are collected driver-side (FIXED K=64 rows —
+    corpus-size-independent, see CENT_PRED) and shipped in the UDF
+    closure, so cell assignment is a NARROW per-partition pass — no
+    shuffle over the corpus; probing is an equi-join on cell against the
+    broadcast query probes. At 100 TB the corpus would be written bucketed
+    by cell, making probes partition-pruned reads.
+
+    Assignment is the one place this engine drops to a Pandas UDF on
+    purpose: K·d dot products per row is a dense matmul, and one exact
+    int64 ``X @ C.T`` per Arrow batch beats both codegen-unrolled
+    per-centroid expressions (K·d literals blow up codegen) and
+    interpreted higher-order-function lambdas by ~10×. The cosines that
+    decide cell order are the same IEEE doubles the oracle computes
+    (integer dot, then one division by one sqrt), so results still match
+    bit-for-bit."""
+    v = _with_ivec(spark, sf_dir)
+    cent_ids, cent_mat, cent_norms = _collect_centroids(v)
+    _assign = _assign_fn(cent_ids, cent_mat, cent_norms, min(N_PROBE, len(cent_ids)))
+
+    assigned = v.mapInPandas(_assign, ASSIGN_SCHEMA)
     # the probes branch re-evaluates the plan — assign only the query rows
     # there, not the whole corpus a second time
-    probes = v.filter(F.expr(QUERY_PRED)).mapInPandas(_assign, assign_schema).select(
+    probes = v.filter(F.expr(QUERY_PRED)).mapInPandas(_assign, ASSIGN_SCHEMA).select(
         F.col("vec_id").alias("q_id"),
         F.col("ivec").alias("q_vec"),
         F.col("norm2").alias("q_norm2"),
@@ -343,6 +371,119 @@ ORACLE_ANN_IVF = f"""
         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
         FROM scored
     ) WHERE rank <= {TOP_K}
+"""
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One relational Lloyd iteration over the IVF coarse quantizer — the
+    training step a real 100 TB pipeline runs, expressed so the oracle can
+    replicate it exactly:
+
+    1. assign every vector to its nearest sample-init centroid (narrow
+       Arrow-batched pass, same as ``ann_ivf``);
+    2. per-cell mean centroid: because cosine is scale-invariant the mean's
+       DIRECTION equals the per-cell element-wise SUM's direction, so the
+       trained centroid is the integer truncated mean ``sum div count``
+       (identical trunc-toward-zero in Spark/DuckDB/Python) — no float
+       accumulation anywhere;
+    3. re-assign the corpus to the trained centroids and report per-cell
+       membership stats (count, Σ vec_id, centroid norm²) — integers, so
+       the check is exact.
+
+    Scale shape: both assignment passes are narrow mapInPandas over the
+    corpus; the mean reduction is one explode→groupBy whose OUTPUT is K·d
+    rows (fixed), which is all the driver ever collects. Cells left empty
+    after step 1 simply vanish (standard Lloyd degeneracy; K′ ≤ K).
+    More iterations = repeat steps 1-2; one is enough to exercise the
+    shape."""
+    import numpy as np
+
+    v = _with_ivec(spark, sf_dir)
+    cent_ids, cent_mat, cent_norms = _collect_centroids(v)
+    assign0 = _assign_fn(cent_ids, cent_mat, cent_norms, 1)
+
+    # per-cell element-wise sums: corpus-wide work, fixed-size (K·d) result
+    sums = (
+        v.mapInPandas(assign0, ASSIGN_SCHEMA)
+        .select("cell", F.posexplode("ivec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in sums:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["cnt"])
+    cells = sorted(by_cell)
+
+    def _trunc_div(s: int, c: int) -> int:  # toward zero, like Spark div / DuckDB //
+        q = abs(s) // c
+        return q if s >= 0 else -q
+
+    d = cent_mat.shape[1]
+    t_ids = np.array(cells, dtype=np.int64)
+    t_mat = np.array(
+        [[_trunc_div(*by_cell[c][p]) for p in range(d)] for c in cells], dtype=np.int64
+    )
+    t_norm2 = [int((row.astype(object) ** 2).sum()) for row in t_mat]
+    t_norms = np.array([float(x) for x in t_norm2])
+
+    assign1 = _assign_fn(t_ids, t_mat, t_norms, 1)
+    cent_info = spark.createDataFrame(
+        list(zip(cells, t_norm2)), "cell long, t_norm2 long"
+    )
+    return (
+        v.mapInPandas(assign1, ASSIGN_SCHEMA)
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .join(F.broadcast(cent_info), "cell")
+    )
+
+
+_SQL_COS = (
+    "list_sum(list_transform(range(1, 65), i -> {a}.ivec[i] * {b}[i]))::BIGINT"
+    " / sqrt({a}.norm2::DOUBLE * {n}::DOUBLE)"
+)
+
+ORACLE_ANN_IVF_TRAINED = f"""
+    WITH v AS (
+        SELECT vec_id, {_SQL_IVEC} AS ivec,
+               list_sum(list_transform({_SQL_IVEC}, x -> x * x))::BIGINT AS norm2
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cent_id, ivec AS c_vec, norm2 AS c_norm2 FROM v WHERE {CENT_PRED}
+    ), sim0 AS (
+        SELECT v.vec_id, v.ivec, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                   {_SQL_COS.format(a='v', b='c.c_vec', n='c.c_norm2')} DESC,
+                   c.cent_id) AS rn
+        FROM v CROSS JOIN cents c
+    ), a0 AS (
+        SELECT vec_id, ivec, cent_id AS cell FROM sim0 WHERE rn = 1
+    ), csum AS (
+        SELECT cell, i, SUM(ivec[i])::BIGINT AS s, COUNT(*)::BIGINT AS cnt
+        FROM a0 CROSS JOIN range(1, 65) t(i)
+        GROUP BY cell, i
+    ), trained AS (
+        -- s // cnt truncates toward zero in DuckDB, matching Spark's div
+        SELECT cell, list(s // cnt ORDER BY i) AS t_vec,
+               list_sum(list_transform(list(s // cnt ORDER BY i), x -> x * x))::BIGINT
+                   AS t_norm2
+        FROM csum GROUP BY cell
+    ), sim1 AS (
+        SELECT v.vec_id, t.cell, t.t_norm2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                   {_SQL_COS.format(a='v', b='t.t_vec', n='t.t_norm2')} DESC,
+                   t.cell) AS rn
+        FROM v CROSS JOIN trained t
+    )
+    SELECT cell, COUNT(*)::BIGINT AS n_members,
+           SUM(vec_id)::BIGINT AS sum_vec_id,
+           ANY_VALUE(t_norm2) AS t_norm2
+    FROM sim1 WHERE rn = 1
+    GROUP BY cell
 """
 
 
@@ -512,6 +653,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_trained": q_ann_ivf_trained,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
     "ann_recall": q_ann_recall,
 }
@@ -520,6 +662,7 @@ ORACLE = {
     "ann_topk_bruteforce": ORACLE_ANN_TOPK,
     "ann_lsh_bucketed": ORACLE_ANN_LSH,
     "ann_ivf": ORACLE_ANN_IVF,
+    "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
     "embedding_cosine_dedup": ORACLE_COS_DEDUP,
     "ann_recall": _sql_recall(),
 }
