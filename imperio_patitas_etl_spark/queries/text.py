@@ -327,14 +327,15 @@ ORACLE_NGRAM_JACCARD = f"""
 """
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signatures: shingle → md5int mod P, then min over
-    (aᵢ·x + bᵢ) mod P per permutation. Narrow per-row transform, no shuffle.
+def _minhash_sigs(docs: DataFrame) -> DataFrame:
+    """Per-doc MinHash signatures over ``(doc_id, text)``: shingle → md5int
+    mod P, then min over (aᵢ·x + bᵢ) mod P per permutation. Narrow per-row
+    transform, no shuffle.
 
     The md5 of each shingle is materialized ONCE (projection step) before
     the 8 permutation columns — inlining it per permutation re-hashes every
     shingle 8×, which dominated the whole benchmark at sf0.1."""
-    s = _shingled(spark, sf_dir)
+    s = docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
     hashed = s.select(
         "doc_id",
         F.expr(f"transform(shingles, s -> {_MD5INT.format(x='s')} % {P})").alias("hx"),
@@ -346,16 +347,33 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select("doc_id", *sig_cols)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup: 8 fixed permutations, 4 bands × 2 rows;
-    candidate pairs from an equi-join on (band_idx, band_signature), then
-    exact-Jaccard verification at ≥ 0.5.
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dedup over ``(doc_id, text)``: 8 fixed
+    permutations, 4 bands × 2 rows; candidate pairs from an equi-join on
+    (band_idx, band_signature), then exact-Jaccard verification at ≥ 0.5.
 
-    The banding join is the scale path: pair generation is shuffle-bounded
-    by band-bucket size instead of O(n²). Fully deterministic (fixed perms,
-    md5 shingle hashing), so the oracle replicates it exactly.
+    EXACT DUPLICATES ARE COLLAPSED FIRST (r3 hot-bucket fix): a group of b
+    byte-identical texts shares every band signature, so without the
+    pre-dedup ONE band bucket holds all b copies and its collect_list +
+    pair explode is O(b²) in a single task — mass-duplicated corpora (the
+    common case at 100 TB) stall there. Grouping by raw-text md5 and
+    running LSH on the min-doc_id representatives bounds every bucket by
+    the number of DISTINCT texts; the group's pairs come back as (rep →
+    member) edges at jaccard 10000 (identical text ⇒ identical shingles),
+    computed relationally from the fingerprint groupBy — O(b) rows, no
+    per-task blowup (pinned by tests/test_dedup_blocking.py).
+
+    Output on the deduplicated space: near-dup pairs among representatives
+    ∪ exact-dup edges. Fully deterministic (fixed perms, md5 hashing), so
+    the oracle replicates it exactly.
     """
-    sigs = _minhash_sigs(spark, sf_dir)
+    fp = docs.select("doc_id", "text", F.md5("text").alias("rfp"))
+    rep = fp.groupBy("rfp").agg(F.min("doc_id").alias("rep_id"))
+    reps = (
+        fp.join(rep, (fp.rfp == rep.rfp) & (fp.doc_id == rep.rep_id))
+        .select("doc_id", "text")
+    )
+    sigs = _minhash_sigs(reps)
     # bands carry ONLY (doc_id, band): candidate generation is a groupBy on
     # the band key with bucket-local pair explosion — ONE pass over the
     # signature pipeline and one skinny shuffle. (A band self-join computes
@@ -393,9 +411,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point): broadcast them, join the raw text, and shingle ONLY the
     # paired docs — the corpus-wide shingle pipeline runs once (in sigs),
     # not three times, and the verification shuffles nothing.
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    txt_a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    txt_b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    txt_a = reps.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    txt_b = reps.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     sh_a = _SHINGLES.replace("text", "text_a")
     sh_b = _SHINGLES.replace("text", "text_b")
     verified = (
@@ -419,9 +436,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     num = F.col("n_inter") * 10000 * 2 + n_union
     den = n_union * 2
-    return verified.select(
+    near = verified.select(
         "doc_a", "doc_b", ((num - num % den) / den).cast("long").alias("jaccard_bp")
     )
+    # exact-dup group edges: identical text ⇒ jaccard 10000, provided the
+    # doc actually has shingles (≥ 3 words) — matching the JACCARD_T3
+    # empty-shingle guard on the near-dup side
+    edges = (
+        fp.join(rep, "rfp")
+        .filter(F.col("doc_id") > F.col("rep_id"))
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select(
+            F.col("rep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(10000).cast("long").alias("jaccard_bp"),
+        )
+    )
+    return near.unionByName(edges)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for ``minhash_lsh_pairs`` over the documents table."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def _sql_minhash_bands() -> str:
@@ -436,8 +472,13 @@ def _sql_minhash_bands() -> str:
         for i in range(N_BANDS)
     )
     return f"""
-    WITH s AS (
-        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents
+    WITH fp AS (
+        SELECT doc_id, text, md5(text) AS rfp FROM documents
+    ), rep AS (
+        SELECT rfp, MIN(doc_id) AS rep_id FROM fp GROUP BY rfp
+    ), s AS (
+        SELECT f.doc_id, {_SQL_SHINGLES.replace('text', 'f.text')} AS shingles
+        FROM fp f JOIN rep r ON f.rfp = r.rfp AND f.doc_id = r.rep_id
     ), sigs AS (
         SELECT doc_id, shingles,
                {sig_exprs}
@@ -462,6 +503,10 @@ def _sql_minhash_bands() -> str:
            ((n_inter * 10000 * 2 + (n_a + n_b - n_inter)) // ((n_a + n_b - n_inter) * 2))
                AS jaccard_bp
     FROM verified WHERE {JACCARD_T3}
+    UNION ALL
+    SELECT r.rep_id AS doc_a, f.doc_id AS doc_b, 10000::BIGINT AS jaccard_bp
+    FROM fp f JOIN rep r ON f.rfp = r.rfp AND f.doc_id > r.rep_id
+    WHERE len(regexp_split_to_array(f.text, ' ')) >= 3
     """
 
 

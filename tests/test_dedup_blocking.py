@@ -2,35 +2,41 @@
 
 These pin semantics the sf-scale oracle can't see on synthetic random data:
 ``embedding_cosine_dedup`` must find a KNOWN near-dup pair (its sf0.01
-oracle result used to pass vacuously on 0 rows), and the lossless
-length-bucket blocking in ``ngram_jaccard_dedup`` must still find pairs
-whose shingle counts straddle a bucket boundary — including the exact
-2×-size / j=0.5 edge the losslessness proof hinges on — while counting
-same-bucket pairs exactly once.
+oracle result used to pass vacuously on 0 rows); the prefix-filtered
+AllPairs candidate generation in ``ngram_jaccard_dedup`` must be LOSSLESS
+at the j=0.5 subset edge its proof hinges on (the smallest common shingle
+must land inside both docs' ⌊n/2⌋+1 prefixes) while emitting each
+candidate exactly once even when docs share several prefix tokens; and
+``minhash_lsh_pairs`` must collapse mass exact-duplicates BEFORE banding
+so no single band bucket goes O(b²).
 """
 
 from __future__ import annotations
 
 import pytest
 
-from imperio_patitas_etl_spark.queries.text import q_ngram_jaccard_dedup
+from imperio_patitas_etl_spark.queries.text import (
+    minhash_lsh_pairs,
+    q_ngram_jaccard_dedup,
+)
 from imperio_patitas_etl_spark.queries.vector import (
     COS_DEDUP_T,
     q_embedding_cosine_dedup,
 )
 
 
-def test_ngram_blocking_lossless_and_exactly_once(spark, tmp_path):
+def test_ngram_prefix_filter_lossless_and_exactly_once(spark, tmp_path):
     docs = [
-        # 2 shingles (bucket 2) vs 4 shingles (bucket 3), A ⊂ B:
-        # j = 2/4 = 0.5 exactly — the cross-bucket losslessness edge.
+        # 2 shingles vs 4 shingles, A ⊂ B: j = 2/4 = 0.5 exactly — the
+        # losslessness edge. B's prefix (⌊4/2⌋+1 = 3 of its 4 shingles)
+        # must still hold a shingle shared with A.
         (1, "en", "w1 w2 w3 w4"),
         (2, "en", "w1 w2 w3 w4 w5 w6"),
-        # identical twins in the SAME bucket: both emit blocks {2, 3} —
-        # the pair must come out once, not twice.
+        # identical twins share BOTH prefix tokens — the candidate (and
+        # the output pair) must come out once, not twice.
         (3, "en", "x1 x2 x3 x4"),
         (4, "en", "x1 x2 x3 x4"),
-        # same bucket as doc 1, zero overlap: no row.
+        # same shingle count as doc 1, zero overlap: no candidate, no row.
         (5, "en", "z1 z2 z3 z4 z5"),
     ]
     spark.createDataFrame(docs, "doc_id long, lang string, text string").write.parquet(
@@ -39,6 +45,20 @@ def test_ngram_blocking_lossless_and_exactly_once(spark, tmp_path):
     out = q_ngram_jaccard_dedup(spark, str(tmp_path))
     pairs = sorted((r.doc_a, r.doc_b, r.jaccard_bp) for r in out.collect())
     assert pairs == [(1, 2, 5000), (3, 4, 10000)]
+
+
+def test_minhash_mass_duplicates_collapse_to_rep_edges(spark):
+    """1k byte-identical docs share every band signature: without the
+    exact pre-dedup one bucket's collect_list + pair explode is ~500k
+    pairs in one task; with it, LSH sees ONE representative and the group
+    returns as 999 (rep → member) edges computed relationally."""
+    rows = [(i, "same exact duplicated text body repeated verbatim") for i in range(1000)]
+    rows.append((2000, "a completely different document about other topics entirely"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(docs).collect()
+    assert len(out) == 999
+    assert all(r.doc_a == 0 and r.jaccard_bp == 10000 for r in out)
+    assert sorted(r.doc_b for r in out) == list(range(1, 1000))
 
 
 def test_cosine_dedup_finds_near_dups_and_prefilters_by_bucket(spark, tmp_path):
