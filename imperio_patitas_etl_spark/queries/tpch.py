@@ -299,20 +299,148 @@ ORACLE_Q10 = f"""
 """
 
 
+Q4_LO, Q4_HI = "1996-01-01", "1996-04-01"
+#: "late shipment" stand-in for TPC-H's l_commitdate < l_receiptdate —
+#: the testdata lineitem carries neither column, so lateness is shipping
+#: more than 30 days after the order date. Same correlated shape.
+LATE = "l_shipdate > o_orderdate + INTERVAL 30 DAYS"
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking: orders in a quarter having AT
+    LEAST ONE late lineitem, counted per priority. The correlated EXISTS
+    becomes a LEFT SEMI join on the orderkey equi-key with the lateness
+    residual — the fact table contributes existence only, so the semi join
+    shuffles each side once on orderkey, keeps at most one probe hit per
+    order, and never widens rows; the count is a 5-group aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & F.expr(LATE),
+        "left_semi",
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4 = f"""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q4_HI} 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+Q21_NATION = "NATION_7"
+Q21_TOPK = 100
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting: for 'F'-status
+    multi-supplier orders, blame the supplier whose lineitem shipped late
+    when NO OTHER supplier in the order shipped late — the classic
+    semi+anti pair on the same fact.
+
+    Plan shape: lateness is evaluated once (lineitem ⋈ filtered orders);
+    the EXISTS side joins LEFT SEMI against the DISTINCT (orderkey,
+    suppkey) pairs of the order and the NOT EXISTS side LEFT ANTI against
+    the distinct late pairs — both sides pre-aggregated, so the self-join
+    shuffles carry one skinny row per (order, supplier), not raw
+    lineitems. supplier and the nation filter broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q21_NATION)
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.expr(LATE))
+        .select("l_orderkey", "l_suppkey")
+    )
+    all_pairs = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    late_pairs = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    ).distinct()
+    blamed = (
+        late.join(
+            all_pairs,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            late_pairs,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(Q21_TOPK)
+    )
+
+
+ORACLE_Q21 = f"""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q21_NATION}'
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey != l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT {Q21_TOPK}
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q10": q_tpch_q10,
     "tpch_q18": q_tpch_q18,
+    "tpch_q21": q_tpch_q21,
     "grouping_sets": q_grouping_sets,
 }
 
 ORACLE = {
     "tpch_q1": ORACLE_Q1,
     "tpch_q3": ORACLE_Q3,
+    "tpch_q4": ORACLE_Q4,
     "tpch_q5": ORACLE_Q5,
     "tpch_q10": ORACLE_Q10,
     "tpch_q18": ORACLE_Q18,
+    "tpch_q21": ORACLE_Q21,
     "grouping_sets": ORACLE_GROUPING_SETS,
 }
