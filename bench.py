@@ -24,9 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
     "tpch_q5",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q21",
     "multi_join_star",
     "groupby_avg",
     "topk_per_group",
@@ -49,6 +51,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "ann_ivf_trained",
     "ann_recall",
     "embedding_cosine_dedup",
     "stream_session_window",
