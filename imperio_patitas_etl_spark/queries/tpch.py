@@ -423,12 +423,159 @@ ORACLE_Q21 = f"""
 """
 
 
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: the pure scan-side query —
+    every predicate (ship-date year, discount band, quantity cap) pushes to
+    the parquet scan, no join, one map-side-combinable sum. Its whole point
+    at 100 TB is that the plan is scan→partial-agg→exchange(1 row): if any
+    predicate fails to reach PushedFilters the query reads a year of fact
+    data it didn't need. price·discount has ≤ 4 exact decimals →
+    integerized per row before the sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit(Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_HI).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        sum2_exact(F.col("l_extendedprice") * F.col("l_discount"), true_decimals=4).alias(
+            "revenue"
+        )
+    )
+
+
+ORACLE_Q6 = f"""
+    SELECT {sql_sum2_exact("l_extendedprice * l_discount", 4)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_LO} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q6_HI} 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+"""
+
+
+Q12_LO, Q12_HI = "1996-01-01", "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode/priority (adapted: the testdata lineitem has
+    no shipmode/commit/receipt columns, so the category is l_returnflag and
+    lateness is the Q4/Q21 ship-more-than-30-days-late stand-in — the plan
+    shape is identical). Conditional aggregation: one pass over the
+    date-pruned fact joined to orders, CASE-split counts by priority class.
+    The join shuffles on orderkey once; the priority CASE is evaluated
+    map-side inside the partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_HI).cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin(*Q12_HIGH).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.expr(LATE))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q12 = f"""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q12_LO} 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '{Q12_HI} 00:00:00'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+Q17_BRAND = "Brand#23"
+Q17_SIZE_MAX = 25
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue (container → p_size cap, the
+    testdata part has no container column): average yearly revenue lost if
+    small orders of selected parts were not taken. The correlated
+    avg-quantity subquery is DECORRELATED into a per-part aggregate over
+    the already-part-filtered fact: the tiny part dim broadcasts to prune
+    lineitem first, the per-part avg is a map-side-combinable groupBy on
+    the pruned fact, and its (few-row) output broadcasts back — lineitem
+    is scanned once and never shuffled on a wide key. avg_yearly divides
+    exact integer cents by 700.0 once at the end (IEEE division is
+    bit-identical across engines)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_SIZE_MAX))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    fact = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
+    avgq = fact.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.count("*").alias("cq"),
+    )
+    thresh = F.lit(0.2) * (F.col("sq") / F.col("cq"))
+    return (
+        fact.withColumnRenamed("l_partkey", "f_partkey")
+        .join(F.broadcast(avgq), F.col("f_partkey") == avgq.l_partkey)
+        .filter(F.col("l_quantity") < thresh)
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long")
+                / F.lit(700.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_Q17 = f"""
+    WITH p AS (
+        SELECT p_partkey FROM part
+        WHERE p_brand = '{Q17_BRAND}' AND p_size <= {Q17_SIZE_MAX}
+    ), f AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+        FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
+    ), a AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               COUNT(*) AS cq
+        FROM f GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(f.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 700.0
+               AS avg_yearly
+    FROM f JOIN a ON f.l_partkey = a.l_partkey
+    WHERE f.l_quantity < 0.2 * (a.sq / a.cq)
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q21": q_tpch_q21,
     "grouping_sets": q_grouping_sets,
@@ -439,7 +586,10 @@ ORACLE = {
     "tpch_q3": ORACLE_Q3,
     "tpch_q4": ORACLE_Q4,
     "tpch_q5": ORACLE_Q5,
+    "tpch_q6": ORACLE_Q6,
     "tpch_q10": ORACLE_Q10,
+    "tpch_q12": ORACLE_Q12,
+    "tpch_q17": ORACLE_Q17,
     "tpch_q18": ORACLE_Q18,
     "tpch_q21": ORACLE_Q21,
     "grouping_sets": ORACLE_GROUPING_SETS,
