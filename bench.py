@@ -26,7 +26,10 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
+    "tpch_q6",
     "tpch_q10",
+    "tpch_q12",
+    "tpch_q17",
     "tpch_q18",
     "tpch_q21",
     "multi_join_star",
@@ -45,6 +48,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ngram_jaccard_dedup",
     "simhash_near_dup",
+    "dup_clusters",
+    "quality_gopher",
+    "stratified_sample",
     "kmv_distinct_sketch",
     "token_count",
     "quality_score",

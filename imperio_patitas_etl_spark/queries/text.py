@@ -653,6 +653,248 @@ ORACLE_SIMHASH_NEAR_DUP = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# repetition-quality signals / stratified sampling / duplicate clustering
+# --------------------------------------------------------------------------
+
+#: word bigrams of the ``words`` array (1-based element_at); empty for
+#: single-word docs — the CASE guard matters because Spark's
+#: sequence(1, 0) helpfully counts DOWN instead of returning [].
+_BIGRAMS = (
+    "CASE WHEN size(words) >= 2 THEN "
+    "transform(sequence(1, size(words) - 1), "
+    "i -> concat(element_at(words, i), ' ', element_at(words, i + 1))) "
+    "ELSE array() END"
+)
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals (Rae et al. 2021 §A1.1 adapted to
+    the whitespace-token corpus — no newlines, so the line-based fractions
+    become token-based): duplicate-token fraction, top-unigram coverage,
+    and top-bigram coverage, all in exact half-up integer basis points.
+
+    Scale shape: the distinct/dup counts are per-row array ops (narrow);
+    the top-n-gram counts explode tokens and aggregate twice — both
+    groupBys are map-side-combinable and keyed by doc_id, so the shuffle
+    carries one row per (doc, distinct gram) and the second one row per
+    doc. No UDFs, no collects."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id",
+        "words",
+        F.size("words").cast("long").alias("n"),
+        (F.size("words") - F.size(F.array_distinct("words"))).cast("long").alias("n_dup"),
+    )
+    uni = (
+        base.select("doc_id", F.explode("words").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx_uni"))
+    )
+    bi = (
+        base.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx_bi"))
+    )
+
+    def _bp_half_up(num_col, den_col):
+        num = num_col * 10000 * 2 + den_col
+        den = den_col * 2
+        return ((num - num % den) / den).cast("long")
+
+    out = base.join(uni, "doc_id").join(bi, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        _bp_half_up(F.col("n_dup"), F.col("n")).alias("dup_token_bp"),
+        _bp_half_up(F.col("mx_uni"), F.col("n")).alias("top_token_bp"),
+        F.when(
+            F.col("n") >= 2, _bp_half_up(F.col("mx_bi"), F.col("n") - 1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_bigram_bp"),
+    )
+
+
+ORACLE_QUALITY_GOPHER = """
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+    ), base AS (
+        SELECT doc_id, len(words)::BIGINT AS n,
+               (len(words) - len(list_distinct(words)))::BIGINT AS n_dup
+        FROM w
+    ), uni AS (
+        SELECT doc_id, MAX(c)::BIGINT AS mx_uni FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(words) AS tok FROM w)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    ), bi AS (
+        SELECT doc_id, MAX(c)::BIGINT AS mx_bi FROM (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(words)),
+                                i -> words[i] || ' ' || words[i + 1])) AS tok
+                  FROM w)
+            GROUP BY doc_id, tok
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n AS n_words,
+           ((b.n_dup * 10000 * 2 + b.n) // (b.n * 2)) AS dup_token_bp,
+           ((u.mx_uni * 10000 * 2 + b.n) // (b.n * 2)) AS top_token_bp,
+           CASE WHEN b.n >= 2
+                THEN ((bi.mx_bi * 10000 * 2 + (b.n - 1)) // ((b.n - 1) * 2))
+                ELSE 0 END AS top_bigram_bp
+    FROM base b
+    JOIN uni u USING (doc_id)
+    LEFT JOIN bi USING (doc_id)
+"""
+
+
+#: per-stratum keep rates in basis points: downsample the majority 'en'
+#: stratum to rebalance the corpus, sample the rest at 75%.
+SAMPLE_RATE_EN_BP = 2500
+SAMPLE_RATE_OTHER_BP = 7500
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: each doc keeps iff
+    md5('strat_' || doc_id) mod 10000 falls under its stratum's rate.
+    This is the sampling a 100 TB pipeline actually wants — no RNG state,
+    so the sample is reproducible run-to-run, stable under retries and
+    re-partitioning, co-ordinated across derived tables keyed by the same
+    id, and embarrassingly parallel (a narrow per-row filter pushed right
+    after the scan; no shuffle at all)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr(_MD5INT.format(x="concat('strat_', CAST(doc_id AS STRING))")) % 10000
+    )
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(SAMPLE_RATE_EN_BP))
+        .otherwise(F.lit(SAMPLE_RATE_OTHER_BP))
+        .cast("long")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            bucket.cast("long").alias("bucket"),
+            rate.alias("rate_bp"),
+        )
+        .filter(F.col("bucket") < F.col("rate_bp"))
+    )
+
+
+_SQL_STRAT_BUCKET = _sql_md5int("'strat_' || CAST(doc_id AS VARCHAR)") + " % 10000"
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+    SELECT doc_id, lang, bucket, rate_bp FROM (
+        SELECT doc_id, lang,
+               {_SQL_STRAT_BUCKET} AS bucket,
+               (CASE WHEN lang = 'en' THEN {SAMPLE_RATE_EN_BP}
+                     ELSE {SAMPLE_RATE_OTHER_BP} END)::BIGINT AS rate_bp
+        FROM documents
+    ) WHERE bucket < rate_bp
+"""
+
+
+CC_MAX_ITERS = 30
+
+
+def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label-propagation connected components over ``docs(doc_id)`` and
+    undirected ``edges(doc_a, doc_b)``; returns (doc_id, cluster_id) where
+    cluster_id is the minimum doc_id reachable (singletons label
+    themselves). The fixpoint is unique, so the result is deterministic
+    regardless of execution order.
+
+    This is the GraphX/Pregel CC shape expressed in DataFrames: each
+    iteration is edges⋈labels → min-per-dst → least(old, new), i.e. two
+    shuffles over skinny (id, label) rows, and converges in
+    O(graph diameter) rounds — near-dup graphs are dense clumps with tiny
+    diameters, so 3-5 rounds in practice. Convergence is detected by the
+    strictly-decreasing Σlabel (one scalar action per round, no extra
+    join).
+
+    Each round's labels are localCheckpoint'ed, not merely persisted:
+    persistence truncates EXECUTION but not the logical plan, so the
+    accumulated join tree grows by two joins per round and Catalyst
+    re-optimizes the whole history every iteration — a 12-round chain
+    OOMs the driver on plan bookkeeping alone. Checkpointing resets the
+    plan to a leaf each round (the standard discipline for iterative
+    DataFrame algorithms; on a real cluster use reliable
+    ``checkpoint()`` so executor loss can't lose label state, and switch
+    to alternating large-star/small-star (Kiveris et al. 2014) if
+    diameters were unbounded)."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        nbr = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), F.col("label").alias("nbr_label"))
+            .groupBy("doc_id")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("label", F.coalesce("nbr_min", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(f"connected_components did not converge in {CC_MAX_ITERS} rounds")
+    sym.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairs→clusters→canonical step that completes a real dedup
+    pipeline: near-dup PAIRS (word-3-gram Jaccard ≥ 0.5, prefix-filtered —
+    same edge set as ``ngram_jaccard_dedup``) are clustered by connected
+    components, labeling every document with the minimum doc_id of its
+    duplicate cluster. Keeping rows where doc_id = cluster_id IS the
+    deduplicated corpus; everything else maps to its canonical survivor."""
+    pairs = q_ngram_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return connected_components(docs, pairs)
+
+
+#: transitive closure over the SAME pair query, as a recursive CTE: reach
+#: (src, node) accumulates every node reachable from src; min over the
+#: closure is the component label. Quadratic in cluster size — fine as an
+#: oracle, not a plan.
+ORACLE_DUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_NGRAM_JACCARD})
+    ), e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a
+    )
+    SELECT src AS doc_id, MIN(node)::BIGINT AS cluster_id
+    FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -663,6 +905,9 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "simhash_near_dup": q_simhash_near_dup,
+    "quality_gopher": q_quality_gopher,
+    "stratified_sample": q_stratified_sample,
+    "dup_clusters": q_dup_clusters,
 }
 
 ORACLE = {
@@ -675,4 +920,7 @@ ORACLE = {
     "dedup_minhash_lsh": _sql_minhash_bands(),
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
+    "quality_gopher": ORACLE_QUALITY_GOPHER,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "dup_clusters": ORACLE_DUP_CLUSTERS,
 }

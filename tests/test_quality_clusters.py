@@ -1,0 +1,72 @@
+"""Fixture tests for the repetition-quality signals and duplicate
+clustering.
+
+``connected_components`` is pinned on a known graph (chain, pair,
+singletons — the chain needs several propagation rounds, exercising the
+iteration + convergence logic, and the unique-fixpoint determinism);
+``quality_gopher`` is pinned on hand-computable documents including the
+single-word edge case whose bigram denominator would otherwise divide by
+zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.queries.text import (
+    connected_components,
+    q_quality_gopher,
+)
+
+
+def test_connected_components_chain_pair_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # 1-2-3 is a chain (min label must travel two hops), 5-6 a pair,
+    # 4 and 7 never appear in an edge.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(docs, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12  # diameter 11: well past one propagation round
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = connected_components(docs, edges)
+    assert out.agg(F.max("cluster_id")).first()[0] == 0
+    assert out.count() == n
+
+
+def test_quality_gopher_hand_computed(spark, tmp_path):
+    docs = [
+        (1, "en", "src", "a a a a", 7),        # all dups, one bigram repeated
+        (2, "en", "src", "a b c d", 7),        # no repetition at all
+        (3, "en", "src", "hello", 5),          # single word: no bigrams
+        (4, "en", "src", "x y x y x", 9),      # top token 3/5, bigram 2/4
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, lang string, source string, text string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in q_quality_gopher(spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.dup_token_bp, r1.top_token_bp, r1.top_bigram_bp) == (
+        4, 7500, 10000, 10000,
+    )
+    r2 = out[2]
+    # top bigram 1/3 → 3333.33 rounds half-up to 3333
+    assert (r2.n_words, r2.dup_token_bp, r2.top_token_bp, r2.top_bigram_bp) == (
+        4, 0, 2500, 3333,
+    )
+    r3 = out[3]
+    assert (r3.n_words, r3.dup_token_bp, r3.top_token_bp, r3.top_bigram_bp) == (
+        1, 0, 10000, 0,
+    )
+    r4 = out[4]
+    # "x y" appears twice among 4 bigrams → 5000
+    assert (r4.n_words, r4.dup_token_bp, r4.top_token_bp, r4.top_bigram_bp) == (
+        5, 6000, 6000, 5000,
+    )
