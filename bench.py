@@ -29,6 +29,7 @@ HEADLINE = [
     "tpch_q6",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q14",
     "tpch_q17",
     "tpch_q18",
     "tpch_q21",
@@ -51,6 +52,8 @@ HEADLINE = [
     "dup_clusters",
     "quality_gopher",
     "stratified_sample",
+    "tf_vectorize",
+    "sessionize_events",
     "kmv_distinct_sketch",
     "token_count",
     "quality_score",

@@ -214,6 +214,72 @@ ORACLE_RANGE_JOIN = """
 """
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with explicit session ORDINALS — the
+    gaps-and-islands idiom ``session_window`` doesn't give you: lag
+    detects gap starts, a running sum numbers each user's sessions
+    1..k in time order, and a re-aggregation emits one row per numbered
+    session. Downstream training pipelines key on (user, session_no), so
+    the ordinal matters, not just the window bounds.
+
+    Scale shape: both window functions and the final groupBy partition by
+    user_id — ONE shuffle total, then all three steps run within the same
+    partition (Spark plans consecutive same-key windows + partial agg
+    without re-exchanging). Gap comparison is exact integer microseconds
+    (unix_micros ↔ epoch_us), immune to double-seconds precision drift.
+    The ≥-gap convention matches ``session_counts``/``session_window``."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = (
+        F.when(
+            prev_us.isNull()
+            | (F.unix_micros(F.col("ts")) - prev_us >= SESSION_GAP_US),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    numbered = e.select(
+        "user_id",
+        "ts",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_no"
+        ),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM numbered GROUP BY user_id, session_no
+"""
+
+
 QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
@@ -221,6 +287,7 @@ QUERIES = {
     "json_extract": q_json_extract,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "sessionize_events": q_sessionize_events,
 }
 
 ORACLE = {
@@ -230,4 +297,5 @@ ORACLE = {
     "json_extract": ORACLE_JSON_EXTRACT,
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,
+    "sessionize_events": ORACLE_SESSIONIZE,
 }

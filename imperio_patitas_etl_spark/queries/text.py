@@ -803,6 +803,57 @@ ORACLE_STRATIFIED_SAMPLE = f"""
 """
 
 
+TF_VOCAB_SIZE = 64
+
+
+def q_tf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF vectorization — the tokenize→vocab→ids step in front of
+    any training run: build the top-V vocabulary by global token frequency
+    (ties break by token, so ids are deterministic), assign dense term ids
+    0..V−1, and emit per-document (doc_id, term_id, tf) triples.
+
+    Scale shape: the global count is a map-side-combinable groupBy over
+    exploded tokens; the vocab ranking windows over DISTINCT TOKENS (a
+    set ~10⁵-10⁶ regardless of corpus size — bounded by vocabulary, not
+    data; at true web scale you'd pre-prune with an approximate top-k before
+    the single-partition rank). The tiny ranked vocab then BROADCASTS
+    back onto the token stream, so the corpus-side pipeline is
+    explode→broadcast-join→groupBy(doc_id, term_id): one wide shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vw = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn("term_id", (F.row_number().over(vw) - 1).cast("long"))
+        .filter(F.col("term_id") < TF_VOCAB_SIZE)
+        .select("tok", "term_id")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "term_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+ORACLE_TF_VECTORIZE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS tok
+        FROM documents
+    ), cnt AS (
+        SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), vocab AS (
+        SELECT tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) - 1 AS BIGINT) AS term_id
+        FROM cnt
+        QUALIFY term_id < {TF_VOCAB_SIZE}
+    )
+    SELECT t.doc_id, v.term_id, COUNT(*) AS tf
+    FROM tok t JOIN vocab v USING (tok)
+    GROUP BY t.doc_id, v.term_id
+"""
+
+
 CC_MAX_ITERS = 30
 
 
@@ -907,6 +958,7 @@ QUERIES = {
     "simhash_near_dup": q_simhash_near_dup,
     "quality_gopher": q_quality_gopher,
     "stratified_sample": q_stratified_sample,
+    "tf_vectorize": q_tf_vectorize,
     "dup_clusters": q_dup_clusters,
 }
 
@@ -922,5 +974,6 @@ ORACLE = {
     "simhash_near_dup": ORACLE_SIMHASH_NEAR_DUP,
     "quality_gopher": ORACLE_QUALITY_GOPHER,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "tf_vectorize": ORACLE_TF_VECTORIZE,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
 }

@@ -567,6 +567,58 @@ ORACLE_Q17 = f"""
 """
 
 
+Q14_LO, Q14_HI = "1996-03-01", "1996-04-01"
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: the conditional-ratio aggregate — promo
+    revenue share of one month's lineitems. part broadcasts onto the
+    date-pruned fact, the CASE splits the revenue sum map-side, and the
+    percent division happens ONCE on two exact integer unit-sums (IEEE
+    double division of exact integers is bit-identical across engines —
+    no ROUND-on-double anywhere)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    promo = F.when(F.col("p_type").startswith("PROMO"), units).otherwise(F.lit(0))
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_units"),
+            F.sum(units).alias("total_units"),
+        )
+    )
+    return agg.select(
+        "promo_units",
+        "total_units",
+        (F.lit(100.0) * F.col("promo_units") / F.col("total_units")).alias(
+            "promo_revenue_pct"
+        ),
+    )
+
+
+ORACLE_Q14 = f"""
+    SELECT promo_units, total_units,
+           100.0 * promo_units / total_units AS promo_revenue_pct
+    FROM (
+        SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                             * 10000) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS promo_units,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS total_units
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '{Q14_LO} 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '{Q14_HI} 00:00:00'
+    )
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -575,6 +627,7 @@ QUERIES = {
     "tpch_q6": q_tpch_q6,
     "tpch_q10": q_tpch_q10,
     "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
     "tpch_q21": q_tpch_q21,
@@ -589,6 +642,7 @@ ORACLE = {
     "tpch_q6": ORACLE_Q6,
     "tpch_q10": ORACLE_Q10,
     "tpch_q12": ORACLE_Q12,
+    "tpch_q14": ORACLE_Q14,
     "tpch_q17": ORACLE_Q17,
     "tpch_q18": ORACLE_Q18,
     "tpch_q21": ORACLE_Q21,
