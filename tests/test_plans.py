@@ -95,6 +95,44 @@ def test_cosine_dedup_is_bucket_equijoin(spark, sf_dir):
     assert any("bucket" in k for k in _equijoin_key_sets(plan))
 
 
+def test_q6_predicates_push_to_scan(spark, sf_dir):
+    """Q6 is scan→agg: every predicate must reach PushedFilters, and there
+    must be no join at all."""
+    df = all_queries()["tpch_q6"](spark, sf_dir)
+    plan = _plan(df)
+    pushed = plan.split("PushedFilters:", 1)[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+
+
+def test_q14_q17_broadcast_the_part_side(spark, sf_dir):
+    """The part dim (and Q17's few-row per-part averages) must broadcast —
+    a shuffle of lineitem on partkey would be the 100× bottleneck."""
+    for key, n_bcast in (("tpch_q14", 1), ("tpch_q17", 2)):
+        plan = _plan(all_queries()[key](spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= n_bcast, key
+        assert "SortMergeJoin" not in plan, key
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both windows and the final session aggregate all cluster by
+    user_id: one Exchange total — lag, running sum, and groupBy must
+    reuse the same partitioning, not re-shuffle per step."""
+    df = all_queries()["sessionize_events"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tf_vectorize_broadcasts_vocab(spark, sf_dir):
+    """The ranked vocabulary joins back onto the exploded token stream as
+    a broadcast — shuffling the corpus on token strings would dwarf the
+    whole pipeline."""
+    df = all_queries()["tf_vectorize"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_salted_join_matches_plain_join(spark):
     # heavy skew: 90% of facts share key 1
     facts = spark.createDataFrame(
