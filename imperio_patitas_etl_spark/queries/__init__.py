@@ -28,14 +28,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # Module order controls registry insertion order. External correctness
 # tooling samples a prefix of this registry, so ordering follows two rules
-# (ADVICE.md r3): (a) any key whose implementation or oracle CHANGED this
-# round must sit inside the sampled window — streaming_ops (asof dedup),
-# text (simhash bands, minhash pre-dedup, jaccard prefixes), vector
-# (adaptive planes, fixed-K IVF), tpch (new Q4/Q21); (b) keys never yet
-# driver-checked come next (stream_dedup is in streaming_ops; entity keys
-# last saw a driver row in r2). The unchanged, r3-green core module goes
-# last: its first few keys still land in the window, the long-verified
-# tail rotates out.
+# (ADVICE.md r3): (a) any key whose implementation or oracle changed — or
+# that is NEW — this round must sit inside the sampled window: r4 adds
+# sessionize_events (streaming_ops), quality_gopher / stratified_sample /
+# tf_vectorize / dup_clusters (text), tpch q6/q12/q14/q17; (b) keys never
+# yet driver-checked come next (stream_dedup gets its first driver row
+# this round; entity keys last saw one in r2). streaming+text+vector+
+# tpch+entity fill the 50-key window exactly; multimodal_ops and core are
+# unchanged with green r2/r3 rows and rotate out.
 _MODULES = (streaming_ops, text, vector, tpch, entity, multimodal_ops, core)
 
 
