@@ -298,6 +298,12 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
+    # verify joins the pairs to PER-DOC shingle arrays — deliberately NOT
+    # the minhash trick of shingling only the joined candidate texts: the
+    # j ≥ 0.5 prefix filter admits ~15 candidates per doc on this corpus,
+    # so per-pair shingling would redo the array work ~30× per doc (2 docs
+    # a pair); measured 5× slower end-to-end at sf0.1. LSH bands are
+    # selective enough for per-pair shingling; AllPairs prefixes are not.
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     pairs = (
