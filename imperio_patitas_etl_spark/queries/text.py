@@ -876,7 +876,9 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
     O(graph diameter) rounds — near-dup graphs are dense clumps with tiny
     diameters, so 3-5 rounds in practice. Convergence is detected by the
     strictly-decreasing Σlabel (one scalar action per round, no extra
-    join).
+    join), summed as decimal(38,0): a BIGINT sum silently wraps once
+    n·max_id passes 2⁶³ (any trillion-doc corpus), and a wrapped equality
+    could declare convergence early.
 
     Each round's labels are localCheckpoint'ed, not merely persisted:
     persistence truncates EXECUTION but not the logical plan, so the
@@ -893,7 +895,7 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     sym = sym.persist()
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     for _ in range(CC_MAX_ITERS):
         nbr = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -909,7 +911,7 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
