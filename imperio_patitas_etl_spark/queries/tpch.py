@@ -519,7 +519,11 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pruned fact, and its (few-row) output broadcasts back — lineitem
     is scanned once and never shuffled on a wide key. avg_yearly divides
     exact integer cents by 700.0 once at the end (IEEE division is
-    bit-identical across engines)."""
+    bit-identical across engines). The broadcasts are right as long as
+    the brand+size filter keeps the part side executor-memory-small
+    (true at any realistic selectivity); at a scale where it isn't, drop
+    the hints and AQE shuffle-joins both pre-reduced sides on partkey —
+    still a single pass over the fact."""
     p = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_SIZE_MAX))
