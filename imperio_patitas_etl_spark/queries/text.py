@@ -692,19 +692,25 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("long").alias("n"),
         (F.size("words") - F.size(F.array_distinct("words"))).cast("long").alias("n_dup"),
     )
-    uni = (
-        base.select("doc_id", F.explode("words").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("mx_uni"))
+    # one tagged stream instead of separate unigram/bigram pipelines: both
+    # n-gram orders share the (doc, gram)-count → per-doc-max reduction, so
+    # tagging the grams (g=0 unigram, g=1 bigram) halves the shuffle count
+    # (2 instead of 4) and replaces two result joins with one.
+    tagged = base.select(
+        "doc_id", F.lit(0).alias("g"), F.explode("words").alias("tok")
+    ).unionByName(
+        base.select(
+            "doc_id", F.lit(1).alias("g"), F.explode(F.expr(_BIGRAMS)).alias("tok")
+        )
     )
-    bi = (
-        base.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("tok"))
-        .groupBy("doc_id", "tok")
+    mx = (
+        tagged.groupBy("doc_id", "g", "tok")
         .agg(F.count("*").alias("c"))
         .groupBy("doc_id")
-        .agg(F.max("c").alias("mx_bi"))
+        .agg(
+            F.max(F.when(F.col("g") == 0, F.col("c"))).alias("mx_uni"),
+            F.max(F.when(F.col("g") == 1, F.col("c"))).alias("mx_bi"),
+        )
     )
 
     def _bp_half_up(num_col, den_col):
@@ -712,7 +718,7 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = den_col * 2
         return ((num - num % den) / den).cast("long")
 
-    out = base.join(uni, "doc_id").join(bi, "doc_id", "left")
+    out = base.join(mx, "doc_id")
     return out.select(
         "doc_id",
         F.col("n").alias("n_words"),
