@@ -833,12 +833,18 @@ def q_tf_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode→broadcast-join→groupBy(doc_id, term_id): one wide shuffle."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # top-V selection via orderBy().limit() on purpose: it compiles to
+    # TakeOrderedAndProject — every partition keeps its local top V and the
+    # driver merges V-row heaps — whereas a global row_number window would
+    # sort ALL distinct tokens in a single task. The ranking window below
+    # then runs on the V surviving rows only.
     vw = Window.orderBy(F.col("c").desc(), F.col("tok"))
     vocab = (
         tok.groupBy("tok")
         .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(TF_VOCAB_SIZE)
         .withColumn("term_id", (F.row_number().over(vw) - 1).cast("long"))
-        .filter(F.col("term_id") < TF_VOCAB_SIZE)
         .select("tok", "term_id")
     )
     return (

@@ -131,6 +131,8 @@ def test_tf_vectorize_broadcasts_vocab(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # top-V vocab must be the distributed heap-merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_salted_join_matches_plain_join(spark):
