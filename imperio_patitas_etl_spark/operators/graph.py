@@ -1,0 +1,108 @@
+"""Distributed graph connectivity operators.
+
+``connected_components_star`` is the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014): each round rewires edges toward component minima, and
+the edge set converges to a star forest — every node points at its
+component's minimum id — in O(log n) rounds REGARDLESS of graph diameter.
+
+This is the scale path promised in SCALE.md for duplicate clustering:
+the min-label propagation in ``queries/text.py:connected_components``
+(the registry query) converges in O(diameter) rounds, which is ideal for
+near-dup clumps (diameter 2-5) but unbounded on path-shaped graphs; the
+star algorithm trades a couple of extra shuffles per round for the
+logarithmic guarantee. Both are pure DataFrame plans — per round: a
+groupBy-min and an equi-join over skinny (node, node) edges — with
+``localCheckpoint`` per round to keep the logical plan O(1) (the lesson
+pinned in tests/test_quality_clusters.py: persistence alone lets the
+plan grow per iteration until the driver chokes on bookkeeping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STAR_MAX_ROUNDS = 40
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) ∀ directions → for each u with m = min(N(u) ∪ {u}), emit
+    (v, m) for every neighbor v > u. Larger neighbors re-attach to the
+    local minimum."""
+    sym = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least("mb", F.col("a")).alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient every edge (big, small); for each big u with smaller
+    neighborhood N(u) and m = min(N(u)), emit (v, m) for v ∈ N(u) ∪ {u},
+    v ≠ m. Chains collapse toward minima."""
+    directed = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = directed.groupBy("a").agg(F.min("b").alias("m"))
+    nbr_edges = (
+        directed.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    self_edges = mins.select("a", F.col("m").alias("b"))
+    return (
+        nbr_edges.union(self_edges)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Star-contraction connected components over ``docs(doc_id)`` and
+    undirected ``edges(doc_a, doc_b)``; returns (doc_id, cluster_id) with
+    cluster_id = min doc_id of the component — same contract and same
+    unique fixpoint as ``connected_components``, O(log n) rounds instead
+    of O(diameter).
+
+    Convergence: the small-star output is compared to the previous edge
+    set with a two-sided ``exceptAll`` probe (limit-1 short circuit, so
+    the check does no full materialization beyond the round's own
+    edges)."""
+    cur = (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(STAR_MAX_ROUNDS):
+        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        changed = (
+            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {STAR_MAX_ROUNDS} rounds"
+        )
+    # fixpoint edges form a star forest: every non-root points at its root
+    labels = cur.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )

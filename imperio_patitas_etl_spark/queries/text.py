@@ -900,8 +900,9 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
     plan to a leaf each round (the standard discipline for iterative
     DataFrame algorithms; on a real cluster use reliable
     ``checkpoint()`` so executor loss can't lose label state, and switch
-    to alternating large-star/small-star (Kiveris et al. 2014) if
-    diameters were unbounded)."""
+    to ``operators/graph.py:connected_components_star`` — the alternating
+    large-star/small-star contraction, O(log n) rounds — if diameters
+    were unbounded)."""
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
