@@ -398,17 +398,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # the whole MinHash pipeline twice and shuffles both sides; with
     # bounded bucket sizes the collect_list + pairwise explode is strictly
     # cheaper and is the standard LSH shape at scale.)
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws("_", F.col(f"sig{2 * i}"), F.col(f"sig{2 * i + 1}"))
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_sig"),
-    )
+    bands = _sig_bands(sigs)
     cand = (
         bands.groupBy("band_idx", "band_sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
@@ -476,6 +466,89 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry for ``minhash_lsh_pairs`` over the documents table."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _sig_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig0..sig7) → one (doc_id, band_idx, band_sig) row per
+    band — the LSH index key."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.col(f"sig{2 * i}"), F.col(f"sig{2 * i + 1}"))
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_sig"),
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame, corpus_docs: DataFrame
+) -> DataFrame:
+    """Batch-vs-corpus near-dedup — the INGEST-TIME shape of MinHash-LSH
+    at 100 TB: the corpus is signed ONCE and its (band_idx, band_sig) →
+    doc_id index is materialized (bucketed by band key) at write time;
+    each arriving batch signs only its own documents, equi-joins its
+    bands against the index, and verifies exact Jaccard on the candidate
+    (new, corpus) pairs. No corpus rescan, no corpus re-signing, and the
+    batch side — small by definition — broadcasts, so candidate probing
+    is a local hash lookup per index partition.
+
+    Here the corpus bands are computed inline because the test corpus is
+    parquet, not a maintained index; the signing pipeline and the join
+    are exactly what a materialized index serves. Returns (doc_new,
+    doc_corpus, jaccard_bp) cross pairs at Jaccard ≥ 0.5; new-vs-new
+    dedup within the batch is the ordinary ``minhash_lsh_pairs`` on the
+    (small) batch. doc_id spaces must be disjoint."""
+    nb = _sig_bands(_minhash_sigs(new_docs))
+    cb = _sig_bands(_minhash_sigs(corpus_docs))
+    cand = (
+        cb.alias("c")
+        .join(
+            F.broadcast(nb.alias("n")),
+            (F.col("c.band_idx") == F.col("n.band_idx"))
+            & (F.col("c.band_sig") == F.col("n.band_sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("c.doc_id").alias("doc_corpus"),
+        )
+        .dropDuplicates(["doc_new", "doc_corpus"])
+    )
+    txt_n = new_docs.select(
+        F.col("doc_id").alias("doc_new"), F.col("text").alias("text_n")
+    )
+    txt_c = corpus_docs.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("text").alias("text_c")
+    )
+    verified = (
+        txt_c.join(F.broadcast(cand), "doc_corpus")
+        .join(F.broadcast(txt_n), "doc_new")
+        .select(
+            "doc_new",
+            "doc_corpus",
+            F.expr(_SHINGLES.replace("text", "text_n")).alias("sh_a"),
+            F.expr(_SHINGLES.replace("text", "text_c")).alias("sh_b"),
+        )
+        .select(
+            "doc_new",
+            "doc_corpus",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size("sh_a").cast("long").alias("n_a"),
+            F.size("sh_b").cast("long").alias("n_b"),
+        )
+        .filter(F.expr(JACCARD_T3))
+    )
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    num = F.col("n_inter") * 10000 * 2 + n_union
+    den = n_union * 2
+    return verified.select(
+        "doc_new",
+        "doc_corpus",
+        ((num - num % den) / den).cast("long").alias("jaccard_bp"),
+    )
 
 
 def _sql_minhash_bands() -> str:
