@@ -4,6 +4,7 @@ from imperio_patitas_etl_spark.functions.cleaning import (
     blank_to_null,
     bool_to_int,
     clean_string,
+    epoch_us,
     is_valid_email,
     is_valid_rut,
     money,
@@ -15,6 +16,7 @@ __all__ = [
     "blank_to_null",
     "bool_to_int",
     "clean_string",
+    "epoch_us",
     "is_valid_email",
     "is_valid_rut",
     "money",

@@ -26,6 +26,26 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def epoch_us(c: Column | str) -> Column:
+    """Exact microseconds since 1970-01-01 00:00:00 for BOTH timestamp
+    flavors.
+
+    Parquet ``timestamp[us]`` columns with no timezone read as
+    ``TIMESTAMP_NTZ`` under Spark 4.1's NTZ inference, and
+    ``F.unix_micros`` rejects NTZ input outright. Casting through
+    ``timestamp_ntz`` first is a no-op passthrough for NTZ sources (the
+    common case — raw parquet micros, matching what DuckDB sees) and a
+    session-timezone wall-clock conversion for LTZ sources (sessions pin
+    UTC, so the epoch is unchanged). The diff against a literal naive
+    epoch origin is integer-exact and timezone-independent.
+    """
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        _col(c).cast("timestamp_ntz"),
+    )
+
+
 def clean_string(c: Column | str) -> Column:
     """C1: trim whitespace (etl_service.py:29,34,39,...)."""
     return F.trim(_col(c))

@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imperio_patitas_etl_spark.functions.cleaning import epoch_us
+
 
 def explode_nested(
     df: DataFrame,
@@ -167,9 +169,9 @@ def range_join_binned(
     it near the typical interval length so intervals explode to O(1) bins.
     Timestamps are compared in exact integer microseconds.
     """
-    p_us = F.unix_micros(F.col(point_ts))
-    s_us = F.unix_micros(F.col(start_ts))
-    e_us = F.unix_micros(F.col(end_ts))
+    p_us = epoch_us(point_ts)
+    s_us = epoch_us(start_ts)
+    e_us = epoch_us(end_ts)
     p = points.withColumn("_bin", F.floor(p_us / bin_micros))
     i = intervals.withColumn(
         "_bin",
@@ -178,8 +180,8 @@ def range_join_binned(
         ),
     )
     out = p.join(i, on=[key, "_bin"]).filter(
-        (F.unix_micros(F.col(point_ts)) >= F.unix_micros(F.col(start_ts)))
-        & (F.unix_micros(F.col(point_ts)) < F.unix_micros(F.col(end_ts)))
+        (epoch_us(point_ts) >= epoch_us(start_ts))
+        & (epoch_us(point_ts) < epoch_us(end_ts))
     )
     # an interval spanning k bins meets an in-range point in exactly one
     # bin (the point's own), so no pair-dedup is needed

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imperio_patitas_etl_spark.functions.cleaning import epoch_us
+
 DEFAULT_GAP_US = 30 * 60 * 1_000_000
 
 
@@ -60,7 +62,7 @@ def _merge_spans(spans: DataFrame, gap_us: int) -> DataFrame:
 
 
 def _event_spans(events: DataFrame) -> DataFrame:
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us("ts")
     return events.select(
         "user_id",
         us.alias("start_us"),

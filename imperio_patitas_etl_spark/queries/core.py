@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.functions.cleaning import (
     avg2_exact,
+    epoch_us,
     round2_exact,
     sql_avg2_exact,
     sql_round2_exact,
@@ -514,7 +515,7 @@ def q_window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusive [t−3600, t]), the time-series rollup shape. Value summed in
     exact integer cents; one shuffle on the partition key."""
     e = load_table(spark, sf_dir, "events")
-    epoch_s = F.unix_micros(F.col("ts")) / F.lit(1_000_000)
+    epoch_s = epoch_us("ts") / F.lit(1_000_000)
     cents = F.round(F.col("value") * 100).cast("long")
     w = (
         Window.partitionBy("user_id")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from imperio_patitas_etl_spark.functions.cleaning import epoch_us
 from imperio_patitas_etl_spark.sources.parquet import load_table
 from imperio_patitas_etl_spark.streaming.events import (
     dedup_counts,
@@ -235,11 +236,11 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    prev_us = F.lag(epoch_us("ts")).over(w)
     new_sess = (
         F.when(
             prev_us.isNull()
-            | (F.unix_micros(F.col("ts")) - prev_us >= SESSION_GAP_US),
+            | (epoch_us("ts") - prev_us >= SESSION_GAP_US),
             F.lit(1),
         )
         .otherwise(F.lit(0))
@@ -280,6 +281,21 @@ ORACLE_SESSIONIZE = f"""
 """
 
 
+def q_sessionize_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune sessionization (``operators/sessionize.py:
+    sessionize_sharded``): events bucket into fixed time shards ≥ the gap,
+    sessions compute per (user, shard) — so one hot user's events never
+    sort in a single task — and boundary-straddling sessions stitch by
+    re-running gaps-and-islands over the per-shard session SUMMARIES.
+    Results are provably identical to ``sessionize_events`` (property-
+    tested in tests/test_sessionize_sharded.py), so this key shares its
+    oracle; a green row certifies the skew path end-to-end."""
+    from imperio_patitas_etl_spark.operators.sessionize import sessionize_sharded
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return sessionize_sharded(e)
+
+
 QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_session_window": q_stream_session_window,
@@ -288,6 +304,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "sessionize_events": q_sessionize_events,
+    "sessionize_sharded": q_sessionize_sharded,
 }
 
 ORACLE = {
@@ -298,4 +315,5 @@ ORACLE = {
     "asof_join": ORACLE_ASOF,
     "range_join": ORACLE_RANGE_JOIN,
     "sessionize_events": ORACLE_SESSIONIZE,
+    "sessionize_sharded": ORACLE_SESSIONIZE,
 }

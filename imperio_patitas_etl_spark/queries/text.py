@@ -1040,6 +1040,132 @@ ORACLE_DUP_CLUSTERS = f"""
 """
 
 
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ``dup_clusters`` — (doc_id, cluster_id = min doc_id
+    of the duplicate component) over the SAME Jaccard edge set — but
+    computed with the alternating large-star/small-star contraction
+    (``operators/graph.py:connected_components_star``), the O(log n)-round
+    path for graphs whose diameter is unbounded. Both algorithms reach the
+    same unique fixpoint (property-tested against a union-find oracle in
+    tests/test_graph_star.py), so this key shares ``dup_clusters``'s
+    oracle; a green row here certifies the SCALE path, not just the
+    diameter-bounded one."""
+    from imperio_patitas_etl_spark.operators.graph import connected_components_star
+
+    pairs = q_ngram_jaccard_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return connected_components_star(docs, pairs)
+
+
+#: deterministic "arriving batch" split for the incremental-MinHash key:
+#: doc_id ≡ 7 (mod 10) plays the new batch, the rest the standing corpus.
+MINHASH_BATCH_MOD = 10
+MINHASH_BATCH_REMAINDER = 7
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time MinHash-LSH: the corpus is signed once, the arriving
+    batch (a deterministic doc_id slice) signs only itself and probes the
+    corpus band index. Output = (doc_new, doc_corpus, jaccard_bp) verified
+    cross pairs at Jaccard ≥ 0.5 — see ``minhash_lsh_pairs_incremental``
+    for the 100 TB shape (materialized band index, broadcast batch)."""
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % MINHASH_BATCH_MOD == MINHASH_BATCH_REMAINDER
+    return minhash_lsh_pairs_incremental(d.filter(is_new), d.filter(~is_new))
+
+
+def _sql_minhash_incremental() -> str:
+    """DuckDB twin of ``q_minhash_incremental`` — mirrors the incremental
+    path literally: NO exact-dup pre-collapse (the batch probes the corpus
+    as-is), band match between the two sides, exact-Jaccard verify."""
+    xs = f"list_transform(shingles, s -> {_sql_md5int('s')} % {P})"
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform({xs}, x -> ({a} * x + {b}) % {P})) AS sig{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    def bands(src: str) -> str:
+        return "\n        UNION ALL\n".join(
+            f"        SELECT doc_id, {i} AS band_idx, "
+            f"(sig{2 * i} || '_' || sig{2 * i + 1}) AS band_sig FROM {src}"
+            for i in range(N_BANDS)
+        )
+    return f"""
+    WITH nd AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {MINHASH_BATCH_MOD} = {MINHASH_BATCH_REMAINDER}
+    ), cd AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % {MINHASH_BATCH_MOD} <> {MINHASH_BATCH_REMAINDER}
+    ), sn AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM nd
+    ), sc AS (
+        SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM cd
+    ), sign_n AS (
+        SELECT doc_id,
+               {sig_exprs}
+        FROM sn
+    ), sign_c AS (
+        SELECT doc_id,
+               {sig_exprs}
+        FROM sc
+    ), bn AS (
+{bands('sign_n')}
+    ), bc AS (
+{bands('sign_c')}
+    ), cand AS (
+        SELECT DISTINCT n.doc_id AS doc_new, c.doc_id AS doc_corpus
+        FROM bc c JOIN bn n
+          ON c.band_idx = n.band_idx AND c.band_sig = n.band_sig
+    ), verified AS (
+        SELECT doc_new, doc_corpus,
+               len(list_intersect(a.shingles, b.shingles))::BIGINT AS n_inter,
+               len(a.shingles)::BIGINT AS n_a,
+               len(b.shingles)::BIGINT AS n_b
+        FROM cand
+        JOIN sn a ON a.doc_id = doc_new
+        JOIN sc b ON b.doc_id = doc_corpus
+    )
+    SELECT doc_new, doc_corpus,
+           ((n_inter * 10000 * 2 + (n_a + n_b - n_inter)) // ((n_a + n_b - n_inter) * 2))
+               AS jaccard_bp
+    FROM verified WHERE {JACCARD_T3}
+    """
+
+
+def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalized smooth-IDF weights over the ``tf_vectorize`` triples
+    (``operators/vectorize.py:tfidf``), integerized to micro-units
+    (weight_ubp = round(weight · 10⁶)) so the only floating-point ops —
+    ln, sqrt, division, all IEEE-deterministic — hash identically against
+    the DuckDB twin. n_docs is a one-scalar parquet count (metadata-cheap;
+    the vocabulary-style constant every TF-IDF needs)."""
+    from imperio_patitas_etl_spark.operators.vectorize import tfidf
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    w = tfidf(q_tf_vectorize(spark, sf_dir), n_docs)
+    return w.select(
+        "doc_id",
+        "term_id",
+        F.round(F.col("weight") * 1_000_000).cast("long").alias("weight_ubp"),
+    )
+
+
+ORACLE_TFIDF_WEIGHTS = f"""
+    WITH tf AS ({ORACLE_TF_VECTORIZE}
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), raw AS (
+        SELECT doc_id, term_id,
+               tf * (ln((1.0 + n_docs) / (1.0 + COUNT(*) OVER (PARTITION BY term_id))) + 1.0) AS w
+        FROM tf, n
+    )
+    SELECT doc_id, term_id,
+           CAST(ROUND((w / sqrt(SUM(w * w) OVER (PARTITION BY doc_id))) * 1000000) AS BIGINT)
+               AS weight_ubp
+    FROM raw
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1054,6 +1180,9 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "tf_vectorize": q_tf_vectorize,
     "dup_clusters": q_dup_clusters,
+    "dup_clusters_star": q_dup_clusters_star,
+    "minhash_incremental": q_minhash_incremental,
+    "tfidf_weights": q_tfidf_weights,
 }
 
 ORACLE = {
@@ -1070,4 +1199,7 @@ ORACLE = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "tf_vectorize": ORACLE_TF_VECTORIZE,
     "dup_clusters": ORACLE_DUP_CLUSTERS,
+    "dup_clusters_star": ORACLE_DUP_CLUSTERS,
+    "minhash_incremental": _sql_minhash_incremental(),
+    "tfidf_weights": ORACLE_TFIDF_WEIGHTS,
 }

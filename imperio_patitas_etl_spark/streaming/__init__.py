@@ -1,7 +1,6 @@
 """Structured Streaming ingest + windowed operators (SURVEY.md §7 phase 3)."""
 
 from imperio_patitas_etl_spark.streaming.events import (  # noqa: F401
-    EVENTS_RAW_SCHEMA,
     foreach_batch_upsert,
     read_events_stream,
     run_stream_to_memory,

@@ -28,33 +28,31 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-#: Declared source schema — ``ts`` arrives as long (nanos) because the
-#: testdata parquet uses TIMESTAMP(NANOS) (see sources/parquet.py).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with a plain timestamp
-    column. ``maxFilesPerTrigger`` keeps micro-batches bounded."""
+    column. ``maxFilesPerTrigger`` keeps micro-batches bounded.
+
+    File streams require a declared schema; it is taken from a batch
+    metadata peek of the same path so the stream tracks however the
+    testdata encodes ``ts`` — TIMESTAMP(NANOS) (arrives as long under
+    ``nanosAsLong``, converted here) or plain micros (arrives as a
+    timestamp type, passed through) — instead of hardcoding one vintage.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         # the file source requires a directory or glob, not a bare file
         # path; the single-character glob class streams the one-file
         # testdata table (production would point at a landing directory)
         .parquet(f"{sf_dir}/events.parque[t]")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks demand TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    # NTZ); session tz is pinned UTC, so the cast is wall-clock exact
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from imperio_patitas_etl_spark.sources.parquet import load_table
-from imperio_patitas_etl_spark.streaming.events import EVENTS_RAW_SCHEMA
 from imperio_patitas_etl_spark.streaming.stateful import running_user_totals
 
 
@@ -15,15 +14,16 @@ def test_stateful_totals_across_batches(spark, sf_dir, tmp_path):
     # split events into 4 files so availableNow + maxFilesPerTrigger=1
     # yields 4 micro-batches — state must survive between them
     src_dir = str(tmp_path / "events_split")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw.repartition(4).write.parquet(src_dir)
 
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     q = (
         running_user_totals(stream)
         .writeStream.format("memory")
