@@ -623,6 +623,142 @@ ORACLE_Q14 = f"""
 """
 
 
+#: Q19 disjunctive clause constants — three (brand, size-cap, quantity
+#: band) alternatives OR'd together, with a common l_linestatus predicate
+#: standing in for the testdata's missing shipmode/shipinstruct columns.
+Q19_CLAUSES = (
+    ("Brand#12", 15, 1, 11),
+    ("Brand#23", 25, 10, 20),
+    ("Brand#34", 35, 20, 30),
+)
+Q19_STATUS = "F"
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue under an OR-of-ANDs predicate spanning
+    both join sides — the disjunctive-pushdown plan family.
+
+    A disjunction straddling a join can't be pushed as-is, but each side's
+    ENVELOPE can: the part scan gets `brand IN (…) AND size ≤ max`, the
+    lineitem scan gets the quantity hull `[1, 30]` plus the conjunctive
+    linestatus predicate — both visible as PushedFilters — so the join
+    touches a fraction of each table before the exact OR runs as the join
+    residual. Part side broadcasts (it's a filtered dim); lineitem is
+    never shuffled. Revenue is integerized at 4 decimals pre-SUM, so
+    partial aggregation is order-exact."""
+    brands = [c[0] for c in Q19_CLAUSES]
+    max_size = max(c[1] for c in Q19_CLAUSES)
+    qty_lo = min(c[2] for c in Q19_CLAUSES)
+    qty_hi = max(c[3] for c in Q19_CLAUSES)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(*brands) & (F.col("p_size") <= max_size))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_linestatus") == Q19_STATUS)
+        & (F.col("l_quantity") >= qty_lo)
+        & (F.col("l_quantity") <= qty_hi)
+    )
+    clause = None
+    for brand, size_max, lo, hi in Q19_CLAUSES:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= size_max)
+            & (F.col("l_quantity") >= lo)
+            & (F.col("l_quantity") <= hi)
+        )
+        clause = c if clause is None else (clause | c)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(
+            sum2_exact(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), true_decimals=4
+            ).alias("revenue")
+        )
+    )
+
+
+def _sql_q19() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} "
+        f"AND l_quantity BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in Q19_CLAUSES
+    )
+    return f"""
+    SELECT {sql_sum2_exact("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l_linestatus = '{Q19_STATUS}' AND ({ors})
+"""
+
+
+Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
+Q20_NAME_PREFIX = "small"
+Q20_QTY = 50
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential-part-promotion (adapted: the testdata has no
+    partsupp, so the availability threshold is a fixed shipped-quantity
+    cap instead of 0.5·ps_availqty — the nested-subquery plan family is
+    unchanged): suppliers who shipped more than Q20_QTY units of any
+    name-prefixed part inside the date year.
+
+    Decorrelated single-fact-pass shape: the name-filtered part dim
+    BROADCASTS onto the date-pruned lineitem scan (both predicates reach
+    their scans), per-(part, supplier) quantities are one map-side-
+    combinable groupBy, the threshold filters that small aggregate, and
+    its distinct supplier keys — a few rows — drive a broadcast SEMI join
+    against supplier⋈nation. No correlated re-scan, no fact shuffle
+    beyond the one aggregation exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q20_HI).cast("timestamp"))
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    over = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q20_QTY)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(over), s.s_suppkey == over.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+ORACLE_Q20 = f"""
+    SELECT s_name, n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '{Q20_NAME_PREFIX}%'
+              AND l.l_shipdate >= TIMESTAMP '{Q20_LO} 00:00:00'
+              AND l.l_shipdate < TIMESTAMP '{Q20_HI} 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+        ) WHERE sum_qty > {Q20_QTY}
+    )
+    ORDER BY s_name
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
@@ -634,6 +770,8 @@ QUERIES = {
     "tpch_q14": q_tpch_q14,
     "tpch_q17": q_tpch_q17,
     "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
     "grouping_sets": q_grouping_sets,
 }
@@ -649,6 +787,8 @@ ORACLE = {
     "tpch_q14": ORACLE_Q14,
     "tpch_q17": ORACLE_Q17,
     "tpch_q18": ORACLE_Q18,
+    "tpch_q19": _sql_q19(),
+    "tpch_q20": ORACLE_Q20,
     "tpch_q21": ORACLE_Q21,
     "grouping_sets": ORACLE_GROUPING_SETS,
 }

@@ -35,14 +35,16 @@ EXTENSION_KEYS = {
     "cube_rollup", "union_except", "window_running_sum", "distinct_agg",
     "kmv_distinct_sketch", "percentile_agg",
     "grouping_sets", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q21",
-    "salted_join_skew", "sessionize_events",
+    "tpch_q10", "tpch_q12", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21",
+    "salted_join_skew", "sessionize_events", "sessionize_sharded",
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
     "json_extract", "asof_join", "range_join", "window_lag_rank",
     "window_range_rolling",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_dedup",
     "doc_fingerprint", "token_count", "quality_score", "lang_id",
-    "quality_gopher", "stratified_sample", "dup_clusters", "tf_vectorize",
+    "quality_gopher", "stratified_sample", "dup_clusters", "dup_clusters_star",
+    "tf_vectorize", "tfidf_weights", "minhash_incremental",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf", "ann_ivf_trained",
     "ann_recall", "simhash_near_dup", "embedding_cosine_dedup",
     "multimodal_decode_stub", "multimodal_feature_extract",
