@@ -32,6 +32,8 @@ HEADLINE = [
     "tpch_q14",
     "tpch_q17",
     "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
     "tpch_q21",
     "multi_join_star",
     "groupby_avg",
@@ -50,10 +52,14 @@ HEADLINE = [
     "ngram_jaccard_dedup",
     "simhash_near_dup",
     "dup_clusters",
+    "dup_clusters_star",
+    "minhash_incremental",
     "quality_gopher",
     "stratified_sample",
     "tf_vectorize",
+    "tfidf_weights",
     "sessionize_events",
+    "sessionize_sharded",
     "kmv_distinct_sketch",
     "token_count",
     "quality_score",

@@ -736,28 +736,41 @@ ORACLE_SIMHASH_NEAR_DUP = f"""
 # repetition-quality signals / stratified sampling / duplicate clustering
 # --------------------------------------------------------------------------
 
-#: word bigrams of the ``words`` array (1-based element_at); empty for
-#: single-word docs — the CASE guard matters because Spark's
-#: sequence(1, 0) helpfully counts DOWN instead of returning [].
-_BIGRAMS = (
-    "CASE WHEN size(words) >= 2 THEN "
-    "transform(sequence(1, size(words) - 1), "
-    "i -> concat(element_at(words, i), ' ', element_at(words, i + 1))) "
-    "ELSE array() END"
+#: full Gopher repetition ladder (Rae et al. 2021 §A1.1): TOP-n-gram
+#: coverage for n = 1..4 (fraction of n-gram positions claimed by the
+#: single most frequent n-gram) and DUP-n-gram fraction for n = 5..10
+#: (fraction of n-gram positions whose n-gram occurs more than once).
+#: The paper weights by characters over newline-delimited text; this
+#: corpus is single-line whitespace tokens, so both families are
+#: position-weighted — same signal, exact integer arithmetic.
+GOPHER_TOP_NS = (1, 2, 3, 4)
+GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
+
+#: one (g, gram) row per n-gram position per order g = 1..10, built as a
+#: single per-row nested transform and exploded ONCE — not one
+#: explode-union per order, which would scan the corpus 10×.
+_TAGGED_NGRAMS = (
+    "flatten(transform(sequence(1, 10), g -> "
+    "CASE WHEN size(words) >= g THEN "
+    "transform(sequence(1, size(words) - g + 1), "
+    "i -> struct(g AS g, array_join(slice(words, i, g), ' ') AS tok)) "
+    "ELSE array() END))"
 )
 
 
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style repetition signals (Rae et al. 2021 §A1.1 adapted to
-    the whitespace-token corpus — no newlines, so the line-based fractions
-    become token-based): duplicate-token fraction, top-unigram coverage,
-    and top-bigram coverage, all in exact half-up integer basis points.
+    """Gopher repetition signals, full ladder (Rae et al. 2021 §A1.1
+    adapted to the whitespace-token corpus): duplicate-token fraction,
+    top-{1,2,3,4}-gram coverage, and dup-{5..10}-gram fraction, all in
+    exact half-up integer basis points over n-gram POSITIONS
+    (positions(g) = n_words − g + 1).
 
-    Scale shape: the distinct/dup counts are per-row array ops (narrow);
-    the top-n-gram counts explode tokens and aggregate twice — both
-    groupBys are map-side-combinable and keyed by doc_id, so the shuffle
-    carries one row per (doc, distinct gram) and the second one row per
-    doc. No UDFs, no collects."""
+    Scale shape: ONE tagged explode produces every (doc, g, gram)
+    position row (~10× the token stream, all narrow), then two map-side-
+    combinable groupBys: (doc, g, gram) → count, then doc → the ten
+    conditional aggregates. The shuffle carries one row per distinct
+    (doc, g, gram) and then one per doc. No UDFs, no collects, no
+    per-order corpus rescans."""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("words")).select(
         "doc_id",
@@ -765,25 +778,22 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("long").alias("n"),
         (F.size("words") - F.size(F.array_distinct("words"))).cast("long").alias("n_dup"),
     )
-    # one tagged stream instead of separate unigram/bigram pipelines: both
-    # n-gram orders share the (doc, gram)-count → per-doc-max reduction, so
-    # tagging the grams (g=0 unigram, g=1 bigram) halves the shuffle count
-    # (2 instead of 4) and replaces two result joins with one.
     tagged = base.select(
-        "doc_id", F.lit(0).alias("g"), F.explode("words").alias("tok")
-    ).unionByName(
-        base.select(
-            "doc_id", F.lit(1).alias("g"), F.explode(F.expr(_BIGRAMS)).alias("tok")
-        )
-    )
-    mx = (
-        tagged.groupBy("doc_id", "g", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("g") == 0, F.col("c"))).alias("mx_uni"),
-            F.max(F.when(F.col("g") == 1, F.col("c"))).alias("mx_bi"),
-        )
+        "doc_id", F.explode(F.expr(_TAGGED_NGRAMS)).alias("p")
+    ).select("doc_id", F.col("p.g").alias("g"), F.col("p.tok").alias("tok"))
+    cnt = tagged.groupBy("doc_id", "g", "tok").agg(F.count("*").alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("g") == g, F.col("c"))).alias(f"mx{g}")
+            for g in GOPHER_TOP_NS
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when((F.col("g") == g) & (F.col("c") > 1), F.col("c"))),
+                F.lit(0),
+            ).alias(f"dup{g}")
+            for g in GOPHER_DUP_NS
+        ],
     )
 
     def _bp_half_up(num_col, den_col):
@@ -791,54 +801,83 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = den_col * 2
         return ((num - num % den) / den).cast("long")
 
-    out = base.join(mx, "doc_id")
+    def _pos_bp(num_col, g: int):
+        positions = F.col("n") - (g - 1)
+        return (
+            F.when(F.col("n") >= g, _bp_half_up(num_col, positions))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    out = base.join(per, "doc_id")
     return out.select(
         "doc_id",
         F.col("n").alias("n_words"),
         _bp_half_up(F.col("n_dup"), F.col("n")).alias("dup_token_bp"),
-        _bp_half_up(F.col("mx_uni"), F.col("n")).alias("top_token_bp"),
-        F.when(
-            F.col("n") >= 2, _bp_half_up(F.col("mx_bi"), F.col("n") - 1)
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("top_bigram_bp"),
+        _pos_bp(F.col("mx1"), 1).alias("top_token_bp"),
+        _pos_bp(F.col("mx2"), 2).alias("top_bigram_bp"),
+        _pos_bp(F.col("mx3"), 3).alias("top_3gram_bp"),
+        _pos_bp(F.col("mx4"), 4).alias("top_4gram_bp"),
+        *[
+            _pos_bp(F.col(f"dup{g}"), g).alias(f"dup_{g}gram_bp")
+            for g in GOPHER_DUP_NS
+        ],
     )
 
 
-ORACLE_QUALITY_GOPHER = """
+def _sql_quality_gopher() -> str:
+    mx_cols = ",\n               ".join(
+        f"MAX(CASE WHEN g = {g} THEN c END)::BIGINT AS mx{g}" for g in GOPHER_TOP_NS
+    )
+    dup_cols = ",\n               ".join(
+        f"COALESCE(SUM(CASE WHEN g = {g} AND c > 1 THEN c END), 0)::BIGINT AS dup{g}"
+        for g in GOPHER_DUP_NS
+    )
+
+    def pos_bp(num: str, g: int, alias: str) -> str:
+        return (
+            f"CASE WHEN n >= {g} THEN (({num} * 10000 * 2 + (n - {g - 1})) "
+            f"// ((n - {g - 1}) * 2)) ELSE 0 END AS {alias}"
+        )
+
+    out_cols = ",\n           ".join(
+        [
+            pos_bp("mx1", 1, "top_token_bp"),
+            pos_bp("mx2", 2, "top_bigram_bp"),
+            pos_bp("mx3", 3, "top_3gram_bp"),
+            pos_bp("mx4", 4, "top_4gram_bp"),
+        ]
+        + [pos_bp(f"dup{g}", g, f"dup_{g}gram_bp") for g in GOPHER_DUP_NS]
+    )
+    return f"""
     WITH w AS (
         SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
     ), base AS (
         SELECT doc_id, len(words)::BIGINT AS n,
                (len(words) - len(list_distinct(words)))::BIGINT AS n_dup
         FROM w
-    ), uni AS (
-        SELECT doc_id, MAX(c)::BIGINT AS mx_uni FROM (
-            SELECT doc_id, tok, COUNT(*) AS c
-            FROM (SELECT doc_id, unnest(words) AS tok FROM w)
-            GROUP BY doc_id, tok
-        ) GROUP BY doc_id
-    ), bi AS (
-        SELECT doc_id, MAX(c)::BIGINT AS mx_bi FROM (
-            SELECT doc_id, tok, COUNT(*) AS c
-            FROM (SELECT doc_id,
-                         unnest(list_transform(range(1, len(words)),
-                                i -> words[i] || ' ' || words[i + 1])) AS tok
-                  FROM w)
-            GROUP BY doc_id, tok
-        ) GROUP BY doc_id
+    ), tagged AS (
+        SELECT doc_id, g,
+               unnest(list_transform(range(1, len(words) - g + 2),
+                      i -> array_to_string(words[i:i + g - 1], ' '))) AS tok
+        FROM w, range(1, 11) t(g)
+        WHERE len(words) >= g
+    ), cnt AS (
+        SELECT doc_id, g, tok, COUNT(*) AS c FROM tagged GROUP BY doc_id, g, tok
+    ), per AS (
+        SELECT doc_id,
+               {mx_cols},
+               {dup_cols}
+        FROM cnt GROUP BY doc_id
     )
     SELECT b.doc_id, b.n AS n_words,
            ((b.n_dup * 10000 * 2 + b.n) // (b.n * 2)) AS dup_token_bp,
-           ((u.mx_uni * 10000 * 2 + b.n) // (b.n * 2)) AS top_token_bp,
-           CASE WHEN b.n >= 2
-                THEN ((bi.mx_bi * 10000 * 2 + (b.n - 1)) // ((b.n - 1) * 2))
-                ELSE 0 END AS top_bigram_bp
-    FROM base b
-    JOIN uni u USING (doc_id)
-    LEFT JOIN bi USING (doc_id)
+           {out_cols}
+    FROM base b JOIN per USING (doc_id)
 """
+
+
+ORACLE_QUALITY_GOPHER = _sql_quality_gopher()
 
 
 #: per-stratum keep rates in basis points: downsample the majority 'en'

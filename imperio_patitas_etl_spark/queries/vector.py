@@ -649,12 +649,75 @@ def _sql_recall() -> str:
     return arm("lsh", ORACLE_ANN_LSH) + "\n    UNION ALL\n" + arm("ivf", ORACLE_ANN_IVF)
 
 
+def q_cosine_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the ``embedding_cosine_dedup`` LSH prefilter against the
+    exact all-pairs ground truth — the miss-rate audit the ANN variants
+    already have (``ann_recall``): the prefilter is approximate by design
+    (a true near-dup pair split across buckets by a hyperplane is never
+    verified), and this key turns that from a caveat into a number.
+
+    Verified candidates are a SUBSET of the truth set (the verify step is
+    exact cosine on exact integers), so hits = |found| and
+    recall_bp = |found| / |all pairs with cosine ≥ T| in half-up basis
+    points. The denominator is a deliberate brute-force all-pairs pass —
+    a broadcast nested-loop over the corpus — which is what makes this an
+    AUDIT query you run on a sample (as here, at test SF), not a
+    production plan; the plan under audit stays shuffle-bounded."""
+    n_rows = load_table(spark, sf_dir, "embeddings").count()
+    v = _with_ivec(spark, sf_dir)
+    vb = v.withColumn("bucket", _bucket_expr(collect_planes(v, dedup_n_planes(n_rows))))
+    found = cosine_pairs_lsh(vb, COS_DEDUP_T)
+    a, b = v.alias("a"), v.alias("b")
+    truth = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            (
+                _dot("a.ivec", "b.ivec")
+                / F.sqrt(F.col("a.norm2").cast("double") * F.col("b.norm2").cast("double"))
+            ).alias("cosine")
+        )
+        .filter(F.col("cosine") >= COS_DEDUP_T)
+    )
+    hits = found.agg(F.count("*").cast("long").alias("hits"))
+    denom = truth.agg(F.count("*").cast("long").alias("denom"))
+    num = F.col("hits") * 10000 * 2 + F.col("denom")
+    den = F.col("denom") * 2
+    return hits.crossJoin(denom).select(
+        F.lit("lsh").alias("method"),
+        "hits",
+        "denom",
+        ((num - num % den) / den).cast("long").alias("recall_bp"),
+    )
+
+
+ORACLE_COS_DEDUP_RECALL = f"""
+    SELECT 'lsh' AS method, hits, denom,
+           ((hits * 10000 * 2 + denom) // (denom * 2)) AS recall_bp
+    FROM (
+        SELECT (SELECT COUNT(*)::BIGINT FROM ({ORACLE_COS_DEDUP})) AS hits,
+               (SELECT COUNT(*)::BIGINT FROM (
+                   WITH v AS (
+                       SELECT vec_id, {_SQL_IVEC} AS ivec,
+                              list_sum(list_transform({_SQL_IVEC}, x -> x * x))::BIGINT AS norm2
+                       FROM embeddings
+                   )
+                   SELECT 1
+                   FROM v a JOIN v b ON a.vec_id < b.vec_id
+                   WHERE list_sum(list_transform(range(1, 65),
+                             i -> a.ivec[i] * b.ivec[i]))::BIGINT
+                         / sqrt(a.norm2::DOUBLE * b.norm2::DOUBLE) >= {COS_DEDUP_T}
+               )) AS denom
+    )
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
+    "cosine_dedup_recall": q_cosine_dedup_recall,
     "ann_recall": q_ann_recall,
 }
 
@@ -664,5 +727,6 @@ ORACLE = {
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
     "embedding_cosine_dedup": ORACLE_COS_DEDUP,
+    "cosine_dedup_recall": ORACLE_COS_DEDUP_RECALL,
     "ann_recall": _sql_recall(),
 }
