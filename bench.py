@@ -55,6 +55,9 @@ HEADLINE = [
     "dup_clusters_star",
     "minhash_incremental",
     "quality_gopher",
+    "gopher_filter",
+    "decontaminate_ngram",
+    "unigram_logprob",
     "stratified_sample",
     "tf_vectorize",
     "tfidf_weights",

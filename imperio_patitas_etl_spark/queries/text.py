@@ -746,16 +746,34 @@ ORACLE_SIMHASH_NEAR_DUP = f"""
 GOPHER_TOP_NS = (1, 2, 3, 4)
 GOPHER_DUP_NS = (5, 6, 7, 8, 9, 10)
 
-#: one (g, gram) row per n-gram position per order g = 1..10, built as a
-#: single per-row nested transform and exploded ONCE — not one
-#: explode-union per order, which would scan the corpus 10×.
-_TAGGED_NGRAMS = (
-    "flatten(transform(sequence(1, 10), g -> "
-    "CASE WHEN size(words) >= g THEN "
-    "transform(sequence(1, size(words) - g + 1), "
-    "i -> struct(g AS g, array_join(slice(words, i, g), ' ') AS tok)) "
-    "ELSE array() END))"
-)
+def _rep_stats_expr(g: int) -> str:
+    """Per-ROW repetition stats for order-``g`` n-grams of ``words``:
+    struct(mx = multiplicity of the most frequent n-gram, dup = number of
+    n-gram positions whose n-gram occurs more than once).
+
+    Repetition is a PER-DOCUMENT property, so it never needs a corpus-wide
+    (doc, gram) shuffle: sort the document's own n-gram array and fold
+    once over it counting runs of equal neighbors (run length = that
+    gram's multiplicity). The fold is a codegen'd higher-order
+    ``aggregate`` with a 4-field struct accumulator — O(positions · g)
+    per row after an O(p log p) sort, zero exchanges."""
+    grams = (
+        f"CASE WHEN size(words) >= {g} THEN "
+        f"transform(sequence(1, size(words) - {g} + 1), "
+        f"i -> array_join(slice(words, i, {g}), ' ')) "
+        "ELSE array() END"
+    )
+    return (
+        "aggregate("
+        f"array_sort({grams}), "
+        "struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS mx, 0L AS dup), "
+        "(a, x) -> CASE WHEN a.prev IS NOT NULL AND x = a.prev "
+        "THEN struct(x AS prev, a.run + 1L AS run, a.mx AS mx, a.dup AS dup) "
+        "ELSE struct(x AS prev, 1L AS run, greatest(a.mx, a.run) AS mx, "
+        "a.dup + IF(a.run > 1L, a.run, 0L) AS dup) END, "
+        "a -> struct(greatest(a.mx, a.run) AS mx, "
+        "a.dup + IF(a.run > 1L, a.run, 0L) AS dup))"
+    )
 
 
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,34 +783,23 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact half-up integer basis points over n-gram POSITIONS
     (positions(g) = n_words − g + 1).
 
-    Scale shape: ONE tagged explode produces every (doc, g, gram)
-    position row (~10× the token stream, all narrow), then two map-side-
-    combinable groupBys: (doc, g, gram) → count, then doc → the ten
-    conditional aggregates. The shuffle carries one row per distinct
-    (doc, g, gram) and then one per doc. No UDFs, no collects, no
-    per-order corpus rescans."""
+    Scale shape: ZERO shuffles. Every signal is a per-document function of
+    that document's own tokens, so each order's stats fold per row over
+    the sorted n-gram array (``_rep_stats_expr``) — the whole query is one
+    narrow projection over the scan, embarrassingly parallel at any
+    corpus size. (The first cut of this query exploded a tagged
+    (doc, g, gram) stream through two groupBys; correct, but it shuffled
+    ~10× the token stream to compute per-row facts — the relational twin
+    survives as the DuckDB oracle.)"""
     d = load_table(spark, sf_dir, "documents")
     base = d.select("doc_id", F.split("text", " ").alias("words")).select(
         "doc_id",
         "words",
         F.size("words").cast("long").alias("n"),
         (F.size("words") - F.size(F.array_distinct("words"))).cast("long").alias("n_dup"),
-    )
-    tagged = base.select(
-        "doc_id", F.explode(F.expr(_TAGGED_NGRAMS)).alias("p")
-    ).select("doc_id", F.col("p.g").alias("g"), F.col("p.tok").alias("tok"))
-    cnt = tagged.groupBy("doc_id", "g", "tok").agg(F.count("*").alias("c"))
-    per = cnt.groupBy("doc_id").agg(
         *[
-            F.max(F.when(F.col("g") == g, F.col("c"))).alias(f"mx{g}")
-            for g in GOPHER_TOP_NS
-        ],
-        *[
-            F.coalesce(
-                F.sum(F.when((F.col("g") == g) & (F.col("c") > 1), F.col("c"))),
-                F.lit(0),
-            ).alias(f"dup{g}")
-            for g in GOPHER_DUP_NS
+            F.expr(_rep_stats_expr(g)).alias(f"st{g}")
+            for g in (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
         ],
     )
 
@@ -809,17 +816,16 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         )
 
-    out = base.join(per, "doc_id")
-    return out.select(
+    return base.select(
         "doc_id",
         F.col("n").alias("n_words"),
         _bp_half_up(F.col("n_dup"), F.col("n")).alias("dup_token_bp"),
-        _pos_bp(F.col("mx1"), 1).alias("top_token_bp"),
-        _pos_bp(F.col("mx2"), 2).alias("top_bigram_bp"),
-        _pos_bp(F.col("mx3"), 3).alias("top_3gram_bp"),
-        _pos_bp(F.col("mx4"), 4).alias("top_4gram_bp"),
+        _pos_bp(F.col("st1.mx"), 1).alias("top_token_bp"),
+        _pos_bp(F.col("st2.mx"), 2).alias("top_bigram_bp"),
+        _pos_bp(F.col("st3.mx"), 3).alias("top_3gram_bp"),
+        _pos_bp(F.col("st4.mx"), 4).alias("top_4gram_bp"),
         *[
-            _pos_bp(F.col(f"dup{g}"), g).alias(f"dup_{g}gram_bp")
+            _pos_bp(F.col(f"st{g}.dup"), g).alias(f"dup_{g}gram_bp")
             for g in GOPHER_DUP_NS
         ],
     )
@@ -1205,6 +1211,186 @@ ORACLE_TFIDF_WEIGHTS = f"""
 """
 
 
+#: Gopher filter thresholds — the SHAPE is Rae et al. Table A1; the
+#: numbers are tuned to this synthetic corpus's measured quantiles
+#: (BASELINE.md) so every rule actually fires on some documents instead
+#: of being dead code. Bitmask reasons, so downstream can distinguish
+#: "too short" from "repetitious" without re-running the signals.
+GOPHER_MIN_WORDS = 20       # reason 1
+GOPHER_MAX_WORDS = 90       # reason 2
+GOPHER_MAX_DUP_TOKEN_BP = 6500   # reason 4
+GOPHER_MAX_TOP_TOKEN_BP = 1300   # reason 8
+GOPHER_MAX_DUP5_BP = 1000        # reason 16
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the Gopher quality RULES on top of the measured signals
+    (``quality_gopher``): per document, a reason bitmask of every rule it
+    violates and the resulting keep decision — the actual corpus-filter
+    step a training pipeline executes, with auditability (WHY a doc was
+    dropped survives into the output). Composes on the zero-shuffle
+    signal query, so the whole filter is still one narrow projection."""
+    sig = q_quality_gopher(spark, sf_dir)
+    mask = (
+        F.when(F.col("n_words") < GOPHER_MIN_WORDS, 1).otherwise(0)
+        + F.when(F.col("n_words") > GOPHER_MAX_WORDS, 2).otherwise(0)
+        + F.when(F.col("dup_token_bp") > GOPHER_MAX_DUP_TOKEN_BP, 4).otherwise(0)
+        + F.when(F.col("top_token_bp") > GOPHER_MAX_TOP_TOKEN_BP, 8).otherwise(0)
+        + F.when(F.col("dup_5gram_bp") > GOPHER_MAX_DUP5_BP, 16).otherwise(0)
+    ).cast("long")
+    return sig.select(
+        "doc_id",
+        mask.alias("reason_mask"),
+        (mask == 0).alias("keep"),
+    )
+
+
+ORACLE_GOPHER_FILTER = f"""
+    SELECT doc_id, reason_mask, reason_mask = 0 AS keep FROM (
+        SELECT doc_id,
+               (CASE WHEN n_words < {GOPHER_MIN_WORDS} THEN 1 ELSE 0 END
+                + CASE WHEN n_words > {GOPHER_MAX_WORDS} THEN 2 ELSE 0 END
+                + CASE WHEN dup_token_bp > {GOPHER_MAX_DUP_TOKEN_BP} THEN 4 ELSE 0 END
+                + CASE WHEN top_token_bp > {GOPHER_MAX_TOP_TOKEN_BP} THEN 8 ELSE 0 END
+                + CASE WHEN dup_5gram_bp > {GOPHER_MAX_DUP5_BP} THEN 16 ELSE 0 END
+               )::BIGINT AS reason_mask
+        FROM ({ORACLE_QUALITY_GOPHER})
+    )
+"""
+
+
+#: decontamination n-gram order. Real pipelines use 8-13-grams on natural
+#: text (GPT-3 App. C); this corpus draws ~40 word types, so 3-grams give
+#: the same statistical regime (overlap present but not saturated —
+#: measured 212/494 docs at sf0.01).
+DECON_N = 3
+DECON_EVAL_MOD = 97
+DECON_EVAL_REMAINDER = 3
+
+
+def _ngrams_expr(n: int) -> str:
+    return (
+        f"CASE WHEN size(words) >= {n} THEN "
+        f"transform(sequence(1, size(words) - {n} + 1), "
+        f"i -> array_join(slice(words, i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    ``DECON_N``-gram with the held-out evaluation slice (a deterministic
+    doc_id residue class standing in for a real benchmark suite). Output
+    per training doc: the number of overlapping n-gram positions and the
+    contaminated flag — the report a pipeline acts on before training.
+
+    Scale shape: the eval side of a decontamination is SMALL by nature
+    (benchmarks are thousands of documents, the corpus is billions), so
+    its distinct n-gram set BROADCASTS; the corpus side is one narrow
+    explode → broadcast LEFT SEMI-tagged join → per-doc count — the fact
+    stream shuffles once on doc_id for the count and never on gram
+    strings."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_REMAINDER
+    w = d.select("doc_id", F.split("text", " ").alias("words"))
+    grams = w.select(
+        "doc_id", F.explode(F.expr(_ngrams_expr(DECON_N))).alias("tok")
+    )
+    eval_grams = grams.filter(is_eval).select("tok").distinct()
+    train = grams.filter(~is_eval)
+    tagged = train.join(
+        F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "tok", "left"
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("overlap_positions"))
+        .select(
+            "doc_id",
+            "overlap_positions",
+            (F.col("overlap_positions") > 0).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(text, ' ') AS words FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words) - {DECON_N} + 2),
+                      i -> array_to_string(words[i:i + {DECON_N} - 1], ' '))) AS tok
+        FROM w WHERE len(words) >= {DECON_N}
+    ), ev AS (
+        SELECT DISTINCT tok FROM g
+        WHERE doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_REMAINDER}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (tok IN (SELECT tok FROM ev)) AS BIGINT)
+               AS overlap_positions,
+           COUNT(*) FILTER (tok IN (SELECT tok FROM ev)) > 0 AS contaminated
+    FROM g WHERE doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_REMAINDER}
+    GROUP BY doc_id
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality proxy (the CCNet/C4 LM-filter shape
+    with the corpus itself as the LM): per document, the sum of per-token
+    log corpus frequencies ln(freq/total) and the token count — mean
+    logprob = sum/n ranks documents by how typical their vocabulary is.
+
+    Exactness: each token's logprob is integerized to MICRO-NATS
+    (round(ln(p)·10⁶) as int64) BEFORE the per-doc SUM, so aggregation is
+    exact integer arithmetic — order-independent under partial aggregation
+    — and the only float op is the per-distinct-token ln, bit-identical
+    across engines on identical integer ratios.
+
+    Scale shape: the unigram table is one map-side-combinable groupBy
+    over exploded tokens, output bounded by VOCABULARY (not corpus), and
+    broadcasts back onto the token stream; the per-doc sum shuffles once
+    on doc_id. Same skeleton as ``tf_vectorize``."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freqs = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = freqs.agg(F.sum("freq").alias("total"))
+    lp = freqs.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("freq").cast("double") / F.col("total").cast("double"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lp_unat"),
+    )
+    return (
+        tok.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp_unat").alias("sum_lp_unat"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS tok
+        FROM documents
+    ), freqs AS (
+        SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok
+    ), lp AS (
+        SELECT tok,
+               CAST(ROUND(ln(freq::DOUBLE / (SELECT SUM(freq) FROM freqs)::DOUBLE)
+                          * 1000000) AS BIGINT) AS lp_unat
+        FROM freqs
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(lp_unat) AS BIGINT) AS sum_lp_unat
+    FROM tok JOIN lp USING (tok)
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1222,6 +1408,9 @@ QUERIES = {
     "dup_clusters_star": q_dup_clusters_star,
     "minhash_incremental": q_minhash_incremental,
     "tfidf_weights": q_tfidf_weights,
+    "gopher_filter": q_gopher_filter,
+    "decontaminate_ngram": q_decontaminate_ngram,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 ORACLE = {
@@ -1241,4 +1430,7 @@ ORACLE = {
     "dup_clusters_star": ORACLE_DUP_CLUSTERS,
     "minhash_incremental": _sql_minhash_incremental(),
     "tfidf_weights": ORACLE_TFIDF_WEIGHTS,
+    "gopher_filter": ORACLE_GOPHER_FILTER,
+    "decontaminate_ngram": ORACLE_DECONTAMINATE,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
 }

@@ -47,7 +47,11 @@ def get_spark(
         # read natively; read as long and convert in sources/parquet.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] drives 32 concurrent tasks through one JVM; 8g heap
+        # left GC dominating run-to-run variance (measured ±40% on the
+        # bench total). 24g is still <20% of the quiet box; on a real
+        # cluster executor memory is sized per-node anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

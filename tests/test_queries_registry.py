@@ -25,3 +25,17 @@ def test_query_runs_and_has_schema(spark, sf_dir, key):
     assert len(set(cols)) == len(cols), f"duplicate column names in {key}: {cols}"
     # driver collects: must not raise
     df.limit(5).collect()
+
+
+def test_sampled_window_prefix_invariants():
+    """External tooling samples the FIRST 50 registry keys; the rotation
+    discipline (queries/__init__.py) requires the explicit front list to
+    be exactly that prefix, 50 unique keys, with oracles in the same
+    order — a silent drift here would rotate a changed key OUT of the
+    verification window."""
+    from imperio_patitas_etl_spark.queries import _R6_FRONT
+
+    assert len(_R6_FRONT) == 50
+    assert len(set(_R6_FRONT)) == 50
+    assert list(QS)[:50] == list(_R6_FRONT)
+    assert list(OR) == list(QS)
