@@ -27,14 +27,21 @@ HEADLINE = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
+    "tpch_q22",
     "multi_join_star",
     "groupby_avg",
     "topk_per_group",

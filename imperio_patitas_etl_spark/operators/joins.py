@@ -167,25 +167,33 @@ def range_join_binned(
     equi-join on (key, bin), and the exact range predicate filters the few
     in-bin false positives. Shuffle volume is bounded by bin width — pick
     it near the typical interval length so intervals explode to O(1) bins.
-    Timestamps are compared in exact integer microseconds.
+    Timestamps are compared in exact integer microseconds; the epoch
+    columns are MATERIALIZED once per input row before the join — the
+    naive form re-evaluates the (comparatively expensive) timestamp→epoch
+    conversion four times per joined-pair row, i.e. once per comparison
+    operand, and joined pairs outnumber input rows.
     """
-    p_us = epoch_us(point_ts)
-    s_us = epoch_us(start_ts)
-    e_us = epoch_us(end_ts)
-    p = points.withColumn("_bin", F.floor(p_us / bin_micros))
-    i = intervals.withColumn(
+    p = points.withColumn("_p_us", epoch_us(point_ts)).withColumn(
+        "_bin", F.floor(F.col("_p_us") / bin_micros)
+    )
+    i = intervals.withColumn("_s_us", epoch_us(start_ts)).withColumn(
+        "_e_us", epoch_us(end_ts)
+    )
+    i = i.withColumn(
         "_bin",
         F.explode(
-            F.sequence(F.floor(s_us / bin_micros), F.floor((e_us - 1) / bin_micros))
+            F.sequence(
+                F.floor(F.col("_s_us") / bin_micros),
+                F.floor((F.col("_e_us") - 1) / bin_micros),
+            )
         ),
     )
     out = p.join(i, on=[key, "_bin"]).filter(
-        (epoch_us(point_ts) >= epoch_us(start_ts))
-        & (epoch_us(point_ts) < epoch_us(end_ts))
+        (F.col("_p_us") >= F.col("_s_us")) & (F.col("_p_us") < F.col("_e_us"))
     )
     # an interval spanning k bins meets an in-range point in exactly one
     # bin (the point's own), so no pair-dedup is needed
-    return out.drop("_bin")
+    return out.drop("_bin", "_p_us", "_s_us", "_e_us")
 
 
 def salted_join(

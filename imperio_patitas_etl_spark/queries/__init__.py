@@ -57,11 +57,17 @@ _R6_FRONT = (
     "multimodal_decode_stub",
     "multimodal_feature_extract",
     "stream_tumbling_window",
-    # stale: last driver rows r3 (whole core module)
-    "scan_parquet",
-    "limit",
-    "sort_limit",
-    "count_star",
+    # new this round (third wave: remaining TPC-H plan families)
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q22",
+    # stale: last driver rows r3 (core module; the four most trivial keys
+    # — scan_parquet/limit/sort_limit/count_star — yield their slots to
+    # the new keys above and rotate next round)
     "count_by_flag",
     "groupby_avg",
     "exists_any_agg",
@@ -91,10 +97,6 @@ _R6_FRONT = (
     "gopher_filter",
     "decontaminate_ngram",
     "unigram_logprob",
-    # share helpers with this round's edits — cheap re-verification
-    "dup_clusters",
-    "tf_vectorize",
-    "ngram_jaccard_dedup",
 )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.functions.cleaning import (
     avg2_exact,
@@ -759,13 +760,479 @@ ORACLE_Q20 = f"""
 """
 
 
+Q7_NATIONS = ("NATION_1", "NATION_2")
+Q7_LO, Q7_HI = "1995-01-01", "1997-01-01"
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between a nation pair, by year — the
+    two-sided-dimension plan family: the fact row's SUPPLIER nation and
+    CUSTOMER nation must both resolve, with the (n1→n2 | n2→n1) pair
+    filter applied across them.
+
+    One fact pass: lineitem (date-pruned at the scan) joins the
+    nation-filtered supplier dim broadcast, shuffles ONCE on orderkey to
+    meet orders, and the customer→nation side of orders is itself a
+    broadcast chain — so the only wide exchange is the orderkey join,
+    which AQE turns into a broadcast at small SF and a shuffle join at
+    scale. Revenue integerized at 4 decimals pre-SUM."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*Q7_NATIONS)
+    ).select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_HI).cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            sum2_exact(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), true_decimals=4
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_Q7 = f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_sum2_exact("volume", 4)} AS revenue
+    FROM (
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
+          AND nc.n_name IN ('{Q7_NATIONS[0]}', '{Q7_NATIONS[1]}')
+          AND ns.n_name <> nc.n_name
+          AND l.l_shipdate >= TIMESTAMP '{Q7_LO} 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '{Q7_HI} 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: of the revenue for one part type
+    sold into one region's market, the fraction supplied by one nation,
+    per order year — the conditional-ratio-of-sums family.
+
+    Single fact pass: type-filtered part and region-filtered customer
+    geography broadcast-prune lineitem/orders; both the nation-tagged
+    numerator and the total-volume denominator come from the SAME
+    grouped aggregate (a CASE inside SUM), so the share needs no second
+    scan and no join of two aggregates. Exact: volumes are integerized
+    at 4 decimals, the share is computed in half-up basis points from
+    the two integer sums."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_TYPE)
+        .select("p_partkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n_all = load_table(spark, sf_dir, "nation")
+    n_region = (
+        n_all.join(F.broadcast(r), n_all.n_regionkey == r.r_regionkey)
+        .select("n_nationkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n_region), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_all), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q7_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_NATION, vol_units).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_units"),
+            F.sum(vol_units).alias("total_units"),
+        )
+    )
+    num = F.col("nation_units") * 10000 * 2 + F.col("total_units")
+    den = F.col("total_units") * 2
+    return agg.select(
+        "o_year",
+        "nation_units",
+        "total_units",
+        ((num - num % den) / den).cast("long").alias("mkt_share_bp"),
+    ).orderBy("o_year")
+
+
+ORACLE_Q8 = f"""
+    SELECT o_year, nation_units, total_units,
+           ((nation_units * 10000 * 2 + total_units) // (total_units * 2))
+               AS mkt_share_bp
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN ns.n_name = '{Q8_NATION}'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                              AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_units,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS total_units
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        JOIN region r ON nc.n_regionkey = r.r_regionkey
+        WHERE p.p_type = '{Q8_TYPE}' AND r.r_name = '{Q8_REGION}'
+          AND o.o_orderdate >= TIMESTAMP '{Q7_LO} 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '{Q7_HI} 00:00:00'
+        GROUP BY o_year
+    )
+    ORDER BY o_year
+"""
+
+
+#: Q9 supply-cost stand-in: the testdata has no partsupp, so supplycost =
+#: COST_FACTOR · p_retailprice — the same 0.65 cost derivation the
+#: reference applies when real cost is missing (etl_service.py, mirrored
+#: in queries/core.py:derived_cost_coalesce).
+Q9_COST_FACTOR = "0.65"
+Q9_NAME_PAT = "red"
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit by nation and year: profit =
+    revenue − derived supply cost, over name-filtered parts, grouped by
+    the SUPPLIER's nation — the multi-way star with a derived measure.
+
+    One fact pass; part (name-filtered) and supplier⋈nation broadcast.
+    The profit term mixes 4-decimal revenue and 4-decimal derived cost
+    (2-dec price × 2-dec factor × integral quantity), integerized at 6
+    decimals before SUM to absorb either scale exactly."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(Q9_NAME_PAT))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.expr(Q9_COST_FACTOR) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(sum2_exact(profit, true_decimals=6).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+ORACLE_Q9 = f"""
+    SELECT nation, o_year, {sql_sum2_exact("amount", 6)} AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                   - {Q9_COST_FACTOR} * p.p_retailprice * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%{Q9_NAME_PAT}%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+#: Q13 comment-pattern exclusion stand-in (no o_comment column): low-
+#: priority orders are excluded from the per-customer count.
+Q13_EXCLUDE_PRIORITY = "5-LOW"
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT join customers to
+    their (filtered) orders, count per customer — zero-order customers
+    kept — then the count-of-counts histogram. The grouped-count-
+    distribution family: first shuffle on custkey, second on the tiny
+    count domain."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDE_PRIORITY)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+ORACLE_Q13 = f"""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier(s): revenue per supplier over a quarter,
+    return every supplier matching the maximum — the decorrelated
+    scalar-max family. The max is an unpartitioned window over the
+    per-supplier aggregate (supplier-cardinality rows, NOT fact rows —
+    the single-partition window is bounded by |supplier|, and at true
+    scale an `agg(max)` broadcast-joined back does the same in two tiny
+    stages). Revenue is exact integer units so 'equals the max' cannot
+    be a float tie."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+        ).alias("total_units")
+    )
+    w = Window.orderBy(F.lit(1))
+    top = rev.withColumn("mx", F.max("total_units").over(w)).filter(
+        F.col("total_units") == F.col("mx")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == top.supplier_no)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_units") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_Q15 = f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS BIGINT) AS total_units
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_LO} 00:00:00'
+          AND l_shipdate < TIMESTAMP '{Q15_HI} 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_units / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_units = (SELECT MAX(total_units) FROM rev)
+    ORDER BY s.s_suppkey
+"""
+
+
+Q16_EXCLUDE_BRAND = "Brand#45"
+Q16_EXCLUDE_TYPE = "ECONOMY"
+Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 supplier count by part descriptor (adapted: the part-
+    supplier relation is the DISTINCT (partkey, suppkey) pairs observed
+    in lineitem — the testdata has no partsupp — and the 'complaints'
+    supplier exclusion is negative account balance). The distinct-
+    count-with-exclusions family: filtered part broadcast onto the pair
+    set, excluded suppliers removed by ANTI join, then count(DISTINCT
+    suppkey) per (brand, type, size)."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_EXCLUDE_BRAND)
+        & (F.col("p_type") != Q16_EXCLUDE_TYPE)
+        & F.col("p_size").isin(*Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+ORACLE_Q16 = f"""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> '{Q16_EXCLUDE_BRAND}'
+      AND p.p_type <> '{Q16_EXCLUDE_TYPE}'
+      AND p.p_size IN ({", ".join(map(str, Q16_SIZES))})
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+#: Q22 adaptation: market segments stand in for phone country codes, and
+#: "no orders" means no orders since the activity cutoff.
+Q22_SEGMENTS = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+Q22_ACTIVITY_CUTOFF = "2001-01-01"
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: customers in selected segments
+    with above-average positive balances and no recent orders — the
+    scalar-avg-subquery + ANTI-join family.
+
+    The correlated average decorrelates to one two-field aggregate
+    (sum of exact integer cents + count) broadcast as a literal-free
+    cross join; 'balance > avg' is evaluated as bal_cents · cnt >
+    sum_cents — exact integer arithmetic, no float-average tie to
+    disagree on. Recent-order customers are removed with a broadcast-able
+    ANTI join on the date-pruned orders scan; sums are exact cents."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(*Q22_SEGMENTS))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        )
+    )
+    pos = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count("*").alias("cnt")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_ACTIVITY_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("cnt") > F.col("sum_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_cents") / F.lit(100.0)).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+ORACLE_Q22 = f"""
+    WITH c AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_mktsegment IN ({", ".join(repr(s) for s in Q22_SEGMENTS)})
+    ), pos AS (
+        SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+               COUNT(*) AS cnt
+        FROM c WHERE bal_cents > 0
+    )
+    SELECT c_mktsegment AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(bal_cents) AS BIGINT) / 100.0 AS totacctbal
+    FROM c, pos
+    WHERE bal_cents * cnt > sum_cents
+      AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '{Q22_ACTIVITY_CUTOFF} 00:00:00')
+    GROUP BY c_mktsegment
+    ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
     "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
     "tpch_q12": q_tpch_q12,
     "tpch_q14": q_tpch_q14,
     "tpch_q17": q_tpch_q17,
@@ -773,6 +1240,7 @@ QUERIES = {
     "tpch_q19": q_tpch_q19,
     "tpch_q20": q_tpch_q20,
     "tpch_q21": q_tpch_q21,
+    "tpch_q22": q_tpch_q22,
     "grouping_sets": q_grouping_sets,
 }
 
@@ -782,7 +1250,13 @@ ORACLE = {
     "tpch_q4": ORACLE_Q4,
     "tpch_q5": ORACLE_Q5,
     "tpch_q6": ORACLE_Q6,
+    "tpch_q7": ORACLE_Q7,
+    "tpch_q8": ORACLE_Q8,
+    "tpch_q9": ORACLE_Q9,
     "tpch_q10": ORACLE_Q10,
+    "tpch_q13": ORACLE_Q13,
+    "tpch_q15": ORACLE_Q15,
+    "tpch_q16": ORACLE_Q16,
     "tpch_q12": ORACLE_Q12,
     "tpch_q14": ORACLE_Q14,
     "tpch_q17": ORACLE_Q17,
@@ -790,5 +1264,6 @@ ORACLE = {
     "tpch_q19": _sql_q19(),
     "tpch_q20": ORACLE_Q20,
     "tpch_q21": ORACLE_Q21,
+    "tpch_q22": ORACLE_Q22,
     "grouping_sets": ORACLE_GROUPING_SETS,
 }
