@@ -65,10 +65,9 @@ _R6_FRONT = (
     "tpch_q15",
     "tpch_q16",
     "tpch_q22",
-    # stale: last driver rows r3 (core module; the four most trivial keys
-    # — scan_parquet/limit/sort_limit/count_star — yield their slots to
-    # the new keys above and rotate next round)
-    "count_by_flag",
+    # stale: last driver rows r3 (core module; the five most trivial keys
+    # — scan_parquet/limit/sort_limit/count_star/count_by_flag — yield
+    # their slots to the new keys above and rotate next round)
     "groupby_avg",
     "exists_any_agg",
     "dedup_first",
@@ -97,6 +96,7 @@ _R6_FRONT = (
     "gopher_filter",
     "decontaminate_ngram",
     "unigram_logprob",
+    "corpus_keep_list",
 )
 
 

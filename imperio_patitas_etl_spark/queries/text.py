@@ -1391,6 +1391,57 @@ ORACLE_UNIGRAM_LOGPROB = """
 """
 
 
+def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled training-corpus decision — what an LLM data pipeline
+    actually ships: per (non-eval) document, a drop-reason bitmask
+    combining near-duplicate clustering (keep only the cluster's
+    canonical minimum, reason 1), the Gopher quality rules (reason 2),
+    and benchmark decontamination (reason 4); keep = mask 0. Every input
+    is an already-oracle-checked stage (``dup_clusters``,
+    ``gopher_filter``, ``decontaminate_ngram``) composed as ONE
+    DataFrame plan — Catalyst sees the whole pipeline, so common scans
+    dedupe and the three stages' doc_id-keyed outputs join on aligned
+    partitioning."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    quality = q_gopher_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_q")
+    )
+    contam = q_decontaminate_ngram(spark, sf_dir).select("doc_id", "contaminated")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_REMAINDER
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(~is_eval)
+    j = (
+        docs.join(clusters, "doc_id")
+        .join(quality, "doc_id")
+        .join(contam, "doc_id", "left")
+    )
+    mask = (
+        F.when(F.col("cluster_id") != F.col("doc_id"), 1).otherwise(0)
+        + F.when(~F.col("keep_q"), 2).otherwise(0)
+        + F.when(F.coalesce(F.col("contaminated"), F.lit(False)), 4).otherwise(0)
+    ).cast("long")
+    return j.select("doc_id", mask.alias("drop_mask"), (mask == 0).alias("keep"))
+
+
+ORACLE_CORPUS_KEEP = f"""
+    WITH cl AS ({ORACLE_DUP_CLUSTERS}
+    ), q AS ({ORACLE_GOPHER_FILTER}
+    ), ct AS ({ORACLE_DECONTAMINATE}
+    )
+    SELECT doc_id, drop_mask, drop_mask = 0 AS keep FROM (
+        SELECT d.doc_id,
+               (CASE WHEN cl.cluster_id <> d.doc_id THEN 1 ELSE 0 END
+                + CASE WHEN NOT q.keep THEN 2 ELSE 0 END
+                + CASE WHEN COALESCE(ct.contaminated, FALSE) THEN 4 ELSE 0 END
+               )::BIGINT AS drop_mask
+        FROM documents d
+        JOIN cl ON cl.doc_id = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN ct ON ct.doc_id = d.doc_id
+        WHERE d.doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_REMAINDER}
+    )
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1411,6 +1462,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "decontaminate_ngram": q_decontaminate_ngram,
     "unigram_logprob": q_unigram_logprob,
+    "corpus_keep_list": q_corpus_keep_list,
 }
 
 ORACLE = {
@@ -1433,4 +1485,5 @@ ORACLE = {
     "gopher_filter": ORACLE_GOPHER_FILTER,
     "decontaminate_ngram": ORACLE_DECONTAMINATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "corpus_keep_list": ORACLE_CORPUS_KEEP,
 }

@@ -46,7 +46,7 @@ EXTENSION_KEYS = {
     "doc_fingerprint", "token_count", "quality_score", "lang_id",
     "quality_gopher", "stratified_sample", "dup_clusters", "dup_clusters_star",
     "tf_vectorize", "tfidf_weights", "minhash_incremental", "gopher_filter",
-    "decontaminate_ngram", "unigram_logprob",
+    "decontaminate_ngram", "unigram_logprob", "corpus_keep_list",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf", "ann_ivf_trained",
     "ann_recall", "simhash_near_dup", "embedding_cosine_dedup",
     "multimodal_decode_stub", "multimodal_feature_extract",
