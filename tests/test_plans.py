@@ -180,3 +180,41 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dim")
+
+
+def test_q19_disjunction_envelopes_push_to_both_scans(spark, sf_dir):
+    """Q19's OR-of-ANDs must leave per-side envelopes in each scan's
+    PushedFilters (Catalyst also derives the per-side OR projections);
+    regression would silently turn the join residual into a full-scan
+    post-filter."""
+    import contextlib
+    import io
+
+    df = all_queries()["tpch_q19"](spark, sf_dir)
+    # executedPlan().toString() truncates long PushedFilters lists;
+    # explain('formatted') prints them in full
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "In(p_brand" in plan                      # part-side envelope
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan  # lineitem quantity hull
+    assert "EqualTo(l_linestatus,F)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_gopher_zero_shuffle(spark, sf_dir):
+    """The Gopher ladder is per-document math: any Exchange in its plan
+    means a corpus-wide shuffle crept back in (the r6 rewrite's whole
+    point was deleting both of them)."""
+    for key in ("quality_gopher", "gopher_filter"):
+        plan = _plan(all_queries()[key](spark, sf_dir))
+        assert "Exchange" not in plan, key
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-side gram set must broadcast — shuffling the corpus gram
+    stream on gram strings is the plan this operator exists to avoid."""
+    plan = _plan(all_queries()["decontaminate_ngram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
