@@ -155,6 +155,48 @@ def foreach_batch_upsert(
     )
 
 
+def clicks_after_errors(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    streaming: bool = True,
+) -> DataFrame:
+    """Stream-stream INTERVAL self-join: every click landing inside the
+    ``window`` after an error event of the same user — the event-time
+    join family (alerts correlation, attribution) Structured Streaming
+    serves with bounded state.
+
+    Streaming mode watermarks BOTH sides and bounds the join condition
+    with an event-time range, which is exactly what lets Spark expire
+    state: an error row can only ever match clicks within
+    [err_ts, err_ts + window), so once the click watermark passes that
+    bound the buffered error is dropped (state ∝ watermark × rate, not
+    the stream's history). Batch mode is the same join without
+    watermarks — the twin the test compares against; the registry's
+    ``range_join`` covers the same semantics through the bin-equi-join
+    plan for the batch/backfill path at scale."""
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    if streaming:
+        e = e.withWatermark("err_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+    return e.join(
+        c,
+        F.expr(
+            f"err_user = click_user AND click_ts >= err_ts "
+            f"AND click_ts < err_ts + INTERVAL {window}"
+        ),
+    ).select("err_id", "click_ts", "click_value")
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) into an
     in-memory table and return the final result as a batch DataFrame."""

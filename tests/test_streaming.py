@@ -87,3 +87,25 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
         WAREHOUSE_SCHEMAS.pop("stream_events", None)
         MERGE_KEYS.pop("stream_events", None)
         UPDATE_COLS.pop("stream_events", None)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream event-time interval self-join (errors ⋈ clicks
+    within 10 minutes) under availableNow must emit exactly the batch
+    join's rows — watermark expiry may drop STATE, but with a watermark
+    generously wider than the join window no matchable pair is lost."""
+    from imperio_patitas_etl_spark.streaming.events import clicks_after_errors
+
+    got = run_stream_to_memory(
+        clicks_after_errors(read_events_stream(spark, sf_dir)),
+        "t_ss_join",
+        mode="append",
+    )
+    want = clicks_after_errors(
+        load_table(spark, sf_dir, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ),
+        streaming=False,
+    )
+    assert _as_set(got) == _as_set(want)
+    assert got.count() > 0
