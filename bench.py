@@ -79,6 +79,8 @@ HEADLINE = [
     "ann_ivf_trained",
     "ann_recall",
     "embedding_cosine_dedup",
+    "embedding_dup_clusters",
+    "quantile_sketch",
     "stream_session_window",
     "json_extract",
     "multimodal_decode_stub",

@@ -65,11 +65,13 @@ _R6_FRONT = (
     "tpch_q15",
     "tpch_q16",
     "tpch_q22",
-    # stale: last driver rows r3 (core module; the five most trivial keys
-    # — scan_parquet/limit/sort_limit/count_star/count_by_flag — yield
-    # their slots to the new keys above and rotate next round)
-    "groupby_avg",
-    "exists_any_agg",
+    # new this round (fourth wave)
+    "embedding_dup_clusters",
+    "quantile_sketch",
+    # stale: last driver rows r3 (core module; the seven most trivial
+    # keys — scan_parquet/limit/sort_limit/count_star/count_by_flag/
+    # groupby_avg/exists_any_agg — yield their slots to the new keys
+    # above and rotate next round)
     "dedup_first",
     "topk_per_group",
     "cube_rollup",

@@ -587,6 +587,80 @@ def q_stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+QSK_K = 1024
+QSK_PS = (1, 25, 50, 75, 99)
+#: per-row hash over the lineitem primary key — the deterministic
+#: "random" ordering that makes the bottom-k rows a uniform sample.
+_QSK_HASH = (
+    "CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_', "
+    "CAST(l_linenumber AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles of l_extendedprice via a DETERMINISTIC
+    bottom-k-by-hash uniform sample — the data-profiling sketch a 100 TB
+    pipeline runs where an exact global sort is off the table.
+
+    Hashing each row's primary key and keeping the k smallest hashes is
+    a uniform sample without replacement, but unlike rand()-based
+    sampling it is reproducible across runs/retries/partitionings and
+    replicable in the oracle — so this sketch is hash-checkable where
+    t-digest/GK internals are not. The bottom-k compiles to
+    TakeOrderedAndProject (each partition keeps k rows, the driver
+    merges k-row heaps — same bound a mergeable sketch UDAF gives);
+    quantile ranks over the k-row sample use ceiling integer arithmetic
+    on exact cent values, so both engines pick the identical element."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sample = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+            F.expr(_QSK_HASH).alias("h"),
+        )
+        .orderBy("h")
+        .limit(QSK_K)
+    )
+    w = Window.orderBy("cents", "h")
+    ranked = sample.select(
+        "cents", "h", F.row_number().over(w).alias("r")
+    )
+    n = sample.agg(F.count("*").alias("n"))
+    ps = F.explode(F.array(*[F.lit(p) for p in QSK_PS])).alias("p")
+    targets = n.select(ps, "n").select(
+        F.col("p").cast("long").alias("p"),
+        F.greatest(
+            F.lit(1), ((F.col("n") * F.col("p") + 99) / 100).cast("long")
+        ).alias("idx"),
+    )
+    return (
+        targets.join(F.broadcast(ranked), targets.idx == ranked.r)
+        .select("p", (F.col("cents") / F.lit(100.0)).alias("value"))
+        .orderBy("p")
+    )
+
+
+ORACLE_QUANTILE_SKETCH = f"""
+    WITH sample AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               (('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                                    CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT) AS h
+        FROM lineitem
+        ORDER BY h LIMIT {QSK_K}
+    ), ranked AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, h) AS r FROM sample
+    ), n AS (
+        SELECT COUNT(*) AS n FROM sample
+    ), targets AS (
+        SELECT CAST(p AS BIGINT) AS p,
+               GREATEST(1, (n.n * p + 99) // 100) AS idx
+        FROM (SELECT unnest([{", ".join(map(str, QSK_PS))}]) AS p), n
+    )
+    SELECT p, cents / 100.0 AS value
+    FROM targets JOIN ranked ON targets.idx = ranked.r
+    ORDER BY p
+"""
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "limit": q_limit,
@@ -612,6 +686,7 @@ QUERIES = {
     "distinct_agg": q_distinct_agg,
     "percentile_agg": q_percentile_agg,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
+    "quantile_sketch": q_quantile_sketch,
     "salted_join_skew": q_salted_join_skew,
     "union_except": q_union_except,
     "window_running_sum": q_window_running_sum,
@@ -795,6 +870,7 @@ ORACLE = {
     """,
     "percentile_agg": ORACLE_PERCENTILE,
     "kmv_distinct_sketch": ORACLE_KMV,
+    "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "window_range_rolling": ORACLE_RANGE_ROLLING,
     "window_running_sum": """
         SELECT o_custkey, o_orderkey,

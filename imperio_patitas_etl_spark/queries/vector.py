@@ -594,6 +594,45 @@ ORACLE_COS_DEDUP = f"""
 """
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs → duplicate CLUSTERS: the same
+    pairs→components step the text side has (``dup_clusters``), over the
+    LSH-prefiltered cosine edge set — every vector labeled with the
+    minimum vec_id of its near-duplicate component, so keeping rows
+    where vec_id = cluster_id is the deduplicated embedding corpus.
+    Reuses ``connected_components`` (min-label propagation,
+    localCheckpoint per round); near-dup clumps have tiny diameters, the
+    star-contraction twin exists for anything else."""
+    from imperio_patitas_etl_spark.queries.text import connected_components
+
+    pairs = q_embedding_cosine_dedup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    return connected_components(vecs, pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
+
+
+ORACLE_EMB_DUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT vec_a, vec_b FROM ({ORACLE_COS_DEDUP})
+    ), e AS (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION
+        SELECT vec_b AS a, vec_a AS b FROM pairs
+    ), reach(src, node) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN e ON r.node = e.a
+    )
+    SELECT src AS vec_id, MIN(node)::BIGINT AS cluster_id
+    FROM reach GROUP BY src
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the approximate ANN variants against the exact
     brute-force top-k: the quality metric that makes the LSH/IVF speed-ups
@@ -717,6 +756,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_ivf_trained": q_ann_ivf_trained,
     "embedding_cosine_dedup": q_embedding_cosine_dedup,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
     "cosine_dedup_recall": q_cosine_dedup_recall,
     "ann_recall": q_ann_recall,
 }
@@ -727,6 +767,7 @@ ORACLE = {
     "ann_ivf": ORACLE_ANN_IVF,
     "ann_ivf_trained": ORACLE_ANN_IVF_TRAINED,
     "embedding_cosine_dedup": ORACLE_COS_DEDUP,
+    "embedding_dup_clusters": ORACLE_EMB_DUP_CLUSTERS,
     "cosine_dedup_recall": ORACLE_COS_DEDUP_RECALL,
     "ann_recall": _sql_recall(),
 }

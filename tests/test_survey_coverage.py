@@ -49,6 +49,7 @@ EXTENSION_KEYS = {
     "decontaminate_ngram", "unigram_logprob", "corpus_keep_list",
     "ann_topk_bruteforce", "ann_lsh_bucketed", "ann_ivf", "ann_ivf_trained",
     "ann_recall", "simhash_near_dup", "embedding_cosine_dedup",
+    "embedding_dup_clusters", "cosine_dedup_recall", "quantile_sketch",
     "multimodal_decode_stub", "multimodal_feature_extract",
 }
 
