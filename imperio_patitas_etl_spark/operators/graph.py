@@ -74,22 +74,24 @@ def connected_components_star(docs: DataFrame, edges: DataFrame) -> DataFrame:
     unique fixpoint as ``connected_components``, O(log n) rounds instead
     of O(diameter).
 
-    Convergence: the small-star output is compared to the previous edge
-    set with a two-sided ``exceptAll`` probe (limit-1 short circuit, so
-    the check does no full materialization beyond the round's own
-    edges)."""
+    Convergence: both edge sets are DISTINCT, so set equality is
+    |cur| = |nxt| AND nxt\\cur = ∅ — one cheap count over checkpointed
+    rows plus ONE one-sided ``exceptAll`` probe (limit-1 short circuit),
+    instead of a two-sided difference per round."""
     cur = (
         edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
+    n_cur = cur.count()
     for _ in range(STAR_MAX_ROUNDS):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
+        n_nxt = nxt.count()
         changed = (
-            nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+            1 if n_nxt != n_cur else nxt.exceptAll(cur).limit(1).count()
         )
-        cur = nxt
+        cur, n_cur = nxt, n_nxt
         if changed == 0:
             break
     else:
