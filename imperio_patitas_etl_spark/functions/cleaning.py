@@ -33,11 +33,15 @@ def epoch_us(c: Column | str) -> Column:
     Parquet ``timestamp[us]`` columns with no timezone read as
     ``TIMESTAMP_NTZ`` under Spark 4.1's NTZ inference, and
     ``F.unix_micros`` rejects NTZ input outright. Casting through
-    ``timestamp_ntz`` first is a no-op passthrough for NTZ sources (the
-    common case — raw parquet micros, matching what DuckDB sees) and a
-    session-timezone wall-clock conversion for LTZ sources (sessions pin
-    UTC, so the epoch is unchanged). The diff against a literal naive
-    epoch origin is integer-exact and timezone-independent.
+    ``timestamp_ntz`` first is a no-op passthrough for NTZ sources — the
+    only type the engine's own sources produce (``load_table`` converts
+    the legacy NANOS vintage to NTZ timezone-independently), matching
+    what DuckDB sees — so the diff against a literal naive epoch origin
+    is integer-exact and timezone-independent end to end. An LTZ column
+    from an EXTERNAL source would pass through a session-timezone
+    wall-clock cast here; that fallback is exact only under a UTC
+    session, which is why feeding LTZ event time into this engine is
+    not supported outside UTC.
     """
     return F.timestamp_diff(
         "MICROSECOND",

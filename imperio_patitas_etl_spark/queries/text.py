@@ -757,12 +757,7 @@ def _rep_stats_expr(g: int) -> str:
     gram's multiplicity). The fold is a codegen'd higher-order
     ``aggregate`` with a 4-field struct accumulator — O(positions · g)
     per row after an O(p log p) sort, zero exchanges."""
-    grams = (
-        f"CASE WHEN size(words) >= {g} THEN "
-        f"transform(sequence(1, size(words) - {g} + 1), "
-        f"i -> array_join(slice(words, i, {g}), ' ')) "
-        "ELSE array() END"
-    )
+    grams = _ngrams_expr(g)
     return (
         "aggregate("
         f"array_sort({grams}), "
@@ -1178,20 +1173,41 @@ def _sql_minhash_incremental() -> str:
 
 
 def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalized smooth-IDF weights over the ``tf_vectorize`` triples
-    (``operators/vectorize.py:tfidf``), integerized to micro-units
-    (weight_ubp = round(weight · 10⁶)) so the only floating-point ops —
-    ln, sqrt, division, all IEEE-deterministic — hash identically against
-    the DuckDB twin. n_docs is a one-scalar parquet count (metadata-cheap;
-    the vocabulary-style constant every TF-IDF needs)."""
-    from imperio_patitas_etl_spark.operators.vectorize import tfidf
+    """L2-normalized smooth-IDF weights over the ``tf_vectorize`` triples,
+    in micro-units (weight_ubp = round(weight · 10⁶)).
 
+    Exactness: each raw weight is integerized to micro-units BEFORE the
+    per-document norm, so the Σw² under the sqrt is a sum of exact
+    integers — order-independent and identical across engines — rather
+    than a float accumulation whose engine-specific addition order could
+    flip a rounding boundary (the repo-wide integerize-before-sum
+    discipline; the float library form lives in
+    ``operators/vectorize.py:tfidf``). The remaining float ops (one ln
+    per distinct (term, df), one sqrt + division per triple) run on
+    identical inputs in both engines. w_u ≤ tf·idf·10⁶; its square must
+    fit int64, true for any tf < ~5·10⁴ at this vocabulary.
+    n_docs is a one-scalar parquet count (metadata-cheap; the
+    vocabulary-style constant every TF-IDF needs)."""
     n_docs = load_table(spark, sf_dir, "documents").count()
-    w = tfidf(q_tf_vectorize(spark, sf_dir), n_docs)
-    return w.select(
+    tf = q_tf_vectorize(spark, sf_dir)
+    dfc = tf.groupBy("term_id").agg(F.count("*").alias("df"))
+    idf = F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0
+    raw = (
+        tf.join(F.broadcast(dfc), "term_id")
+        .select(
+            "doc_id",
+            "term_id",
+            F.round(F.col("tf") * idf * 1_000_000).cast("long").alias("w_u"),
+        )
+    )
+    norm_w = Window.partitionBy("doc_id")
+    n2 = F.sum((F.col("w_u") * F.col("w_u")).cast("decimal(38,0)")).over(norm_w)
+    return raw.select(
         "doc_id",
         "term_id",
-        F.round(F.col("weight") * 1_000_000).cast("long").alias("weight_ubp"),
+        F.round(F.col("w_u") / F.sqrt(n2.cast("double")) * 1_000_000)
+        .cast("long")
+        .alias("weight_ubp"),
     )
 
 
@@ -1201,11 +1217,14 @@ ORACLE_TFIDF_WEIGHTS = f"""
         SELECT COUNT(*) AS n_docs FROM documents
     ), raw AS (
         SELECT doc_id, term_id,
-               tf * (ln((1.0 + n_docs) / (1.0 + COUNT(*) OVER (PARTITION BY term_id))) + 1.0) AS w
+               CAST(ROUND(tf * (ln((1.0 + n_docs)
+                                   / (1.0 + COUNT(*) OVER (PARTITION BY term_id)))
+                                + 1.0) * 1000000) AS BIGINT) AS w_u
         FROM tf, n
     )
     SELECT doc_id, term_id,
-           CAST(ROUND((w / sqrt(SUM(w * w) OVER (PARTITION BY doc_id))) * 1000000) AS BIGINT)
+           CAST(ROUND(w_u / sqrt(CAST(SUM(w_u * w_u) OVER (PARTITION BY doc_id)
+                                      AS DOUBLE)) * 1000000) AS BIGINT)
                AS weight_ubp
     FROM raw
 """

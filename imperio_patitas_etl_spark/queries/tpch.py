@@ -37,7 +37,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
             sum2_exact(F.col("l_extendedprice")).alias("sum_base_price"),
             sum2_exact(disc_price, true_decimals=4).alias("sum_disc_price"),
             sum2_exact(charge, true_decimals=6).alias("sum_charge"),
@@ -49,7 +49,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q1 = f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
            {sql_sum2_exact("l_extendedprice")} AS sum_base_price,
            {sql_sum2_exact("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
            {sql_sum2_exact("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
@@ -136,7 +136,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"))
         .filter(F.col("sum_qty") > Q18_QTY)
     )
     return (
@@ -161,9 +161,9 @@ ORACLE_Q18 = f"""
            o.o_totalprice, b.sum_qty
     FROM orders o
     JOIN (
-        SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        SELECT l_orderkey, CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_QTY}
+        HAVING SUM(CAST(floor(l_quantity) AS BIGINT)) > {Q18_QTY}
     ) b ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     ORDER BY o.o_totalprice DESC, o.o_orderkey
@@ -180,7 +180,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
                COUNT(*) AS n,
                CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
                CAST(GROUPING(l_linestatus) AS INT) AS g_status
@@ -192,7 +192,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_GROUPING_SETS = """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
            COUNT(*) AS n,
            CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
@@ -535,7 +535,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fact = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).drop("p_partkey")
     avgq = fact.groupBy("l_partkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("sq"),
         F.count("*").alias("cq"),
     )
     thresh = F.lit(0.2) * (F.col("sq") / F.col("cq"))
@@ -561,7 +561,7 @@ ORACLE_Q17 = f"""
         FROM lineitem l JOIN p ON l.l_partkey = p.p_partkey
     ), a AS (
         SELECT l_partkey,
-               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
                COUNT(*) AS cq
         FROM f GROUP BY l_partkey
     )
@@ -653,7 +653,11 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_hi = max(c[3] for c in Q19_CLAUSES)
     p = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_brand").isin(*brands) & (F.col("p_size") <= max_size))
+        .filter(
+            F.col("p_brand").isin(*brands)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= max_size)
+        )
         .select("p_partkey", "p_brand", "p_size")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -665,6 +669,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     for brand, size_max, lo, hi in Q19_CLAUSES:
         c = (
             (F.col("p_brand") == brand)
+            & (F.col("p_size") >= 1)
             & (F.col("p_size") <= size_max)
             & (F.col("l_quantity") >= lo)
             & (F.col("l_quantity") <= hi)
@@ -725,7 +730,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     over = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .agg(F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"))
         .filter(F.col("sum_qty") > Q20_QTY)
         .select("l_suppkey")
         .distinct()
@@ -747,7 +752,7 @@ ORACLE_Q20 = f"""
     WHERE s_suppkey IN (
         SELECT l_suppkey FROM (
             SELECT l_partkey, l_suppkey,
-                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                   CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             WHERE p.p_name LIKE '{Q20_NAME_PREFIX}%'

@@ -16,6 +16,19 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Quarter of physical RAM, clamped to [4g, 24g]; 8g if unreadable."""
+    try:
+        with open("/proc/meminfo") as f:
+            total_kb = int(
+                next(line for line in f if line.startswith("MemTotal")).split()[1]
+            )
+    except (OSError, StopIteration, ValueError):
+        return "8g"
+    quarter_gb = total_kb // (4 * 1024 * 1024)
+    return f"{max(4, min(24, quarter_gb))}g"
+
+
 def get_spark(
     app_name: str = "imperio_patitas_etl_spark",
     master: str | None = None,
@@ -47,11 +60,17 @@ def get_spark(
         # read natively; read as long and convert in sources/parquet.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
-        # local[32] drives 32 concurrent tasks through one JVM; 8g heap
-        # left GC dominating run-to-run variance (measured ±40% on the
-        # bench total). 24g is still <20% of the quiet box; on a real
-        # cluster executor memory is sized per-node anyway.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local[N] drives N concurrent tasks through one JVM; an 8g heap
+        # left GC dominating run-to-run variance on the 32-core bench box
+        # (measured ±40% on the bench total; 24g restored ±4%). The
+        # default scales with the machine — a quarter of RAM capped at
+        # 24g, floored at 4g — so small laptops/CI hosts are not asked
+        # for a heap they cannot reserve. On a real cluster executor
+        # memory is sized per-node anyway.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

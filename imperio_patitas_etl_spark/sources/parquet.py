@@ -46,7 +46,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # build TIMESTAMP_NTZ directly from the integer micros (NTZ origin
+        # + exact micro offset) — timezone-INDEPENDENT, unlike
+        # timestamp_micros (LTZ), whose downstream NTZ casts would shift
+        # by the session offset in a non-UTC driver session. This matches
+        # the type the current testdata vintage (plain timestamp[us])
+        # reads as natively, so both vintages feed identical plans.
+        df = df.withColumn(
+            "ts",
+            F.timestamp_add(
+                "MICROSECOND",
+                F.expr("ts div 1000"),
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            ),
+        )
     return df
 
 

@@ -6,10 +6,12 @@ surface memory/skew surprises the small SFs can't. This tool builds
 ~6 M-lineitem tables OUTSIDE the read-only testdata tree by unioning the
 sf0.1 tables ``COPIES``× with disjoint key ranges:
 
-- every primary key (and its foreign-key references) is shifted by
-  ``copy_index * stride`` where stride = 10^ceil(log10(max_key)) — key
-  spaces stay disjoint and join selectivity per copy is preserved, so a
-  query's work scales linearly with COPIES, matching a real sf1;
+- key-shift strides are computed ONCE PER KEY DOMAIN from the domain's
+  primary-key table and shared by every referencing column (an FK column
+  shifted with a stride derived from its own observed max could diverge
+  from its PK's stride — e.g. customers with no orders pulling the two
+  maxima across a power of 10 — silently orphaning every FK in copies
+  ≥ 1 and shrinking join results 10×);
 - non-key distributions (dates, amounts, texts, embeddings) repeat
   10×, which is exactly how TPC-H dbgen scales dimension content too;
 - region/nation stay fixed (they are fixed-cardinality in TPC-H), so
@@ -28,19 +30,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 
-#: table -> columns to shift (primary keys + FKs into other shifted tables)
-SHIFT_COLS = {
-    "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+#: key domain -> (primary-key table, primary-key column)
+DOMAINS = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+#: table -> {column: key domain} for every PK and FK that must shift
+SHIFT_COLS: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
     # fixed-cardinality dims replicate once, unshifted
-    "region": [],
-    "nation": [],
+    "region": {},
+    "nation": {},
 }
 
 
@@ -65,24 +83,29 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out_dir, exist_ok=True)
 
+    domain_stride = {
+        d: _stride(load_table(spark, SRC, tbl), col)
+        for d, (tbl, col) in DOMAINS.items()
+    }
+    print(f"domain strides: {domain_stride}")
+
     for name, keys in SHIFT_COLS.items():
         df = load_table(spark, SRC, name)
         if not keys:
             df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
             print(f"{name}: copied unshifted")
             continue
-        strides = {k: _stride(df, k) for k in keys}
         parts = []
         for i in range(copies):
             c = df
-            for k, s in strides.items():
-                c = c.withColumn(k, F.col(k) + F.lit(i * s))
+            for col, domain in keys.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * domain_stride[domain]))
             parts.append(c)
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p)
         union.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-        print(f"{name}: x{copies}, strides {strides}")
+        print(f"{name}: x{copies}, domains {keys}")
 
 
 if __name__ == "__main__":
