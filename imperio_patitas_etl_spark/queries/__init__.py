@@ -35,10 +35,15 @@ _MODULES = (streaming_ops, text, vector, tpch, entity, multimodal_ops, core)
 # inside the sampled window; (b) the rest of the window refreshes the
 # keys whose most recent driver row is oldest; (c) keys verified green in
 # the latest rounds with unchanged code rotate out. Round 6 window
-# (first 50): the timestamp-NTZ-affected keys + the six new keys + the
-# quality_gopher rewrite, then ALL of core + multimodal (last driver rows
-# r3 / r2 — core was not sampled in r5 at all), then six keys sharing
-# helpers with this round's edits as cheap re-verification.
+# (first 50): the timestamp-NTZ-affected keys + the 20 r6-new keys
+# (four waves: promoted library operators, corpus-filter stage,
+# remaining TPC-H plan families, clustering/sketch) + the
+# quality_gopher rewrite, then the r2-stale multimodal/tumbling keys and
+# most of core (last driver rows r3 — core was not sampled in r5 at
+# all); the seven most trivial core keys yield their slots to the new
+# keys and rotate next round. Every key outside the window is r4/r5
+# driver-green with code unchanged since, and the whole registry is
+# locally green at sf0.01 AND sf0.1 (tools/check.py, BASELINE.md).
 _R6_FRONT = (
     # changed or new this round
     "sessionize_sharded",
