@@ -1184,8 +1184,9 @@ def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline; the float library form lives in
     ``operators/vectorize.py:tfidf``). The remaining float ops (one ln
     per distinct (term, df), one sqrt + division per triple) run on
-    identical inputs in both engines. w_u ≤ tf·idf·10⁶; its square must
-    fit int64, true for any tf < ~5·10⁴ at this vocabulary.
+    identical inputs in both engines. w_u is cast to DECIMAL(38,0) BEFORE
+    squaring (ADVICE r6), so Σw² cannot wrap however large tf grows —
+    no assumed tf bound remains.
     n_docs is a one-scalar parquet count (metadata-cheap; the
     vocabulary-style constant every TF-IDF needs)."""
     n_docs = load_table(spark, sf_dir, "documents").count()
@@ -1201,7 +1202,8 @@ def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     norm_w = Window.partitionBy("doc_id")
-    n2 = F.sum((F.col("w_u") * F.col("w_u")).cast("decimal(38,0)")).over(norm_w)
+    w_dec = F.col("w_u").cast("decimal(38,0)")
+    n2 = F.sum(w_dec * w_dec).over(norm_w)
     return raw.select(
         "doc_id",
         "term_id",
@@ -1223,7 +1225,8 @@ ORACLE_TFIDF_WEIGHTS = f"""
         FROM tf, n
     )
     SELECT doc_id, term_id,
-           CAST(ROUND(w_u / sqrt(CAST(SUM(w_u * w_u) OVER (PARTITION BY doc_id)
+           CAST(ROUND(w_u / sqrt(CAST(SUM(CAST(w_u AS HUGEINT) * w_u)
+                                          OVER (PARTITION BY doc_id)
                                       AS DOUBLE)) * 1000000) AS BIGINT)
                AS weight_ubp
     FROM raw

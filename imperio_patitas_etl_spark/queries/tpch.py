@@ -903,19 +903,27 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(vol_units).alias("total_units"),
         )
     )
-    num = F.col("nation_units") * 10000 * 2 + F.col("total_units")
-    den = F.col("total_units") * 2
+    # Exact integer division (ADVICE r6): the numerator mixes 1e-4
+    # currency units and a ×20000 scale, so at sf≳1 it exceeds 2^53 and a
+    # double quotient can land one ulp under the true integer. DECIMAL(38,0)
+    # operands + `div` (Catalyst IntegralDivide) keep the whole
+    # computation integral; the result is the half-up-rounded share in bp.
+    share = F.expr(
+        "(CAST(nation_units AS DECIMAL(38,0)) * 20000 + total_units) div "
+        "(CAST(total_units AS DECIMAL(38,0)) * 2)"
+    )
     return agg.select(
         "o_year",
         "nation_units",
         "total_units",
-        ((num - num % den) / den).cast("long").alias("mkt_share_bp"),
+        share.cast("long").alias("mkt_share_bp"),
     ).orderBy("o_year")
 
 
 ORACLE_Q8 = f"""
     SELECT o_year, nation_units, total_units,
-           ((nation_units * 10000 * 2 + total_units) // (total_units * 2))
+           CAST((CAST(nation_units AS HUGEINT) * 20000 + total_units)
+                // (CAST(total_units AS HUGEINT) * 2) AS BIGINT)
                AS mkt_share_bp
     FROM (
         SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

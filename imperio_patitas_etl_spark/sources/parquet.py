@@ -28,6 +28,32 @@ TPCH_TABLES = (
 )
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Set ``spark.sql.legacy.parquet.nanosAsLong`` on the session.
+
+    ``get_spark`` already sets it at build time; this runtime set exists
+    ONLY for externally-built sessions (the driver harness) that scan the
+    TIMESTAMP(NANOS) events table — without it the scan fails outright.
+    Centralized here so the batch and streaming readers share one
+    documented mutation point instead of each reader touching session
+    state (ADVICE r6)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+#: Footer-peeked events schemas by path — the streaming reader needs a
+#: declared schema, and re-peeking per call is hidden I/O (ADVICE r6).
+_EVENTS_SCHEMA_CACHE: dict = {}
+
+
+def events_schema(spark: SparkSession, sf_dir: str):
+    """Schema of the events parquet (footer metadata read, cached)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if path not in _EVENTS_SCHEMA_CACHE:
+        ensure_nanos_conf(spark)
+        _EVENTS_SCHEMA_CACHE[path] = spark.read.parquet(path).schema
+    return _EVENTS_SCHEMA_CACHE[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table from a scale-factor directory.
 
@@ -38,10 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream operator sees a plain TimestampType.
     """
     if name == "events":
-        # Runtime conf, set defensively: the caller's session (e.g. the
-        # driver harness) may not have it, and without it the NANOS column
-        # fails the scan outright.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

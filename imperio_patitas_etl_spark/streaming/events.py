@@ -27,18 +27,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from imperio_patitas_etl_spark.sources.parquet import events_schema
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with a plain timestamp
     column. ``maxFilesPerTrigger`` keeps micro-batches bounded.
 
-    File streams require a declared schema; it is taken from a batch
-    metadata peek of the same path so the stream tracks however the
-    testdata encodes ``ts`` — TIMESTAMP(NANOS) (arrives as long under
-    ``nanosAsLong``, converted here) or plain micros (arrives as a
-    timestamp type, passed through) — instead of hardcoding one vintage.
+    File streams require a declared schema; it comes from the CACHED
+    footer peek in ``sources.parquet.events_schema`` (one metadata read
+    per path per process, not per call — ADVICE r6), so the stream tracks
+    however the testdata encodes ``ts`` — TIMESTAMP(NANOS) (arrives as
+    long under ``nanosAsLong``, converted here) or plain micros (arrives
+    as a timestamp type, passed through) — instead of hardcoding one
+    vintage. The nanos conf itself is set in ``get_spark`` /
+    ``ensure_nanos_conf``, not here.
+
+    Type note (documented divergence): the batch reader emits
+    TIMESTAMP_NTZ ``ts``; watermarks require TimestampType (Spark raises
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so the streaming path
+    must cast to LTZ. With the session timezone pinned UTC (``get_spark``)
+    the two are wall-clock identical; batch/stream comparison tests cast
+    explicitly at the comparison boundary.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = events_schema(spark, sf_dir)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
