@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q4",
     "tpch_q5",
@@ -31,6 +32,7 @@ HEADLINE = [
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
@@ -82,6 +84,7 @@ HEADLINE = [
     "embedding_dup_clusters",
     "quantile_sketch",
     "stream_session_window",
+    "stream_interval_join",
     "json_extract",
     "multimodal_decode_stub",
     "multimodal_feature_extract",
@@ -93,9 +96,34 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([\d.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    # Modes (VERDICT r6 items 5/7):
+    #   (default)     HEADLINE keys at $SPARK_GRAFT_SF_DIR — the driver's
+    #                 per-round comparison set; metric name unchanged.
+    #   --all         sweep EVERY registry key (HEADLINE order first, the
+    #                 unbenched tier after), so regressions in the
+    #                 trivial-tier keys become visible.
+    #   --sf1 [dir]   standing scale gate: build the replicated sf1 tree
+    #                 (tools/make_sf1.py) if absent, run HEADLINE there.
+    args = [a for a in sys.argv[1:]]
+    run_all = "--all" in args
+    sf1_mode = "--sf1" in args
+    pos = [a for a in args if not a.startswith("--")]
+
+    if sf1_mode:
+        sf_dir = pos[0] if pos else "/tmp/sf1"
+        if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.join("tools", "make_sf1.py"), sf_dir],
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        sf = 1.0
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        m = re.search(r"sf([\d.]+)", sf_dir)
+        sf = float(m.group(1)) if m else -1.0
 
     from imperio_patitas_etl_spark.session import get_spark
     from imperio_patitas_etl_spark.queries import all_queries
@@ -104,6 +132,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
+    keys = [k for k in HEADLINE if k in qs]
+    if run_all:
+        keys += [k for k in qs if k not in keys]
+
     # warmup: JVM + codegen + parquet footer reads + Python worker pool
     qs["count_star"](spark, sf_dir).collect()
     spark.range(0, 8, 1, 2).mapInPandas(
@@ -111,19 +143,22 @@ def main() -> None:
     ).count()  # fork pyspark workers once, outside any timed query
 
     timings: dict[str, float] = {}
-    for key in HEADLINE:
-        if key not in qs:
-            continue
+    for key in keys:
         t0 = time.perf_counter()
         df = qs[key](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[key] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    metric = "headline_queries_total"
+    if run_all:
+        metric = "all_queries_total"
+    if sf1_mode:
+        metric = "sf1_" + metric
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -34,76 +34,82 @@ _MODULES = (streaming_ops, text, vector, tpch, entity, multimodal_ops, core)
 # implementation or oracle changed — or that is NEW — this round sits
 # inside the sampled window; (b) the rest of the window refreshes the
 # keys whose most recent driver row is oldest; (c) keys verified green in
-# the latest rounds with unchanged code rotate out. Round 6 window
-# (first 50): the timestamp-NTZ-affected keys + the 20 r6-new keys
-# (four waves: promoted library operators, corpus-filter stage,
-# remaining TPC-H plan families, clustering/sketch) + the
-# quality_gopher rewrite, then the r2-stale multimodal/tumbling keys and
-# most of core (last driver rows r3 — core was not sampled in r5 at
-# all); the seven most trivial core keys yield their slots to the new
-# keys and rotate next round. Every key outside the window is r4/r5
-# driver-green with code unchanged since, and the whole registry is
-# locally green at sf0.01 AND sf0.1 (tools/check.py, BASELINE.md).
-_R6_FRONT = (
-    # changed or new this round
-    "sessionize_sharded",
-    "sessionize_events",
-    "range_join",
-    "asof_join",
-    "tfidf_weights",
-    "dup_clusters_star",
-    "minhash_incremental",
-    "quality_gopher",
-    "cosine_dedup_recall",
-    "tpch_q19",
-    "tpch_q20",
-    "window_range_rolling",
-    # stale: last driver rows r2
-    "multimodal_decode_stub",
-    "multimodal_feature_extract",
-    "stream_tumbling_window",
-    # new this round (third wave: remaining TPC-H plan families)
-    "tpch_q7",
+# the latest rounds with unchanged code rotate out. Round 7 window
+# (first 50):
+#   - new this round: tpch_q2 / tpch_q11 (derived partsupp) and
+#     stream_interval_join;
+#   - changed this round: tpch_q8 (exact integer bp division) and
+#     tfidf_weights (decimal-before-square norm);
+#   - re-verified per ADVICE r6 (high): tpch_q1 / tpch_q17 / tpch_q18 /
+#     grouping_sets — their floor-vs-cast quantity semantics changed in
+#     r6 commit 0a8fd36 but sat outside the r6 window; rule (a) demands
+#     a driver row on the current text, so they lead this window;
+#   - stale r3 rows: the seven trivial core keys deferred from r6
+#     exactly as promised (scan_parquet/limit/sort_limit/count_star/
+#     count_by_flag/groupby_avg/exists_any_agg);
+#   - the rest: r5-row keys (all driver-green, code unchanged). Eight
+#     r5-green scalar-layer keys (arith_derived, casts,
+#     coalesce_defaults, regex_email, regex_rut, string_cleanup,
+#     timestamp_from_unix, dq_flags) — the lowest-risk unchanged tier —
+#     wait for r8.
+# Every key outside the window is r5/r6 driver-green with code unchanged
+# since, and the whole registry is locally green at sf0.01
+# (tools/check.py).
+_R7_FRONT = (
+    # new or changed this round
+    "tpch_q2",
+    "tpch_q11",
+    "stream_interval_join",
     "tpch_q8",
-    "tpch_q9",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q22",
-    # new this round (fourth wave)
-    "embedding_dup_clusters",
-    "quantile_sketch",
-    # stale: last driver rows r3 (core module; the seven most trivial
-    # keys — scan_parquet/limit/sort_limit/count_star/count_by_flag/
-    # groupby_avg/exists_any_agg — yield their slots to the new keys
-    # above and rotate next round)
-    "dedup_first",
-    "topk_per_group",
-    "cube_rollup",
-    "explode_variants",
-    "explode_details",
-    "join_price_broadcast",
-    "join_cost_left",
-    "derived_cost_coalesce",
-    "semi_anti_membership",
-    "fk_orphans_antijoin",
-    "multi_join_star",
-    "upsert_latest_wins",
-    "delete_insert_antijoin",
-    "upsert_merge",
-    "distinct_agg",
-    "percentile_agg",
-    "kmv_distinct_sketch",
-    "salted_join_skew",
-    "union_except",
-    "window_running_sum",
-    "window_lag_rank",
-    "date_window",
-    # new this round (second wave)
-    "gopher_filter",
-    "decontaminate_ngram",
-    "unigram_logprob",
-    "corpus_keep_list",
+    "tfidf_weights",
+    # changed in r6 (0a8fd36) but unsampled there — ADVICE r6 (high)
+    "tpch_q1",
+    "tpch_q17",
+    "tpch_q18",
+    "grouping_sets",
+    # stale: last driver rows r3 (deferred from the r6 window)
+    "scan_parquet",
+    "limit",
+    "sort_limit",
+    "count_star",
+    "count_by_flag",
+    "groupby_avg",
+    "exists_any_agg",
+    # r5-row refresh tier (oldest remaining driver rows)
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q21",
+    "ann_ivf",
+    "ann_ivf_trained",
+    "ann_lsh_bucketed",
+    "ann_recall",
+    "ann_topk_bruteforce",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "simhash_near_dup",
+    "ngram_jaccard_dedup",
+    "doc_fingerprint",
+    "dup_clusters",
+    "embedding_cosine_dedup",
+    "tf_vectorize",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "stratified_sample",
+    "json_extract",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_sliding_window",
+    "filter_project_client",
+    "filter_project_detail",
+    "filter_project_document",
+    "filter_project_product",
 )
 
 
@@ -111,7 +117,7 @@ def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _R6_FRONT}
+    out = {k: merged[k] for k in _R7_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 

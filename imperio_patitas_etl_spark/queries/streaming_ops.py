@@ -296,8 +296,36 @@ def q_sessionize_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_sharded(e)
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: every click within 10
+    minutes after an error of the same user, as raw (err, click) pairs —
+    the event-time join family (streaming/events.py:clicks_after_errors).
+
+    This runs the EXACT join expression the streaming path runs (equi on
+    user + event-time range residual; Spark keys the join on the equality
+    and evaluates the range as a residual filter — no nested loop), so
+    the green row certifies the join semantics; stream ≡ batch is
+    asserted in tests/test_streaming.py. The scale path for backfills is
+    the binned equi-join plan under the ``range_join`` key — same
+    semantics, pre-grouped."""
+    from imperio_patitas_etl_spark.streaming.events import clicks_after_errors
+
+    e = load_table(spark, sf_dir, "events")
+    return clicks_after_errors(e, streaming=False)
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+    SELECT e.event_id AS err_id, c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 10 MINUTE
+"""
+
+
 QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
+    "stream_interval_join": q_stream_interval_join,
     "stream_session_window": q_stream_session_window,
     "stream_dedup": q_stream_dedup,
     "json_extract": q_json_extract,
@@ -309,6 +337,7 @@ QUERIES = {
 
 ORACLE = {
     "stream_sliding_window": ORACLE_SLIDING,
+    "stream_interval_join": ORACLE_STREAM_INTERVAL_JOIN,
     "stream_session_window": ORACLE_SESSION,
     "stream_dedup": ORACLE_STREAM_DEDUP,
     "json_extract": ORACLE_JSON_EXTRACT,

@@ -114,6 +114,43 @@ def test_q14_q17_broadcast_the_part_side(spark, sf_dir):
         assert "SortMergeJoin" not in plan, key
 
 
+def test_q2_q11_broadcast_dims_onto_partsupp(spark, sf_dir):
+    """Q2/Q11 over the derived partsupp: part/supplier/nation dims must
+    broadcast — shuffling the pair relation (grows with the data) against
+    a 100-row dim would be the 100× bottleneck. Q11's one-row global
+    total must arrive as a broadcast nested-loop cross join, not a
+    cartesian product."""
+    plan2 = _plan(all_queries()["tpch_q2"](spark, sf_dir))
+    assert plan2.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan2
+    plan11 = _plan(all_queries()["tpch_q11"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan11
+    assert "SortMergeJoin" not in plan11
+    assert "CartesianProduct" not in plan11
+
+
+def test_partsupp_deterministic_and_bounded(spark, sf_dir):
+    """The derived partsupp is keyed by the DISTINCT lineitem pairs and
+    its synthesized attributes stay in their documented ranges — the
+    invariants both Q2's min and Q11's value concentration rely on."""
+    from imperio_patitas_etl_spark.queries.tpch import derived_partsupp
+
+    ps = derived_partsupp(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    row = ps.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("ps_partkey", "ps_suppkey").alias("n_keys"),
+        F.min("ps_availqty").alias("lo_q"),
+        F.max("ps_availqty").alias("hi_q"),
+        F.min("ps_supplycost_cents").alias("lo_c"),
+        F.max("ps_supplycost_cents").alias("hi_c"),
+    ).collect()[0]
+    assert row.n == row.n_keys > 0
+    assert 1 <= row.lo_q and row.hi_q <= 9999
+    assert 100 <= row.lo_c and row.hi_c <= 100099
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     """Both windows and the final session aggregate all cluster by
     user_id: one Exchange total — lag, running sum, and groupBy must

@@ -34,12 +34,15 @@ SURVEY_KEYS = {
 EXTENSION_KEYS = {
     "cube_rollup", "union_except", "window_running_sum", "distinct_agg",
     "kmv_distinct_sketch", "percentile_agg",
-    "grouping_sets", "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13",
+    "grouping_sets", "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+    "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19",
     "tpch_q20", "tpch_q21", "tpch_q22",
     "salted_join_skew", "sessionize_events", "sessionize_sharded",
     "stream_tumbling_window", "stream_sliding_window", "stream_session_window",
+    "stream_interval_join",
     "json_extract", "asof_join", "range_join", "window_lag_rank",
     "window_range_rolling",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "ngram_jaccard_dedup",
