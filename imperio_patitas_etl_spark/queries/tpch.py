@@ -1383,8 +1383,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern); the HAVING comparison runs as exact integer cents
     (part_cents · DEN > total_cents), so no float threshold can disagree
     across engines. Nation suppliers broadcast onto the derived partsupp;
-    one shuffle for the per-part aggregate. ORDER BY value DESC with
-    ps_partkey tiebreak is a total order."""
+    one shuffle for the per-part aggregate. The total branch repeats the
+    per-part subtree in the STATIC plan, but AQE reuses the shuffle stage
+    at runtime (verified: ReusedExchange in the executed adaptive plan),
+    so lineitem is scanned and the pairs deduplicated once. ORDER BY
+    value DESC with ps_partkey tiebreak is a total order."""
     ps = derived_partsupp(spark, sf_dir)
     s = (
         load_table(spark, sf_dir, "supplier")
