@@ -97,16 +97,19 @@ HEADLINE = [
 
 def main() -> None:
     # Modes (VERDICT r6 items 5/7):
-    #   (default)     HEADLINE keys at $SPARK_GRAFT_SF_DIR — the driver's
-    #                 per-round comparison set; metric name unchanged.
-    #   --all         sweep EVERY registry key (HEADLINE order first, the
-    #                 unbenched tier after), so regressions in the
-    #                 trivial-tier keys become visible.
+    #   (default)     sweep EVERY registry key at $SPARK_GRAFT_SF_DIR —
+    #                 HEADLINE order first, the unbenched tier after — so
+    #                 regressions in the trivial-tier keys are visible in
+    #                 every BENCH_r{N}. `value` stays the HEADLINE subtotal
+    #                 (the baseline-comparable metric, same key set and
+    #                 meaning as every prior round); the full-registry sum
+    #                 is reported separately as `all_total`.
+    #   --headline    HEADLINE keys only (the pre-r7 default).
     #   --sf1 [dir]   standing scale gate: build the replicated sf1 tree
     #                 (tools/make_sf1.py) if absent, run HEADLINE there.
     args = [a for a in sys.argv[1:]]
-    run_all = "--all" in args
     sf1_mode = "--sf1" in args
+    run_all = "--headline" not in args and not sf1_mode
     pos = [a for a in args if not a.startswith("--")]
 
     if sf1_mode:
@@ -149,23 +152,22 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[key] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    headline_total = round(
+        sum(t for k, t in timings.items() if k in set(HEADLINE)), 3
+    )
     metric = "headline_queries_total"
-    if run_all:
-        metric = "all_queries_total"
     if sf1_mode:
         metric = "sf1_" + metric
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": metric,
+        "value": headline_total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if run_all:
+        out["all_total"] = round(sum(timings.values()), 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
