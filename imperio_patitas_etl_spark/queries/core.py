@@ -661,6 +661,104 @@ ORACLE_QUANTILE_SKETCH = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# §2.7 extensions (r7): pivot / unpivot / fixed-width histogram
+# --------------------------------------------------------------------------
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot events long→wide: one row per day, one exact-cents sum
+    column per event type. The pivot values are DECLARED (not
+    discovered), so Spark skips the extra distinct-values job and the
+    plan is a single hash aggregate with 5 conditional sums — map-side
+    combinable, one shuffle on the day key, no per-value scans."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wide = (
+        e.select(F.to_date("ts").alias("day"), "event_type", cents.alias("cents"))
+        .groupBy("day")
+        .pivot("event_type", list(PIVOT_EVENT_TYPES))
+        .agg(F.sum("cents"))
+    )
+    return wide.select(
+        "day", *[F.col(t).alias(f"{t}_cents") for t in PIVOT_EVENT_TYPES]
+    )
+
+
+ORACLE_PIVOT_WIDE = f"""
+    SELECT CAST(ts AS DATE) AS day,
+           {", ".join(
+               f"CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) "
+               f"FILTER (event_type = '{t}') AS BIGINT) AS {t}_cents"
+               for t in PIVOT_EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+"""
+
+
+UNPIVOT_METRICS = ("quantity", "extendedprice", "discount", "tax")
+
+
+def q_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot lineitem wide→long (4 measure columns become (metric,
+    value) pairs, in exact cents) and aggregate per (returnflag, metric).
+    Spark's Expand operator emits the 4 rows per input row BEFORE the
+    aggregate's map-side combine, so the shuffle carries only
+    flag×metric partials — unpivoting never materializes a 4× copy of
+    the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = {
+        m: F.round(F.col(f"l_{m}") * 100).cast("long").alias(m)
+        for m in UNPIVOT_METRICS
+    }
+    return (
+        li.select("l_returnflag", *cents.values())
+        .unpivot(["l_returnflag"], list(UNPIVOT_METRICS), "metric", "cents")
+        .groupBy("l_returnflag", "metric")
+        .agg(F.sum("cents").alias("sum_cents"))
+    )
+
+
+ORACLE_UNPIVOT_LONG = "\nUNION ALL\n".join(
+    f"""
+    SELECT l_returnflag, '{m}' AS metric,
+           CAST(SUM(CAST(ROUND(l_{m} * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem GROUP BY l_returnflag
+    """
+    for m in UNPIVOT_METRICS
+)
+
+
+HIST_BUCKET_WIDTH = 50_000
+
+
+def q_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: bucket = floor(total /
+    width), with count and exact-cents sum per bucket — the distribution
+    profile every ingest pipeline computes. One map-side-combinable
+    aggregate to ~10 rows; at 100 TB the shuffle carries only the bucket
+    partials, never rows."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / HIST_BUCKET_WIDTH).cast("long")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select(bucket.alias("bucket"), cents.alias("cents"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+ORACLE_HISTOGRAM_FIXED = f"""
+    SELECT CAST(floor(o_totalprice / {HIST_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "limit": q_limit,
@@ -694,6 +792,9 @@ QUERIES = {
     "window_range_rolling": q_window_range_rolling,
     "date_window": q_date_window,
     "stream_tumbling_window": q_stream_tumbling_window,
+    "pivot_wide": q_pivot_wide,
+    "unpivot_long": q_unpivot_long,
+    "histogram_fixed": q_histogram_fixed,
 }
 
 ORACLE = {
@@ -901,4 +1002,7 @@ ORACLE = {
                COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """,
+    "pivot_wide": ORACLE_PIVOT_WIDE,
+    "unpivot_long": ORACLE_UNPIVOT_LONG,
+    "histogram_fixed": ORACLE_HISTOGRAM_FIXED,
 }

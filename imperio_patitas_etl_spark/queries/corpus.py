@@ -1,0 +1,486 @@
+"""Corpus-preparation operators for LLM training-data pipelines (r7).
+
+Extends the text tier (queries/text.py) with the sequence-assembly and
+policy stages that sit BETWEEN cleaning/dedup and the trainer:
+
+- ``chunk_sequences``   — split long documents into fixed-token windows;
+- ``pack_sequences``    — concatenation-pack short documents into
+                          fixed-token training bins;
+- ``span_dedup``        — C4-style global duplicate-span removal;
+- ``pii_redact``        — regex PII scrubbing with per-doc match counts;
+- ``domain_mixture``    — exact target-mixture reweighting summary;
+- ``domain_mixture_sample`` — the per-document keep decision for it.
+
+Everything follows the repo-wide oracle discipline: deterministic
+integer/bp arithmetic wherever a float could drift between engines, the
+shared ``md5``-based cross-engine hash for sampling/ordering, and a
+DuckDB oracle per key. No reference-repo counterpart exists for these
+(the reference at /root/reference is a 4-entity retail ETL); they are the
+scale-tier operators the brief asks for beyond it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imperio_patitas_etl_spark.sources.parquet import load_table
+
+# Cross-engine deterministic 60-bit hash (same construction as
+# queries/text.py:_MD5INT — first 15 hex chars of md5 as a BIGINT).
+_MD5INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _sql_md5int(x: str) -> str:
+    return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# chunk_sequences — fixed-window document chunking
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+
+
+def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into consecutive CHUNK_TOKENS-token windows —
+    the "long document → training sequences" stage. One row per
+    (doc, chunk) with the chunk's token count and first token.
+
+    Scale: a pure per-row explode — zero shuffle, embarrassingly
+    parallel, and the output partitioning inherits the scan's, so the
+    downstream tokenizer/writer sees the same layout. At 100 TB this is
+    the shape you want: no key, no skew, no state."""
+    d = load_table(spark, sf_dir, "documents")
+    L = CHUNK_TOKENS
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    return (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_tok"),
+            F.explode(
+                F.sequence(F.lit(0), F.floor((n - 1) / L).cast("int"))
+            ).alias("chunk_id"),
+            toks.alias("toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(L), F.col("n_tok") - F.col("chunk_id") * L)
+            .cast("long")
+            .alias("chunk_tok"),
+            F.element_at("toks", F.col("chunk_id") * L + 1).alias("first_tok"),
+        )
+    )
+
+
+ORACLE_CHUNK_SEQUENCES = f"""
+    SELECT doc_id,
+           chunk_id,
+           LEAST({CHUNK_TOKENS}, n_tok - chunk_id * {CHUNK_TOKENS}) AS chunk_tok,
+           toks[chunk_id * {CHUNK_TOKENS} + 1] AS first_tok
+    FROM (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    LATERAL (
+        SELECT unnest(generate_series(
+                   0::BIGINT,
+                   CAST(floor((n_tok - 1) / {CHUNK_TOKENS}) AS BIGINT)
+               )) AS chunk_id
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+# pack_sequences — concatenation packing into fixed token budgets
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 256
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-pack documents into PACK_BUDGET-token training bins,
+    per source, in doc_id order: each document is assigned to the bin in
+    which its FIRST token lands when the source's documents are laid out
+    contiguously (the standard pack-with-boundary-crossing layout). One
+    summary row per (source, bin): docs, tokens, fill vs budget in bp
+    (can exceed 10000 — the straddling doc's tail belongs to the next
+    bin but is counted with its head, which is exactly how contiguous
+    packing behaves).
+
+    Scale: one window shuffle partitioned by ``source``. Real pipelines
+    pack within a shard/file rather than globally for the same reason —
+    the assignment only needs a stable order WITHIN a partition-sized
+    unit, never a global sort. Skewed sources shard first (the
+    sessionize_sharded pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select("doc_id", "source", n.alias("n_tok"))
+    placed = toks.select(
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start_tok"),
+    ).select(
+        "source",
+        "n_tok",
+        (F.col("start_tok") / PACK_BUDGET).cast("long").alias("bin_id"),
+    )
+    return (
+        placed.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "bin_id",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens") * 10000 / PACK_BUDGET)
+            .cast("long")
+            .alias("fill_bp"),
+        )
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    placed AS (
+        SELECT source, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // {PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tok) * 10000 // {PACK_BUDGET} AS BIGINT) AS fill_bp
+    FROM placed
+    GROUP BY source, bin_id
+"""
+
+
+# --------------------------------------------------------------------------
+# span_dedup — C4-style global duplicate-span removal
+# --------------------------------------------------------------------------
+
+SPAN_TOKENS = 10
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span deduplication: cut each document into consecutive
+    SPAN_TOKENS-token spans, drop every later occurrence of a span seen
+    anywhere in the corpus (first occurrence in (doc_id, span_idx) order
+    wins), and reassemble each document from its surviving spans. C4 does
+    this with three-sentence spans; the testdata has no sentence
+    boundaries, so fixed token windows stand in.
+
+    Scale: two shuffles, both on keys whose cardinality grows with the
+    corpus — (1) the first-occurrence window partitions by the span HASH
+    (not the span text, so wide spans never travel as shuffle keys);
+    (2) the reassembly groups by doc_id. No driver state, no broadcast
+    of anything corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    W = SPAN_TOKENS
+    spans = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {W}) AS INT) - 1), "
+        f"i -> array_join(slice(split(text, ' '), i * {W} + 1, {W}), ' '))"
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(spans).alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        "span",
+        F.expr(_MD5INT.format(x="span")).alias("span_h"),
+    )
+    first = Window.partitionBy("span_h").orderBy("doc_id", "span_idx")
+    kept = (
+        exploded.select(
+            "doc_id",
+            "span_idx",
+            "span",
+            F.row_number().over(first).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_idx", "span"))
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .select("doc_id", "n_kept_spans", "kept_text")
+    )
+
+
+ORACLE_SPAN_DEDUP = f"""
+    WITH exploded AS (
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS span_idx,
+               array_to_string(
+                   list_slice(string_split(text, ' '),
+                              (i - 1) * {SPAN_TOKENS} + 1,
+                              i * {SPAN_TOKENS}), ' ') AS span
+        FROM documents,
+        LATERAL (
+            SELECT unnest(generate_series(
+                1::BIGINT,
+                CAST(ceil(length(string_split(text, ' ')) / {SPAN_TOKENS}.0)
+                     AS BIGINT))) AS i
+        )
+    ),
+    ranked AS (
+        SELECT doc_id, span_idx, span,
+               ROW_NUMBER() OVER (PARTITION BY {_sql_md5int('span')}
+                                  ORDER BY doc_id, span_idx) AS rn
+        FROM exploded
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_kept_spans,
+           string_agg(span, ' ' ORDER BY span_idx) AS kept_text
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# pii_redact — regex PII scrubbing with match accounting
+# --------------------------------------------------------------------------
+
+# Portable across Java regex (Spark) and RE2-ish (DuckDB): no lookaround,
+# no backreferences.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+56 9 [0-9]{8}"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text: replace emails / phone numbers with typed
+    placeholders and account for every replacement. The corpus text is
+    synthetic and PII-free, so a deterministic contact trailer (derived
+    from doc_id by pure arithmetic — identical in both engines) is
+    appended first; the scrubber then provably finds and removes it.
+
+    Scale: narrow per-row regex work, zero shuffle, pushed right after
+    the scan. The match COUNTS travel to the audit sink instead of the
+    matched text — the usual compliance requirement (prove you scrubbed
+    without logging what you scrubbed)."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +56 9 "),
+        F.lpad(((F.col("doc_id") * 7919) % 100000000).cast("string"), 8, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
+
+
+ORACLE_PII_REDACT = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +56 9 '
+                    || lpad(CAST((doc_id * 7919) % 100000000 AS VARCHAR), 8, '0')
+                   AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+           CAST(length(regexp_extract_all(t, '\\+56 9 [0-9]{{8}}')) AS BIGINT)
+               AS n_phones,
+           CAST(length(
+               regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '\\+56 9 [0-9]{{8}}', '<PHONE>', 'g')
+           ) AS BIGINT) AS redacted_len
+    FROM aug
+"""
+
+
+# --------------------------------------------------------------------------
+# domain_mixture — exact target-mixture reweighting
+# --------------------------------------------------------------------------
+
+# Target mixture over the 20 sources: source srcK gets weight (K+1)/210
+# (sum(1..20) = 210) — a deliberately skewed target so the op does real
+# rebalancing work on the uniform testdata.
+MIX_DEN = 210
+
+
+def _mix_num(source_col):
+    # srcK -> K+1, the integer numerator of the target share.
+    return F.substring(source_col, 4, 8).cast("long") + 1
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: given a target share per source,
+    compute the LARGEST subcorpus achieving the target mixture exactly
+    and each source's resulting keep quota / keep rate. All integer
+    arithmetic: T = min_k floor(count_k * DEN / num_k) bounds the total,
+    kept_k = T * num_k // DEN.
+
+    Scale: one map-side-combinable groupBy to 20 rows, then a driverless
+    min over those 20 via an unpartitioned window ON THE 20-ROW
+    AGGREGATE (constant-size input — the global window that is an
+    anti-pattern on row data is free here)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    num = _mix_num(F.col("source"))
+    sized = counts.select(
+        "source",
+        "n_docs",
+        num.alias("mix_num"),
+        ((F.col("n_docs") * MIX_DEN) / num).cast("long").alias("t_bound"),
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        sized.select(
+            "source",
+            "n_docs",
+            "mix_num",
+            F.min("t_bound").over(w).alias("t_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            ((F.col("mix_num") * 10000) / MIX_DEN).cast("long").alias("target_bp"),
+            ((F.col("t_total") * F.col("mix_num")) / MIX_DEN)
+            .cast("long")
+            .alias("kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "target_bp",
+            "kept",
+            ((F.col("kept") * 10000) / F.col("n_docs")).cast("long").alias(
+                "keep_rate_bp"
+            ),
+        )
+    )
+
+
+_SQL_MIX_SIZED = f"""
+        SELECT source, n_docs,
+               CAST(substr(source, 4) AS BIGINT) + 1 AS mix_num,
+               n_docs * {MIX_DEN} // (CAST(substr(source, 4) AS BIGINT) + 1)
+                   AS t_bound
+        FROM (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+"""
+
+ORACLE_DOMAIN_MIXTURE = f"""
+    WITH sized AS ({_SQL_MIX_SIZED}),
+    capped AS (
+        SELECT source, n_docs, mix_num, MIN(t_bound) OVER () AS t_total
+        FROM sized
+    )
+    SELECT source, n_docs,
+           mix_num * 10000 // {MIX_DEN} AS target_bp,
+           t_total * mix_num // {MIX_DEN} AS kept,
+           (t_total * mix_num // {MIX_DEN}) * 10000 // n_docs AS keep_rate_bp
+    FROM capped
+"""
+
+
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document decision for ``domain_mixture``: within each
+    source, rank documents by the deterministic md5 hash (doc_id
+    tie-break) and keep exactly the source's quota — a reproducible,
+    RNG-free exact-count sample (the stratified_sample path trades the
+    exact count for a rankless hash threshold; this one needs the count).
+
+    Scale: the quota table is 20 rows (broadcast); the rank is one
+    window shuffle on ``source``. A skewed source shards first, ranks
+    per shard, and stitches quotas by shard prefix sums — the
+    sessionize_sharded construction — which keeps no partition larger
+    than a shard."""
+    quotas = q_domain_mixture(spark, sf_dir).select("source", "kept")
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(_MD5INT.format(x="concat('mix_', CAST(doc_id AS STRING))"))
+    ranked = d.select(
+        "doc_id", "source", F.row_number()
+        .over(Window.partitionBy("source").orderBy(h, "doc_id"))
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rk") <= F.col("kept"))
+        .select("doc_id", "source")
+    )
+
+
+ORACLE_DOMAIN_MIXTURE_SAMPLE = f"""
+    WITH sized AS ({_SQL_MIX_SIZED}),
+    quotas AS (
+        SELECT source,
+               MIN(t_bound) OVER () * mix_num // {MIX_DEN} AS kept
+        FROM sized
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_sql_md5int("'mix_' || CAST(doc_id AS VARCHAR)")},
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, ranked.source
+    FROM ranked JOIN quotas ON ranked.source = quotas.source
+    WHERE rk <= kept
+"""
+
+
+QUERIES = {
+    "chunk_sequences": q_chunk_sequences,
+    "pack_sequences": q_pack_sequences,
+    "span_dedup": q_span_dedup,
+    "pii_redact": q_pii_redact,
+    "domain_mixture": q_domain_mixture,
+    "domain_mixture_sample": q_domain_mixture_sample,
+}
+
+ORACLE = {
+    "chunk_sequences": ORACLE_CHUNK_SEQUENCES,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "span_dedup": ORACLE_SPAN_DEDUP,
+    "pii_redact": ORACLE_PII_REDACT,
+    "domain_mixture": ORACLE_DOMAIN_MIXTURE,
+    "domain_mixture_sample": ORACLE_DOMAIN_MIXTURE_SAMPLE,
+}

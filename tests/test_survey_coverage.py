@@ -54,6 +54,10 @@ EXTENSION_KEYS = {
     "ann_recall", "simhash_near_dup", "embedding_cosine_dedup",
     "embedding_dup_clusters", "cosine_dedup_recall", "quantile_sketch",
     "multimodal_decode_stub", "multimodal_feature_extract",
+    # r7 corpus-assembly tier + §2.7 pivot/unpivot/histogram
+    "chunk_sequences", "pack_sequences", "span_dedup", "pii_redact",
+    "domain_mixture", "domain_mixture_sample",
+    "pivot_wide", "unpivot_long", "histogram_fixed",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
