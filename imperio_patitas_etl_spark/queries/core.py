@@ -671,19 +671,24 @@ PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot events long→wide: one row per day, one exact-cents sum
     column per event type. The pivot values are DECLARED (not
-    discovered), so Spark skips the extra distinct-values job and the
-    plan is a single hash aggregate with 5 conditional sums — map-side
-    combinable, one shuffle on the day key, no per-value scans."""
+    discovered), and the pivot is compiled as conditional aggregation
+    rather than ``DataFrame.pivot`` — Spark's pivotfirst path costs a
+    second shuffle ((day, type) partials, then day), while 5 conditional
+    sums are a SINGLE map-side-combinable hash aggregate with one
+    shuffle on the day key and no distinct-values job."""
     e = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    wide = (
+    return (
         e.select(F.to_date("ts").alias("day"), "event_type", cents.alias("cents"))
         .groupBy("day")
-        .pivot("event_type", list(PIVOT_EVENT_TYPES))
-        .agg(F.sum("cents"))
-    )
-    return wide.select(
-        "day", *[F.col(t).alias(f"{t}_cents") for t in PIVOT_EVENT_TYPES]
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, F.col("cents"))).alias(
+                    f"{t}_cents"
+                )
+                for t in PIVOT_EVENT_TYPES
+            ]
+        )
     )
 
 
