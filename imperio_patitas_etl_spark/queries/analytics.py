@@ -1,0 +1,377 @@
+"""Warehouse-analytics operators (r7): SCD2 history, funnel, retention
+cohorts, and an auditable bloom-prefiltered semi-join.
+
+The reference pipeline (app/services/etl_service.py) keeps only the
+LATEST version of every row (MERGE latest-wins); these are the analytics
+the same warehouse grows next: a Type-2 slowly-changing-dimension
+history (the non-destructive twin of that MERGE), event funnels and
+weekly retention over the events stream, and the
+build-side-bounded bloom prefilter that cuts probe-side shuffle volume
+before an expensive join. All deterministic integer/timestamp
+arithmetic; every key has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imperio_patitas_etl_spark.functions.cleaning import epoch_us
+from imperio_patitas_etl_spark.sources.parquet import load_table
+
+_MD5INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _sql_md5int(x: str) -> str:
+    return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# scd2_history — Type-2 slowly-changing-dimension build
+# --------------------------------------------------------------------------
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Type-2 SCD history from a change feed: each customer's
+    orders, in (o_orderdate, o_orderkey) order, become consecutive
+    versions with [valid_from, valid_to) intervals; the open interval is
+    the current version. This is the history-preserving twin of the
+    reference's latest-wins MERGE (etl_service.py:252-325 keeps only the
+    last version; SCD2 keeps them all and makes point-in-time joins
+    possible).
+
+    Scale: ONE window shuffle on the natural key (o_custkey) computes
+    version ordinal and lead() in the same pass — the same
+    partitioning-reuse shape as sessionize_events. Incremental refresh
+    at 100 TB MERGEs only the keys present in the new batch (close the
+    open interval, insert the new one) — the upsert machinery in
+    operators/upsert.py composes with this directly."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+
+ORACLE_SCD2_HISTORY = """
+    SELECT o_custkey AS custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER w AS valid_to,
+           LEAD(o_orderdate) OVER w IS NULL AS is_current,
+           o_orderpriority AS priority,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# event_funnel — ordered-step conversion
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user
+    converts at step k only with an event STRICTLY AFTER their step-k-1
+    conversion time (first qualifying event wins). Returns one summary
+    row of user counts per stage.
+
+    Scale: ONE scan and ONE user_id shuffle for the whole funnel. Both
+    stage conditions are strictly-earlier-existence tests, so they
+    compile to running mins over a RANGE window (unbounded-preceding to
+    -1 µs on the epoch axis): a click qualifies iff a view exists
+    strictly before it; a purchase qualifies iff a QUALIFIED click
+    exists strictly before it. The two windows share one window spec
+    (one sort, no second exchange), the per-user rollup is
+    co-partitioned with them, and the final reduce is a single row.
+    The joined-cascade alternative re-scans events per stage and
+    shuffles each per-user table — this form adds a stage for the cost
+    of one more window aggregate."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    us = epoch_us("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        e.select(
+            "user_id",
+            "event_type",
+            us.alias("us"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "us",
+            F.min(
+                F.when(F.col("event_type") == "view", F.col("us"))
+            ).over(w).alias("first_view_before"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "us",
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("first_view_before").isNotNull(),
+                F.col("us"),
+            ).alias("qclick_us"),
+            "first_view_before",
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "qclick_us",
+            F.min("qclick_us").over(w).alias("first_qclick_before"),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", True)).alias("viewed"),
+        F.max(F.col("qclick_us").isNotNull()).alias("clicked"),
+        F.max(
+            (F.col("event_type") == "purchase")
+            & F.col("first_qclick_before").isNotNull()
+        ).alias("purchased"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("viewed"), 1).otherwise(0)).alias("n_viewed"),
+        F.sum(F.when(F.col("clicked"), 1).otherwise(0)).alias(
+            "n_clicked_after_view"
+        ),
+        F.sum(F.when(F.col("purchased"), 1).otherwise(0)).alias(
+            "n_purchased_after_click"
+        ),
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+    WITH viewed AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    clicked AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN viewed v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    purchased AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN clicked c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM viewed) AS n_viewed,
+           (SELECT COUNT(*) FROM clicked) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM purchased) AS n_purchased_after_click
+"""
+
+
+# --------------------------------------------------------------------------
+# retention_cohorts — weekly cohort retention triangle
+# --------------------------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the ISO week of
+    their first event; for each (cohort_week, week_offset) the number of
+    cohort members active that week. The classic growth-analytics
+    rollup.
+
+    Scale: first-seen is one user_id aggregate; the activity join is
+    user_id-co-partitioned with it; the final rollup aggregates to
+    (weeks × offsets) rows — partials combine map-side. The distinct
+    inside the final count is per (cohort, offset, user), bounded by
+    activity rows, never a cross product."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # cohort_week emitted as DATE: DuckDB's date_trunc('week', ts) is a
+    # DATE while Spark's is a timestamp — the date form is also the type
+    # a cohort key should be.
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("activity_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', CAST(cohort_week AS DATE),
+                          CAST(activity_week AS DATE)) // 7 AS BIGINT)
+               AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# bloom_prefilter_join — auditable build-side-bounded bloom semi-join
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_SALTS = ("b0_", "b1_", "b2_")
+BLOOM_PART_SIZE = 15
+
+
+def _bloom_pos(expr: str, salt: str) -> str:
+    inner = f"concat('{salt}', CAST({expr} AS STRING))"
+    return f"({_MD5INT.format(x=inner)} % {BLOOM_BITS})"
+
+
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join, made explicit and auditable: hash
+    the build side (parts of one size class) into a 2^16-slot / 3-hash
+    bloom position set, broadcast the ONE-ROW position array onto the
+    probe side (lineitem), and count probe rows overall / passing the
+    bloom / truly matching / false positives.
+
+    Spark 3.3+ applies a runtime row-level bloom like this transparently
+    (spark.sql.optimizer.runtimeFilter.bloomFilter); this operator exists
+    because a 100 TB pipeline also needs the AUDITED form — a
+    deterministic md5-based filter whose false-positive count is itself a
+    query result, checkable by the oracle, and whose position set can be
+    persisted and reused across runs (a runtime filter cannot). The
+    build side is bounded (one size class of parts), so the broadcast
+    array is KB-scale; the probe side is never shuffled at all — the
+    bloom pass is a narrow map, and only the exact-verify count touches
+    a (broadcast) join."""
+    build = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == BLOOM_PART_SIZE)
+        .select("p_partkey")
+    )
+    positions = (
+        build.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos("p_partkey", s))
+                        for s in BLOOM_SALTS
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_list("pos")).alias("pos_set"))
+    )
+    probe = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    tested = probe.crossJoin(F.broadcast(positions)).select(
+        "l_partkey",
+        *[
+            F.array_contains(
+                F.col("pos_set"), F.expr(_bloom_pos("l_partkey", s))
+            ).alias(f"h{i}")
+            for i, s in enumerate(BLOOM_SALTS)
+        ],
+    )
+    passed = tested.select(
+        "l_partkey",
+        (F.col("h0") & F.col("h1") & F.col("h2")).alias("bloom_pass"),
+    )
+    matched = passed.join(
+        F.broadcast(build), passed.l_partkey == build.p_partkey, "left"
+    ).select(
+        "bloom_pass", F.col("p_partkey").isNotNull().alias("is_match")
+    )
+    return matched.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_match"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_match"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+
+
+def _sql_bloom_pos(expr: str, salt: str) -> str:
+    inner = f"'{salt}' || CAST({expr} AS VARCHAR)"
+    return f"({_sql_md5int(inner)} % {BLOOM_BITS})"
+
+
+ORACLE_BLOOM_PREFILTER = f"""
+    WITH build AS (
+        SELECT p_partkey FROM part WHERE p_size = {BLOOM_PART_SIZE}
+    ),
+    pos AS (
+        SELECT list(DISTINCT pos ORDER BY pos) AS pos_set FROM (
+            SELECT unnest([
+                {_sql_bloom_pos('p_partkey', 'b0_')},
+                {_sql_bloom_pos('p_partkey', 'b1_')},
+                {_sql_bloom_pos('p_partkey', 'b2_')}
+            ]) AS pos FROM build
+        )
+    ),
+    tested AS (
+        SELECT l_partkey,
+               list_contains(pos_set, {_sql_bloom_pos('l_partkey', 'b0_')})
+               AND list_contains(pos_set, {_sql_bloom_pos('l_partkey', 'b1_')})
+               AND list_contains(pos_set, {_sql_bloom_pos('l_partkey', 'b2_')})
+                   AS bloom_pass,
+               l_partkey IN (SELECT p_partkey FROM build) AS is_match
+        FROM lineitem CROSS JOIN pos
+    )
+    SELECT COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos
+    FROM tested
+"""
+
+
+QUERIES = {
+    "scd2_history": q_scd2_history,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "bloom_prefilter_join": q_bloom_prefilter_join,
+}
+
+ORACLE = {
+    "scd2_history": ORACLE_SCD2_HISTORY,
+    "event_funnel": ORACLE_EVENT_FUNNEL,
+    "retention_cohorts": ORACLE_RETENTION_COHORTS,
+    "bloom_prefilter_join": ORACLE_BLOOM_PREFILTER,
+}

@@ -58,6 +58,9 @@ EXTENSION_KEYS = {
     "chunk_sequences", "pack_sequences", "span_dedup", "pii_redact",
     "domain_mixture", "domain_mixture_sample",
     "pivot_wide", "unpivot_long", "histogram_fixed",
+    # r7 warehouse-analytics tier
+    "scd2_history", "event_funnel", "retention_cohorts",
+    "bloom_prefilter_join",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
