@@ -53,7 +53,8 @@ _MODULES = (
 #     domain_mixture, domain_mixture_sample), pivot_wide / unpivot_long /
 #     histogram_fixed (queries/core.py), the four warehouse-analytics
 #     keys (queries/analytics.py: scd2_history, event_funnel,
-#     retention_cohorts, bloom_prefilter_join), tpch_q2 / tpch_q11
+#     retention_cohorts, bloom_prefilter_join, scd2_asof_lookup,
+#     cm_sketch_topk, zorder_layout_audit), tpch_q2 / tpch_q11
 #     (derived partsupp) and stream_interval_join;
 #   - changed this round: tpch_q8 (exact integer bp division) and
 #     tfidf_weights (decimal-before-square norm);
@@ -68,10 +69,11 @@ _MODULES = (
 #     r5-green unchanged tier that waits for r8: the eight scalar-layer
 #     keys (arith_derived, casts, coalesce_defaults, regex_email,
 #     regex_rut, string_cleanup, timestamp_from_unix, dq_flags) plus the
-#     thirteen displaced by this round's new keys (stratified_sample,
+#     sixteen displaced by this round's new keys (stratified_sample,
 #     json_extract, stream_dedup, stream_session_window,
 #     stream_sliding_window, filter_project_client/detail/document/
-#     product, tf_vectorize, token_count, quality_score, lang_id).
+#     product, tf_vectorize, token_count, quality_score, lang_id,
+#     doc_fingerprint, dup_clusters, embedding_cosine_dedup).
 # Every key outside the window is r5/r6 driver-green with code unchanged
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
@@ -92,6 +94,9 @@ _R7_FRONT = (
     "event_funnel",
     "retention_cohorts",
     "bloom_prefilter_join",
+    "scd2_asof_lookup",
+    "cm_sketch_topk",
+    "zorder_layout_audit",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -130,9 +135,6 @@ _R7_FRONT = (
     "dedup_simhash",
     "simhash_near_dup",
     "ngram_jaccard_dedup",
-    "doc_fingerprint",
-    "dup_clusters",
-    "embedding_cosine_dedup",
 )
 
 

@@ -362,11 +362,295 @@ ORACLE_BLOOM_PREFILTER = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# scd2_asof_lookup — point-in-time dimension join over the SCD2 history
+# --------------------------------------------------------------------------
+
+
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each lineitem resolves its
+    customer's priority AS OF the ship date against the SCD2 history —
+    the join that makes SCD2 worth building (training-data pipelines
+    need it for leakage-free feature backfills: the feature value as of
+    the event, never a later version). Rolled up to priority × count ×
+    cents so the result is audit-sized; facts older than their
+    customer's first version land in the NULL bucket (a LEFT as-of —
+    silently dropping them would hide backfill gaps).
+
+    Scale: the fact side joins orders once on orderkey (both
+    fact-sized, one shuffle), then the as-of itself is the union+window
+    composition of operators/joins.py:asof_join — ONE shuffle on
+    custkey, no inequality self-join. Versions deduplicate to the last
+    one per (custkey, valid_from) first, so equal-instant ties cannot
+    make the match engine-dependent (DuckDB's ASOF JOIN picks
+    arbitrarily among ties; ours picks the greatest struct)."""
+    from imperio_patitas_etl_spark.operators.joins import asof_join
+
+    versions = q_scd2_history(spark, sf_dir)
+    vw = Window.partitionBy("custkey", "valid_from").orderBy(
+        F.col("version").desc()
+    )
+    dim = (
+        versions.select(
+            "custkey", "valid_from", "version", "priority",
+            F.row_number().over(vw).alias("_rn"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "custkey",
+            F.col("valid_from").alias("ts"),
+            "priority",
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    facts = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ts"),
+        "cents",
+    )
+    matched = asof_join(facts, dim, key="custkey", ts="ts", value_cols=["priority"])
+    return (
+        matched.groupBy(F.col("asof_priority").alias("priority_asof"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+ORACLE_SCD2_ASOF = """
+    WITH hist AS (
+        SELECT o_custkey AS custkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               o_orderdate AS valid_from,
+               o_orderpriority AS priority
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    dim AS (
+        SELECT custkey, valid_from AS ts, priority FROM (
+            SELECT custkey, valid_from, priority,
+                   ROW_NUMBER() OVER (PARTITION BY custkey, valid_from
+                                      ORDER BY version DESC) AS rn
+            FROM hist
+        ) WHERE rn = 1
+    ),
+    facts AS (
+        SELECT o.o_custkey AS custkey, l.l_shipdate AS ts,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT d.priority AS priority_asof,
+           COUNT(*) AS n,
+           CAST(SUM(f.cents) AS BIGINT) AS sum_cents
+    FROM facts f ASOF LEFT JOIN dim d
+        ON f.custkey = d.custkey AND f.ts >= d.ts
+    GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# cm_sketch_topk — deterministic count-min sketch with error audit
+# --------------------------------------------------------------------------
+
+CM_WIDTH = 1024
+CM_SALTS = ("cm0_", "cm1_", "cm2_")
+CM_TOPK = 10
+
+
+def q_cm_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, audited against
+    exact counts for the top-10 tokens: est ≥ true always (the sketch
+    only overcounts), and the overcount is published per token instead
+    of trusted.
+
+    Scale: the sketch is a groupBy to depth×width = 3×1024 cells —
+    fixed-size state however large the corpus, map-side combinable, and
+    mergeable across days/shards by cell-wise addition (the reason
+    CM beats exact counting at 100 TB). The probe set here is the exact
+    top-k (itself a combinable token groupBy + TakeOrdered); in
+    production the probe is whatever keys you monitor. Deterministic md5
+    row-hashes make the whole sketch oracle-checkable — a random-seed
+    sketch is not."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    cells = (
+        tokens.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("r"),
+                            F.expr(
+                                f"{_MD5INT.format(x=f'''concat('{s}', tok)''')}"
+                                f" % {CM_WIDTH}"
+                            ).alias("col"),
+                        )
+                        for i, s in enumerate(CM_SALTS)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        tokens.groupBy("tok")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.col("true_n").desc(), F.col("tok"))
+        .limit(CM_TOPK)
+    )
+    probed = top.select(
+        "tok",
+        "true_n",
+        *[
+            F.expr(
+                f"{_MD5INT.format(x=f'''concat('{s}', tok)''')} % {CM_WIDTH}"
+            ).alias(f"c{i}")
+            for i, s in enumerate(CM_SALTS)
+        ],
+    )
+    est = probed
+    for i in range(len(CM_SALTS)):
+        ci = cells.filter(F.col("r") == i).select(
+            F.col("col").alias(f"c{i}"), F.col("cnt").alias(f"n{i}")
+        )
+        est = est.join(F.broadcast(ci), f"c{i}")
+    return est.select(
+        "tok",
+        "true_n",
+        F.least(*[F.col(f"n{i}") for i in range(len(CM_SALTS))]).alias("est_n"),
+    ).select(
+        "tok",
+        "true_n",
+        "est_n",
+        (F.col("est_n") - F.col("true_n")).alias("overcount"),
+    )
+
+
+def _sql_cm_col(salt: str, expr: str = "tok") -> str:
+    inner = f"'{salt}' || {expr}"
+    return f"({_sql_md5int(inner)} % {CM_WIDTH})"
+
+
+ORACLE_CM_SKETCH = f"""
+    WITH tokens AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+        SELECT r, col, COUNT(*) AS cnt FROM (
+            {" UNION ALL ".join(
+                f"SELECT {i} AS r, {_sql_cm_col(s)} AS col FROM tokens"
+                for i, s in enumerate(CM_SALTS)
+            )}
+        ) GROUP BY r, col
+    ),
+    top AS (
+        SELECT tok, COUNT(*) AS true_n FROM tokens GROUP BY tok
+        ORDER BY true_n DESC, tok LIMIT {CM_TOPK}
+    )
+    SELECT t.tok, t.true_n,
+           LEAST({", ".join(
+               f"(SELECT cnt FROM cells WHERE r = {i} "
+               f"AND col = {_sql_cm_col(s, 't.tok')})"
+               for i, s in enumerate(CM_SALTS)
+           )}) AS est_n,
+           LEAST({", ".join(
+               f"(SELECT cnt FROM cells WHERE r = {i} "
+               f"AND col = {_sql_cm_col(s, 't.tok')})"
+               for i, s in enumerate(CM_SALTS)
+           )}) - t.true_n AS overcount
+    FROM top t
+"""
+
+
+# --------------------------------------------------------------------------
+# zorder_layout_audit — Z-order interleaved layout key + locality audit
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 8
+ZORDER_FILE_BUCKETS = 64
+
+
+def _z_interleave(px: str, sx: str, spark_side: bool) -> str:
+    """Bit-interleave two 8-bit values; constant 16-term expression."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        if spark_side:
+            terms.append(f"shiftleft(shiftright({px}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({sx}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({px} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({sx} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (partkey, suppkey) with a
+    locality audit: bucket rows into ZORDER_FILE_BUCKETS "files" by
+    z-value and report each file's min/max range in BOTH dimensions.
+    Narrow ranges in both columns are exactly what makes multi-column
+    file skipping work — this is the audit you run after a Z-order
+    rewrite to prove the clustering took (Delta/Iceberg OPTIMIZE ZORDER
+    compute the same key; here it is explicit and oracle-checked).
+
+    Scale: the z-key is a constant 16-term bit expression (zero
+    shuffle); the audit aggregates to a fixed bucket count with
+    map-side combine. The production write sorts by z — a range
+    partition + local sort, the same cost as any global sort-write."""
+    li = load_table(spark, sf_dir, "lineitem")
+    px, sx = f"(l_partkey % {1 << ZORDER_BITS})", f"(l_suppkey % {1 << ZORDER_BITS})"
+    # integer division end to end (z div cell): float division + cast
+    # truncates on Spark but rounds on DuckDB — the repo-wide rule is
+    # never to let a float near a bucketing boundary
+    cell = (1 << (2 * ZORDER_BITS)) // ZORDER_FILE_BUCKETS
+    return (
+        li.select(
+            F.expr(
+                f"CAST({_z_interleave(px, sx, spark_side=True)} div {cell} AS BIGINT)"
+            ).alias("file_id"),
+            F.expr(px).alias("p8"),
+            F.expr(sx).alias("s8"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("p8").alias("p_min"),
+            F.max("p8").alias("p_max"),
+            F.min("s8").alias("s_min"),
+            F.max("s8").alias("s_max"),
+        )
+    )
+
+
+ORACLE_ZORDER = f"""
+    WITH keyed AS (
+        SELECT CAST({_z_interleave(f"(l_partkey % {1 << ZORDER_BITS})",
+                                   f"(l_suppkey % {1 << ZORDER_BITS})",
+                                   spark_side=False)}
+                    // {(1 << (2 * ZORDER_BITS)) // ZORDER_FILE_BUCKETS}
+                    AS BIGINT) AS file_id,
+               l_partkey % {1 << ZORDER_BITS} AS p8,
+               l_suppkey % {1 << ZORDER_BITS} AS s8
+        FROM lineitem
+    )
+    SELECT file_id, COUNT(*) AS n,
+           MIN(p8) AS p_min, MAX(p8) AS p_max,
+           MIN(s8) AS s_min, MAX(s8) AS s_max
+    FROM keyed GROUP BY file_id
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
     "retention_cohorts": q_retention_cohorts,
     "bloom_prefilter_join": q_bloom_prefilter_join,
+    "scd2_asof_lookup": q_scd2_asof_lookup,
+    "cm_sketch_topk": q_cm_sketch_topk,
+    "zorder_layout_audit": q_zorder_layout_audit,
 }
 
 ORACLE = {
@@ -374,4 +658,7 @@ ORACLE = {
     "event_funnel": ORACLE_EVENT_FUNNEL,
     "retention_cohorts": ORACLE_RETENTION_COHORTS,
     "bloom_prefilter_join": ORACLE_BLOOM_PREFILTER,
+    "scd2_asof_lookup": ORACLE_SCD2_ASOF,
+    "cm_sketch_topk": ORACLE_CM_SKETCH,
+    "zorder_layout_audit": ORACLE_ZORDER,
 }

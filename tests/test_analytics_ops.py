@@ -9,10 +9,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from imperio_patitas_etl_spark.queries.analytics import (
+    ZORDER_FILE_BUCKETS,
     q_bloom_prefilter_join,
+    q_cm_sketch_topk,
     q_event_funnel,
     q_retention_cohorts,
+    q_scd2_asof_lookup,
     q_scd2_history,
+    q_zorder_layout_audit,
 )
 
 
@@ -78,6 +82,49 @@ def test_retention_cohorts_triangle(spark, sf_dir):
     # retention never exceeds cohort size at any offset
     full = r.join(cohort_sizes, "cohort_week")
     assert full.filter(F.col("n_active") > F.col("n")).count() == 0
+
+
+def test_scd2_asof_lookup_covers_every_fact(spark, sf_dir):
+    out = q_scd2_asof_lookup(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = out.collect()
+    # the rollup conserves the fact count, and the NULL bucket (facts
+    # whose ship date precedes their customer's first version — the
+    # synthetic dates are uncorrelated, so these exist) is EXACTLY the
+    # set of facts with no as-of match, nothing more
+    assert sum(r["n"] for r in rows) == li.count()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    first = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    pre_history = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(first, "o_custkey")
+        .filter(F.col("l_shipdate") < F.col("first_dt"))
+        .count()
+    )
+    null_bucket = sum(r["n"] for r in rows if r["priority_asof"] is None)
+    assert null_bucket == pre_history
+
+
+def test_cm_sketch_never_undercounts(spark, sf_dir):
+    rows = q_cm_sketch_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["overcount"] >= 0 for r in rows)
+    assert all(r["est_n"] == r["true_n"] + r["overcount"] for r in rows)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    rows = q_zorder_layout_audit(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r["n"] for r in rows) == li.count()
+    assert all(0 <= r["file_id"] < ZORDER_FILE_BUCKETS for r in rows)
+    # the point of Z-order: each file bucket covers a bounded sub-range
+    # of BOTH dimensions. With 64 buckets of a 16-bit z-space, each
+    # bucket spans 1024 z-values => p ranges over at most 64 values and
+    # s over at most 32 (the low-bit interleaving guarantee).
+    assert all(r["p_max"] - r["p_min"] <= 63 for r in rows)
+    assert all(r["s_max"] - r["s_min"] <= 31 for r in rows)
 
 
 def test_bloom_has_no_false_negatives(spark, sf_dir):

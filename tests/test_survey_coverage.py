@@ -60,7 +60,8 @@ EXTENSION_KEYS = {
     "pivot_wide", "unpivot_long", "histogram_fixed",
     # r7 warehouse-analytics tier
     "scd2_history", "event_funnel", "retention_cohorts",
-    "bloom_prefilter_join",
+    "bloom_prefilter_join", "scd2_asof_lookup", "cm_sketch_topk",
+    "zorder_layout_audit",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
