@@ -54,8 +54,9 @@ _MODULES = (
 #     histogram_fixed (queries/core.py), the four warehouse-analytics
 #     keys (queries/analytics.py: scd2_history, event_funnel,
 #     retention_cohorts, bloom_prefilter_join, scd2_asof_lookup,
-#     cm_sketch_topk, zorder_layout_audit), tpch_q2 / tpch_q11
-#     (derived partsupp) and stream_interval_join;
+#     cm_sketch_topk, zorder_layout_audit, scd2_incremental),
+#     bpe_pair_merge (corpus.py), tpch_q2 / tpch_q11 (derived partsupp)
+#     and stream_interval_join;
 #   - changed this round: tpch_q8 (exact integer bp division) and
 #     tfidf_weights (decimal-before-square norm);
 #   - re-verified per ADVICE r6 (high): tpch_q1 / tpch_q17 / tpch_q18 /
@@ -69,11 +70,12 @@ _MODULES = (
 #     r5-green unchanged tier that waits for r8: the eight scalar-layer
 #     keys (arith_derived, casts, coalesce_defaults, regex_email,
 #     regex_rut, string_cleanup, timestamp_from_unix, dq_flags) plus the
-#     sixteen displaced by this round's new keys (stratified_sample,
+#     eighteen displaced by this round's new keys (stratified_sample,
 #     json_extract, stream_dedup, stream_session_window,
 #     stream_sliding_window, filter_project_client/detail/document/
 #     product, tf_vectorize, token_count, quality_score, lang_id,
-#     doc_fingerprint, dup_clusters, embedding_cosine_dedup).
+#     doc_fingerprint, dup_clusters, embedding_cosine_dedup,
+#     simhash_near_dup, ngram_jaccard_dedup).
 # Every key outside the window is r5/r6 driver-green with code unchanged
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
@@ -97,6 +99,8 @@ _R7_FRONT = (
     "scd2_asof_lookup",
     "cm_sketch_topk",
     "zorder_layout_audit",
+    "scd2_incremental",
+    "bpe_pair_merge",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -133,8 +137,6 @@ _R7_FRONT = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "simhash_near_dup",
-    "ngram_jaccard_dedup",
 )
 
 

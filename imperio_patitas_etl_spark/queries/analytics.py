@@ -363,6 +363,111 @@ ORACLE_BLOOM_PREFILTER = f"""
 
 
 # --------------------------------------------------------------------------
+# scd2_incremental — incremental batch-apply proven equal to the rebuild
+# --------------------------------------------------------------------------
+
+SCD2_SPLIT = "1999-01-01"
+
+
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance, proven against the batch rebuild:
+    the history is built from orders BEFORE the split date, then the
+    post-split batch is applied incrementally — new versions numbered
+    from each key's existing max, the previously-open interval closed at
+    the batch's first change — and the oracle is the FULL-rebuild SQL,
+    so the driver hash certifies incremental ≡ rebuild row-for-row.
+    (Sound because a key's batch changes all postdate its history —
+    the split is on the version-ordering column.)
+
+    Scale: this is the shape that matters at 100 TB — the daily delta
+    touches only its own keys. The per-key state carried into the apply
+    is ONE row (max version, open valid_from), a skinny aggregate of the
+    existing history joined batch-side; untouched keys' rows pass
+    through unread (in a real table, untouched PARTITIONS pass through
+    unwritten — the MERGE machinery of operators/upsert.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(SCD2_SPLIT).cast("timestamp_ntz")
+    prefix, batch = o.filter(F.col("o_orderdate") < split), o.filter(
+        F.col("o_orderdate") >= split
+    )
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = prefix.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+    # per-key carry state: existing max version (0 for brand-new keys)
+    state = hist.groupBy("custkey").agg(F.max("version").alias("base_v"))
+
+    bw = Window.partitionBy("custkey").orderBy("valid_from", "o_orderkey")
+    new_rows = (
+        batch.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.col("o_orderkey").alias("o_orderkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .join(state, "custkey", "left")
+        .select(
+            "custkey",
+            (F.coalesce(F.col("base_v"), F.lit(0)) + F.row_number().over(bw))
+            .cast("long")
+            .alias("version"),
+            "valid_from",
+            F.lead("valid_from").over(bw).alias("valid_to"),
+            "priority",
+            "price_cents",
+        )
+    )
+
+    # close each touched key's previously-open interval at the batch's
+    # first change; every other existing row passes through untouched
+    first_change = new_rows.groupBy("custkey").agg(
+        F.min("valid_from").alias("next_from")
+    )
+    closed = (
+        hist.join(first_change, "custkey", "left")
+        .select(
+            "custkey",
+            "version",
+            "valid_from",
+            F.when(
+                F.col("valid_to").isNull() & F.col("next_from").isNotNull(),
+                F.col("next_from"),
+            )
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            "priority",
+            "price_cents",
+        )
+    )
+
+    merged = closed.unionByName(new_rows.select(closed.columns))
+    return merged.select(
+        "custkey",
+        "version",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "priority",
+        "price_cents",
+    )
+
+
+# the oracle IS the batch rebuild — hash equality proves the incremental
+# path reproduces it exactly
+ORACLE_SCD2_INCREMENTAL = ORACLE_SCD2_HISTORY
+
+
+# --------------------------------------------------------------------------
 # scd2_asof_lookup — point-in-time dimension join over the SCD2 history
 # --------------------------------------------------------------------------
 
@@ -651,6 +756,7 @@ QUERIES = {
     "scd2_asof_lookup": q_scd2_asof_lookup,
     "cm_sketch_topk": q_cm_sketch_topk,
     "zorder_layout_audit": q_zorder_layout_audit,
+    "scd2_incremental": q_scd2_incremental,
 }
 
 ORACLE = {
@@ -661,4 +767,5 @@ ORACLE = {
     "scd2_asof_lookup": ORACLE_SCD2_ASOF,
     "cm_sketch_topk": ORACLE_CM_SKETCH,
     "zorder_layout_audit": ORACLE_ZORDER,
+    "scd2_incremental": ORACLE_SCD2_INCREMENTAL,
 }

@@ -467,6 +467,60 @@ ORACLE_DOMAIN_MIXTURE_SAMPLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# bpe_pair_merge — one BPE training iteration (top adjacent-pair merges)
+# --------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-style vocabulary training step: count ADJACENT token
+    pairs across the corpus and rank the top merge candidates
+    (count desc, then lexicographic — fully deterministic). Real BPE
+    iterates this to a vocab budget; each iteration is exactly this
+    plan over the re-tokenized corpus.
+
+    Scale: pairs are generated per row by zipping the token array with
+    its own tail — zero joins, zero extra shuffle for pair formation;
+    the count is a combinable groupBy on the pair key (cardinality ≤
+    vocab², in practice Zipf-bounded) and the top-k compiles to
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(element_at(split(text, ' '), i) AS a, "
+                "element_at(split(text, ' '), i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "a", "b")
+        .limit(BPE_TOPK)
+    )
+
+
+ORACLE_BPE_PAIR_MERGE = f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t,
+               length(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    pairs AS (
+        SELECT t[i] AS a, t[i + 1] AS b
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1::BIGINT, CAST(n - 1 AS BIGINT))) AS i
+        )
+    )
+    SELECT a, b, COUNT(*) AS n FROM pairs GROUP BY a, b
+    ORDER BY n DESC, a, b LIMIT {BPE_TOPK}
+"""
+
+
 QUERIES = {
     "chunk_sequences": q_chunk_sequences,
     "pack_sequences": q_pack_sequences,
@@ -474,6 +528,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "domain_mixture": q_domain_mixture,
     "domain_mixture_sample": q_domain_mixture_sample,
+    "bpe_pair_merge": q_bpe_pair_merge,
 }
 
 ORACLE = {
@@ -483,4 +538,5 @@ ORACLE = {
     "pii_redact": ORACLE_PII_REDACT,
     "domain_mixture": ORACLE_DOMAIN_MIXTURE,
     "domain_mixture_sample": ORACLE_DOMAIN_MIXTURE_SAMPLE,
+    "bpe_pair_merge": ORACLE_BPE_PAIR_MERGE,
 }

@@ -16,6 +16,7 @@ from imperio_patitas_etl_spark.queries.analytics import (
     q_retention_cohorts,
     q_scd2_asof_lookup,
     q_scd2_history,
+    q_scd2_incremental,
     q_zorder_layout_audit,
 )
 
@@ -82,6 +83,16 @@ def test_retention_cohorts_triangle(spark, sf_dir):
     # retention never exceeds cohort size at any offset
     full = r.join(cohort_sizes, "cohort_week")
     assert full.filter(F.col("n_active") > F.col("n")).count() == 0
+
+
+def test_scd2_incremental_equals_rebuild(spark, sf_dir):
+    # the oracle check proves this against DuckDB; this pins the same
+    # equivalence Spark-vs-Spark so it holds even where the driver
+    # samples a different key subset
+    inc = q_scd2_incremental(spark, sf_dir)
+    full = q_scd2_history(spark, sf_dir)
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
 
 
 def test_scd2_asof_lookup_covers_every_fact(spark, sf_dir):

@@ -61,7 +61,7 @@ EXTENSION_KEYS = {
     # r7 warehouse-analytics tier
     "scd2_history", "event_funnel", "retention_cohorts",
     "bloom_prefilter_join", "scd2_asof_lookup", "cm_sketch_topk",
-    "zorder_layout_audit",
+    "zorder_layout_audit", "scd2_incremental", "bpe_pair_merge",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
