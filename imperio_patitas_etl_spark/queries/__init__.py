@@ -55,8 +55,9 @@ _MODULES = (
 #     keys (queries/analytics.py: scd2_history, event_funnel,
 #     retention_cohorts, bloom_prefilter_join, scd2_asof_lookup,
 #     cm_sketch_topk, zorder_layout_audit, scd2_incremental),
-#     bpe_pair_merge (corpus.py), tpch_q2 / tpch_q11 (derived partsupp)
-#     and stream_interval_join;
+#     bpe_pair_merge / intra_doc_dedup (corpus.py), sql_interface
+#     (core.py), tpch_q2 / tpch_q11 (derived partsupp) and
+#     stream_interval_join;
 #   - changed this round: tpch_q8 (exact integer bp division) and
 #     tfidf_weights (decimal-before-square norm);
 #   - re-verified per ADVICE r6 (high): tpch_q1 / tpch_q17 / tpch_q18 /
@@ -70,12 +71,13 @@ _MODULES = (
 #     r5-green unchanged tier that waits for r8: the eight scalar-layer
 #     keys (arith_derived, casts, coalesce_defaults, regex_email,
 #     regex_rut, string_cleanup, timestamp_from_unix, dq_flags) plus the
-#     eighteen displaced by this round's new keys (stratified_sample,
+#     twenty displaced by this round's new keys (stratified_sample,
 #     json_extract, stream_dedup, stream_session_window,
 #     stream_sliding_window, filter_project_client/detail/document/
 #     product, tf_vectorize, token_count, quality_score, lang_id,
 #     doc_fingerprint, dup_clusters, embedding_cosine_dedup,
-#     simhash_near_dup, ngram_jaccard_dedup).
+#     simhash_near_dup, ngram_jaccard_dedup, dedup_minhash_lsh,
+#     dedup_simhash).
 # Every key outside the window is r5/r6 driver-green with code unchanged
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
@@ -101,6 +103,8 @@ _R7_FRONT = (
     "zorder_layout_audit",
     "scd2_incremental",
     "bpe_pair_merge",
+    "intra_doc_dedup",
+    "sql_interface",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -135,8 +139,6 @@ _R7_FRONT = (
     "ann_recall",
     "ann_topk_bruteforce",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
 )
 
 

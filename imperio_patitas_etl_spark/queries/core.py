@@ -764,6 +764,47 @@ ORACLE_HISTOGRAM_FIXED = f"""
 """
 
 
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL text surface: the engine's tables registered as temp
+    views and queried with ``spark.sql`` — proving a user can drive this
+    engine with plain SQL strings, not only the DataFrame API (the
+    reference exposes raw SQL execution too, etl_service.py's BigQuery
+    query paths). The query itself is a 3-table join + exact-cents
+    rollup; Catalyst compiles the text to the identical plan the
+    DataFrame form would get (one fact shuffle, dims broadcast).
+
+    Views are namespaced ``sg_*`` and re-registered per call (temp views
+    are session-scoped state; namespacing keeps the registration from
+    colliding with a caller's own views)."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"sg_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+        FROM sg_orders o
+        JOIN sg_customer c ON o.o_custkey = c.c_custkey
+        JOIN sg_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+        """
+    )
+
+
+ORACLE_SQL_INTERFACE = """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+"""
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "limit": q_limit,
@@ -800,6 +841,7 @@ QUERIES = {
     "pivot_wide": q_pivot_wide,
     "unpivot_long": q_unpivot_long,
     "histogram_fixed": q_histogram_fixed,
+    "sql_interface": q_sql_interface,
 }
 
 ORACLE = {
@@ -1010,4 +1052,5 @@ ORACLE = {
     "pivot_wide": ORACLE_PIVOT_WIDE,
     "unpivot_long": ORACLE_UNPIVOT_LONG,
     "histogram_fixed": ORACLE_HISTOGRAM_FIXED,
+    "sql_interface": ORACLE_SQL_INTERFACE,
 }

@@ -468,6 +468,78 @@ ORACLE_DOMAIN_MIXTURE_SAMPLE = f"""
 
 
 # --------------------------------------------------------------------------
+# intra_doc_dedup — within-document repetition removal
+# --------------------------------------------------------------------------
+
+
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document span dedup: drop repeats of a span INSIDE the
+    same document (first occurrence wins), keep cross-document repeats —
+    the complement of ``span_dedup``'s corpus-global pass, and the
+    C4-style boilerplate-collapse you run BEFORE global dedup so that a
+    page's own navigation chrome doesn't dominate its signature.
+
+    Scale: no window needed — first-occurrence-within-doc is a
+    ``groupBy(doc_id, span) → min(span_idx)`` (map-side combinable,
+    unlike a row_number window which must sort), then one reassembly
+    groupBy on doc_id. Both shuffles carry (doc_id, hash)-keyed skinny
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    W = SPAN_TOKENS
+    spans = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {W}) AS INT) - 1), "
+        f"i -> array_join(slice(split(text, ' '), i * {W} + 1, {W}), ' '))"
+    )
+    exploded = d.select(
+        "doc_id", F.posexplode(spans).alias("span_idx", "span")
+    )
+    kept = exploded.groupBy("doc_id", "span").agg(
+        F.min("span_idx").cast("long").alias("span_idx")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept_spans"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .select("doc_id", "n_kept_spans", "kept_text")
+    )
+
+
+ORACLE_INTRA_DOC_DEDUP = f"""
+    WITH exploded AS (
+        SELECT doc_id,
+               CAST(i - 1 AS BIGINT) AS span_idx,
+               array_to_string(
+                   list_slice(string_split(text, ' '),
+                              (i - 1) * {SPAN_TOKENS} + 1,
+                              i * {SPAN_TOKENS}), ' ') AS span
+        FROM documents,
+        LATERAL (
+            SELECT unnest(generate_series(
+                1::BIGINT,
+                CAST(ceil(length(string_split(text, ' ')) / {SPAN_TOKENS}.0)
+                     AS BIGINT))) AS i
+        )
+    ),
+    kept AS (
+        SELECT doc_id, span, MIN(span_idx) AS span_idx
+        FROM exploded GROUP BY doc_id, span
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_kept_spans,
+           string_agg(span, ' ' ORDER BY span_idx) AS kept_text
+    FROM kept GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # bpe_pair_merge — one BPE training iteration (top adjacent-pair merges)
 # --------------------------------------------------------------------------
 
@@ -529,6 +601,7 @@ QUERIES = {
     "domain_mixture": q_domain_mixture,
     "domain_mixture_sample": q_domain_mixture_sample,
     "bpe_pair_merge": q_bpe_pair_merge,
+    "intra_doc_dedup": q_intra_doc_dedup,
 }
 
 ORACLE = {
@@ -539,4 +612,5 @@ ORACLE = {
     "domain_mixture": ORACLE_DOMAIN_MIXTURE,
     "domain_mixture_sample": ORACLE_DOMAIN_MIXTURE_SAMPLE,
     "bpe_pair_merge": ORACLE_BPE_PAIR_MERGE,
+    "intra_doc_dedup": ORACLE_INTRA_DOC_DEDUP,
 }

@@ -121,6 +121,38 @@ def test_span_dedup_is_globally_unique_and_monotone(spark, sf_dir):
     assert j.filter(F.col("n_kept_spans") > F.col("n_spans")).count() == 0
 
 
+def test_intra_doc_dedup_keeps_cross_doc_repeats(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.corpus import (
+        q_intra_doc_dedup,
+        q_span_dedup,
+    )
+
+    intra = q_intra_doc_dedup(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # every document survives (unlike global span_dedup, which can drop
+    # a doc whose every span appeared earlier), and per-doc kept spans
+    # equal the doc's DISTINCT span count
+    assert intra.count() == docs.count()
+    spans_expr = (
+        "transform(sequence(0, CAST(ceil(size(split(text, ' ')) / 10) AS INT) - 1),"
+        " i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"
+    )
+    truth = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.expr(spans_expr))).cast("long").alias("n_distinct"),
+    )
+    j = intra.join(truth, "doc_id")
+    assert j.filter(F.col("n_kept_spans") != F.col("n_distinct")).count() == 0
+    # the global pass is strictly stronger: per doc it keeps a subset
+    glob = q_span_dedup(spark, sf_dir).select(
+        "doc_id", F.col("n_kept_spans").alias("n_glob")
+    )
+    jg = intra.join(glob, "doc_id", "left")
+    assert jg.filter(
+        F.col("n_glob").isNotNull() & (F.col("n_glob") > F.col("n_kept_spans"))
+    ).count() == 0
+
+
 def test_pii_redact_leaves_no_matches(spark, sf_dir):
     out = q_pii_redact(spark, sf_dir)
     # the deterministic trailer plants exactly one email and one phone
