@@ -56,8 +56,8 @@ _MODULES = (
 #     retention_cohorts, bloom_prefilter_join, scd2_asof_lookup,
 #     cm_sketch_topk, zorder_layout_audit, scd2_incremental),
 #     bpe_pair_merge / intra_doc_dedup (corpus.py), sql_interface
-#     (core.py), tpch_q2 / tpch_q11 (derived partsupp) and
-#     stream_interval_join;
+#     (core.py), dq_profile / pareto_frontier_2d (analytics.py),
+#     tpch_q2 / tpch_q11 (derived partsupp) and stream_interval_join;
 #   - changed this round: tpch_q8 (exact integer bp division) and
 #     tfidf_weights (decimal-before-square norm);
 #   - re-verified per ADVICE r6 (high): tpch_q1 / tpch_q17 / tpch_q18 /
@@ -71,13 +71,15 @@ _MODULES = (
 #     r5-green unchanged tier that waits for r8: the eight scalar-layer
 #     keys (arith_derived, casts, coalesce_defaults, regex_email,
 #     regex_rut, string_cleanup, timestamp_from_unix, dq_flags) plus the
-#     twenty displaced by this round's new keys (stratified_sample,
+#     twenty-two displaced by this round's new keys (stratified_sample,
 #     json_extract, stream_dedup, stream_session_window,
 #     stream_sliding_window, filter_project_client/detail/document/
 #     product, tf_vectorize, token_count, quality_score, lang_id,
 #     doc_fingerprint, dup_clusters, embedding_cosine_dedup,
 #     simhash_near_dup, ngram_jaccard_dedup, dedup_minhash_lsh,
-#     dedup_simhash).
+#     dedup_simhash, dedup_exact, ann_topk_bruteforce). Every displaced
+#     key is r5-driver-green with code unchanged AND re-verified by the
+#     full local sweeps at sf0.01 and sf0.1 this round.
 # Every key outside the window is r5/r6 driver-green with code unchanged
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
@@ -105,6 +107,8 @@ _R7_FRONT = (
     "bpe_pair_merge",
     "intra_doc_dedup",
     "sql_interface",
+    "dq_profile",
+    "pareto_frontier_2d",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -137,8 +141,6 @@ _R7_FRONT = (
     "ann_ivf_trained",
     "ann_lsh_bucketed",
     "ann_recall",
-    "ann_topk_bruteforce",
-    "dedup_exact",
 )
 
 

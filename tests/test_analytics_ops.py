@@ -138,6 +138,48 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
     assert all(r["s_max"] - r["s_min"] <= 31 for r in rows)
 
 
+def test_dq_profile_shape_and_truth(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import q_dq_profile
+
+    rows = {(r["column_name"], r["measure"]): r["value"]
+            for r in q_dq_profile(spark, sf_dir).collect()}
+    assert len(rows) == 16
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert rows[("partkey", "nulls")] == 0
+    assert rows[("partkey", "distinct")] == li.select("l_partkey").distinct().count()
+    assert rows[("quantity", "min")] >= 0
+
+
+def test_pareto_frontier_matches_naive(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        q_pareto_frontier_2d,
+    )
+
+    got = q_pareto_frontier_2d(spark, sf_dir)
+    # naive quadratic skyline on the collected rows (sf0.001: 1.5k
+    # orders) — the window form must reproduce it exactly
+    from collections import defaultdict
+    by_p = defaultdict(list)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("dt"),
+    ).collect()
+    for r in orders:
+        by_p[r["o_orderpriority"]].append((r["o_orderkey"], r["cents"], r["dt"]))
+    expect = set()
+    for p, rows_ in by_p.items():
+        for k, c, d in rows_:
+            dominated = any(
+                (c2 >= c and d2 >= d and (c2 > c or d2 > d))
+                for _, c2, d2 in rows_
+            )
+            if not dominated:
+                expect.add(k)
+    got_keys = {r["o_orderkey"] for r in got.collect()}
+    assert got_keys == expect
+
+
 def test_bloom_has_no_false_negatives(spark, sf_dir):
     row = q_bloom_prefilter_join(spark, sf_dir).collect()[0]
     # every true match passes the bloom (no false negatives) and the

@@ -62,7 +62,8 @@ EXTENSION_KEYS = {
     "scd2_history", "event_funnel", "retention_cohorts",
     "bloom_prefilter_join", "scd2_asof_lookup", "cm_sketch_topk",
     "zorder_layout_audit", "scd2_incremental", "bpe_pair_merge",
-    "intra_doc_dedup", "sql_interface",
+    "intra_doc_dedup", "sql_interface", "dq_profile",
+    "pareto_frontier_2d",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
