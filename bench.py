@@ -117,10 +117,12 @@ def main() -> None:
         if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
             import subprocess
 
+            # builder logs go to stderr — stdout must stay ONE JSON line
             subprocess.run(
                 [sys.executable, os.path.join("tools", "make_sf1.py"), sf_dir],
                 check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                stdout=sys.stderr,
             )
         sf = 1.0
     else:
