@@ -255,3 +255,60 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     plan = _plan(all_queries()["decontaminate_ngram"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r7 tiers: the documented scale shapes, pinned
+# ---------------------------------------------------------------------------
+
+
+def test_r7_zero_shuffle_maps(spark, sf_dir):
+    """Chunking, PII scrubbing, and the Z-order key are narrow per-row
+    maps — an Exchange in any of them means a shuffle crept into an
+    embarrassingly-parallel operator (zorder's single Exchange is its
+    final fixed-width aggregate, so it is checked separately)."""
+    qs = all_queries()
+    for key in ("chunk_sequences", "pii_redact"):
+        plan = _plan(qs[key](spark, sf_dir))
+        assert "Exchange" not in plan, key
+    zplan = _plan(qs["zorder_layout_audit"](spark, sf_dir))
+    assert zplan.count("Exchange hashpartitioning") == 1
+
+
+def test_pivot_wide_is_single_shuffle_conditional_agg(spark, sf_dir):
+    """Declared-values pivot must compile to ONE hash aggregate with
+    conditional sums — DataFrame.pivot's pivotfirst path costs a second
+    Exchange, which is exactly what this pin forbids."""
+    plan = _plan(all_queries()["pivot_wide"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "pivotfirst" not in plan
+
+
+def test_event_funnel_single_user_shuffle(spark, sf_dir):
+    """Both funnel stage windows and the per-user rollup must share ONE
+    user_id Exchange (plus the final single-row reduce); a second
+    user_id shuffle means the shared window spec broke."""
+    plan = _plan(all_queries()["event_funnel"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_bloom_probe_side_never_shuffles(spark, sf_dir):
+    """The probe (lineitem) side of the bloom prefilter must reach its
+    membership test through broadcast only — no hashpartitioning
+    Exchange may carry probe rows. The only hash Exchanges allowed are
+    the KB-scale build-side position aggregation."""
+    plan = _plan(all_queries()["bloom_prefilter_join"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "l_partkey" not in line.split("Exchange", 1)[1][:120]
+
+
+def test_asof_and_skyline_avoid_inequality_joins(spark, sf_dir):
+    """scd2_asof_lookup and pareto_frontier_2d exist to replace O(n·m)
+    inequality joins with window passes — any non-equi join node in
+    their plans is the failure mode."""
+    qs = all_queries()
+    for key in ("scd2_asof_lookup", "pareto_frontier_2d"):
+        plan = _plan(qs[key](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, key
+        assert "CartesianProduct" not in plan, key
