@@ -133,7 +133,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source",
         "n_tok",
-        (F.col("start_tok") / PACK_BUDGET).cast("long").alias("bin_id"),
+        # integral `div`, not float-divide-then-cast: at warehouse scale
+        # start_tok is an unbounded running sum, and the repo rule
+        # (ADVICE r6 on Q8) is that bucketing arithmetic never rides a
+        # double
+        F.expr(f"start_tok div {PACK_BUDGET}").alias("bin_id"),
     )
     return (
         placed.groupBy("source", "bin_id")
@@ -146,9 +150,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_id",
             "n_docs",
             "n_tokens",
-            (F.col("n_tokens") * 10000 / PACK_BUDGET)
-            .cast("long")
-            .alias("fill_bp"),
+            F.expr(f"(n_tokens * 10000) div {PACK_BUDGET}").alias("fill_bp"),
         )
     )
 
@@ -360,11 +362,15 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
     num = _mix_num(F.col("source"))
+    # all quota arithmetic in integral `div` (ADVICE r6 discipline):
+    # counts are unbounded at warehouse scale, and a double quotient one
+    # ulp under an exact integer truncates to quota-1
     sized = counts.select(
         "source",
         "n_docs",
         num.alias("mix_num"),
-        ((F.col("n_docs") * MIX_DEN) / num).cast("long").alias("t_bound"),
+        F.expr(f"(n_docs * {MIX_DEN}) div (CAST(substr(source, 4) AS BIGINT) + 1)")
+        .alias("t_bound"),
     )
     w = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -379,19 +385,15 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            ((F.col("mix_num") * 10000) / MIX_DEN).cast("long").alias("target_bp"),
-            ((F.col("t_total") * F.col("mix_num")) / MIX_DEN)
-            .cast("long")
-            .alias("kept"),
+            F.expr(f"(mix_num * 10000) div {MIX_DEN}").alias("target_bp"),
+            F.expr(f"(t_total * mix_num) div {MIX_DEN}").alias("kept"),
         )
         .select(
             "source",
             "n_docs",
             "target_bp",
             "kept",
-            ((F.col("kept") * 10000) / F.col("n_docs")).cast("long").alias(
-                "keep_rate_bp"
-            ),
+            F.expr("(kept * 10000) div n_docs").alias("keep_rate_bp"),
         )
     )
 
