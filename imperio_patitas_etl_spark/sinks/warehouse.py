@@ -132,10 +132,23 @@ class ParquetWarehouse:
     and incremental readers prune by date at the file-listing level. The
     dimension tables stay unpartitioned (they are small and broadcast)."""
 
-    def __init__(self, spark: SparkSession, root: str, partitioned: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        partitioned: bool = False,
+        keep_history: bool = False,
+    ):
         self.spark = spark
         self.root = root
         self.partitioned = partitioned
+        #: with keep_history=True every atomic swap RETAINS the replaced
+        #: table directory as an immutable numbered snapshot
+        #: (_history/<table>/v<N>) instead of deleting it — directory-level
+        #: time travel on plain parquet (the Iceberg/Delta snapshot idea
+        #: without a manifest format). Off by default: history doubles the
+        #: write amplification of every swap.
+        self.keep_history = keep_history
         os.makedirs(root, exist_ok=True)
 
     def _part_col(self, table: str) -> tuple[str, str] | None:
@@ -245,8 +258,93 @@ class ParquetWarehouse:
         w.parquet(tmp)
         final = self.path(table)
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            if self.keep_history:
+                os.rename(final, self._next_snapshot_dir(table))
+            else:
+                shutil.rmtree(final)
         os.rename(tmp, final)
+
+    # -- snapshots / time travel -----------------------------------------
+    #
+    # Directory-level snapshot retention over the atomic swap: each
+    # replaced table version survives as _history/<table>/v<N>. On a
+    # local filesystem the version commit is the same atomic rename the
+    # swap already relies on; on an object store at 100 TB the rename
+    # becomes a manifest pointer update (Iceberg/Delta's commit), and
+    # vacuum becomes manifest-driven file GC — the API below is the part
+    # that stays the same.
+
+    def _history_dir(self, table: str) -> str:
+        return os.path.join(self.root, "_history", table)
+
+    def _next_snapshot_dir(self, table: str) -> str:
+        hist = self._history_dir(table)
+        os.makedirs(hist, exist_ok=True)
+        n = max(self.snapshots(table), default=-1) + 1
+        return os.path.join(hist, f"v{n}")
+
+    def snapshots(self, table: str) -> list[int]:
+        """Retained snapshot versions, oldest first (v0 = the table as it
+        was before the first history-retaining swap)."""
+        hist = self._history_dir(table)
+        if not os.path.isdir(hist):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(hist)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time-travel read of a retained snapshot (the current table is
+        not a snapshot — use ``read``)."""
+        p = os.path.join(self._history_dir(table), f"v{version}")
+        if not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"{table} has no snapshot v{version}; "
+                f"retained: {self.snapshots(table)}"
+            )
+        return self.spark.read.parquet(p)
+
+    def vacuum(self, table: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots; returns the
+        versions removed. Time travel is a retention policy, not a log
+        that grows forever."""
+        versions = self.snapshots(table)
+        doomed = versions[: max(0, len(versions) - keep_last)]
+        for v in doomed:
+            shutil.rmtree(os.path.join(self._history_dir(table), f"v{v}"))
+        return doomed
+
+    def compact(self, table: str, max_records_per_file: int = 1_000_000) -> tuple[int, int]:
+        """Rewrite the table into as few files as its size allows —
+        the small-files maintenance every incremental parquet warehouse
+        needs (each partition-scoped upsert / append leaves one file per
+        task, and file count, not byte count, is what kills scan planning
+        at scale). Returns (files_before, files_after). Goes through the
+        same atomic swap (and therefore snapshot retention) as every
+        other mutation; partitioned tables compact within partitions."""
+        before = self._count_files(table)
+        df = self._raw_read(table)
+        part = self._part_col(table)
+        # cluster rows so the writer emits one file per (partition) up to
+        # the records cap: repartition on the partition column keeps each
+        # date's rows in one task; unpartitioned tables collapse to one
+        df = df.repartition(F.col(part[0])) if part else df.coalesce(1)
+        prev = self.spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        self.spark.conf.set(
+            "spark.sql.files.maxRecordsPerFile", str(max_records_per_file)
+        )
+        try:
+            self._swap_in(table, df)
+        finally:
+            self.spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+        return before, self._count_files(table)
+
+    def _count_files(self, table: str) -> int:
+        n = 0
+        for _, _, files in os.walk(self.path(table)):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
 
     # -- K1: append -------------------------------------------------------
     def append(self, table: str, df: DataFrame) -> None:
