@@ -484,6 +484,46 @@ def _sig_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
+def materialize_band_index(docs: DataFrame, table_name: str) -> None:
+    """Materialize the corpus (band_idx, band_sig) → doc_id LSH index as
+    a bucketed table — the write-once step the incremental docstring
+    names. Signing (shingle → minhash) happens HERE, once; every later
+    batch probe is an equi-join against this table with zero corpus-side
+    recompute, and the bucket layout pre-co-locates the band keys."""
+    (
+        _sig_bands(_minhash_sigs(docs))
+        .write.mode("overwrite")
+        .bucketBy(8, "band_idx", "band_sig")
+        .saveAsTable(table_name)
+    )
+
+
+def probe_band_index(
+    spark: SparkSession, new_docs: DataFrame, index_table: str
+) -> DataFrame:
+    """Batch probe of a materialized band index: sign ONLY the batch,
+    broadcast its bands onto the index scan. Returns distinct
+    (doc_new, doc_corpus) candidates — identical to what the inline
+    incremental path generates, minus the corpus re-signing
+    (tests/test_dedup_layout.py pins both equality and the index side
+    staying Exchange-free)."""
+    nb = _sig_bands(_minhash_sigs(new_docs))
+    return (
+        spark.table(index_table)
+        .alias("c")
+        .join(
+            F.broadcast(nb.alias("n")),
+            (F.col("c.band_idx") == F.col("n.band_idx"))
+            & (F.col("c.band_sig") == F.col("n.band_sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("c.doc_id").alias("doc_corpus"),
+        )
+        .dropDuplicates(["doc_new", "doc_corpus"])
+    )
+
+
 def minhash_lsh_pairs_incremental(
     new_docs: DataFrame, corpus_docs: DataFrame
 ) -> DataFrame:
