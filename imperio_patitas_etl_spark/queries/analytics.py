@@ -1,14 +1,25 @@
-"""Warehouse-analytics operators (r7): SCD2 history, funnel, retention
-cohorts, and an auditable bloom-prefiltered semi-join.
+"""Warehouse-analytics operators (r7).
 
 The reference pipeline (app/services/etl_service.py) keeps only the
 LATEST version of every row (MERGE latest-wins); these are the analytics
-the same warehouse grows next: a Type-2 slowly-changing-dimension
-history (the non-destructive twin of that MERGE), event funnels and
-weekly retention over the events stream, and the
-build-side-bounded bloom prefilter that cuts probe-side shuffle volume
-before an expensive join. All deterministic integer/timestamp
-arithmetic; every key has a DuckDB oracle.
+the same warehouse grows next:
+
+- ``scd2_history`` / ``scd2_incremental`` / ``scd2_asof_lookup`` — the
+  Type-2 history (non-destructive twin of that MERGE), its delta-apply
+  maintenance proven equal to the rebuild, and the point-in-time lookup
+  that motivates both;
+- ``event_funnel`` / ``retention_cohorts`` — ordered-step conversion
+  and weekly cohort retention over the events stream;
+- ``bloom_prefilter_join`` — the auditable build-side-bounded bloom
+  semi-join prefilter;
+- ``cm_sketch_topk`` — deterministic count-min sketch with a published
+  overcount audit;
+- ``zorder_layout_audit`` — Morton layout key + per-file 2-D locality;
+- ``dq_profile`` — one-pass columnar ingest profile;
+- ``pareto_frontier_2d`` — the O(n log n) windowed skyline.
+
+All deterministic integer/timestamp arithmetic; every key has a DuckDB
+oracle.
 """
 
 from __future__ import annotations

@@ -7,9 +7,11 @@ policy stages that sit BETWEEN cleaning/dedup and the trainer:
 - ``pack_sequences``    — concatenation-pack short documents into
                           fixed-token training bins;
 - ``span_dedup``        — C4-style global duplicate-span removal;
+- ``intra_doc_dedup``   — within-document repetition collapse;
 - ``pii_redact``        — regex PII scrubbing with per-doc match counts;
 - ``domain_mixture``    — exact target-mixture reweighting summary;
-- ``domain_mixture_sample`` — the per-document keep decision for it.
+- ``domain_mixture_sample`` — the per-document keep decision for it;
+- ``bpe_pair_merge``    — one BPE vocabulary-training iteration.
 
 Everything follows the repo-wide oracle discipline: deterministic
 integer/bp arithmetic wherever a float could drift between engines, the
