@@ -94,8 +94,11 @@ FUNNEL_STEPS = ("view", "click", "purchase")
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user
     converts at step k only with an event STRICTLY AFTER their step-k-1
-    conversion time (first qualifying event wins). Returns one summary
-    row of user counts per stage.
+    conversion time (first qualifying event wins). Returns one row per
+    user with the three conversion instants (NULL where the stage was
+    never reached) — the per-user times, not just counts, because on a
+    dense fixture every user converts at every stage and a count-level
+    check could not tell strict from non-strict ordering.
 
     Scale: ONE scan and ONE user_id shuffle for the whole funnel. Both
     stage conditions are strictly-earlier-existence tests, so they
@@ -107,8 +110,23 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-partitioned with them, and the final reduce is a single row.
     The joined-cascade alternative re-scans events per stage and
     shuffles each per-user table — this form adds a stage for the cost
-    of one more window aggregate."""
-    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    of one more window aggregate.
+
+    Tie sensitivity (the asof_join NULL-injection discipline): the
+    fixture's timestamps are collision-free, so STRICTLY-after would be
+    indistinguishable from at-or-after; half the events are
+    deterministically truncated to day precision (mirrored in the
+    oracle), planting thousands of cross-type same-instant pairs that
+    make the hash check fail if either engine drops the strictness."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 2 == 0, F.date_trunc("day", F.col("ts"))
+        )
+        .otherwise(F.col("ts"))
+        .alias("ts"),
+    )
     us = epoch_us("ts")
     w = (
         Window.partitionBy("user_id")
@@ -143,51 +161,61 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_type",
+            "us",
             "qclick_us",
             F.min("qclick_us").over(w).alias("first_qclick_before"),
         )
     )
-    per_user = staged.groupBy("user_id").agg(
-        F.max(F.when(F.col("event_type") == "view", True)).alias("viewed"),
-        F.max(F.col("qclick_us").isNotNull()).alias("clicked"),
-        F.max(
-            (F.col("event_type") == "purchase")
-            & F.col("first_qclick_before").isNotNull()
-        ).alias("purchased"),
-    )
-    return per_user.agg(
-        F.count("*").alias("n_users"),
-        F.sum(F.when(F.col("viewed"), 1).otherwise(0)).alias("n_viewed"),
-        F.sum(F.when(F.col("clicked"), 1).otherwise(0)).alias(
-            "n_clicked_after_view"
+    return staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "viewed_us"
         ),
-        F.sum(F.when(F.col("purchased"), 1).otherwise(0)).alias(
-            "n_purchased_after_click"
-        ),
+        F.min("qclick_us").alias("clicked_us"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("first_qclick_before").isNotNull(),
+                F.col("us"),
+            )
+        ).alias("purchased_us"),
     )
 
 
 ORACLE_EVENT_FUNNEL = """
-    WITH viewed AS (
-        SELECT user_id, MIN(ts) AS t1 FROM events
+    WITH ev AS (
+        SELECT user_id, event_type,
+               CASE WHEN event_id % 2 = 0
+                    THEN CAST(date_trunc('day', ts) AS TIMESTAMP)
+                    ELSE ts END AS ts
+        FROM events
+    ),
+    viewed AS (
+        SELECT user_id, MIN(ts) AS t1 FROM ev
         WHERE event_type = 'view' GROUP BY user_id
     ),
     clicked AS (
         SELECT e.user_id, MIN(e.ts) AS t2
-        FROM events e JOIN viewed v ON e.user_id = v.user_id
+        FROM ev e JOIN viewed v ON e.user_id = v.user_id
         WHERE e.event_type = 'click' AND e.ts > v.t1
         GROUP BY e.user_id
     ),
     purchased AS (
         SELECT e.user_id, MIN(e.ts) AS t3
-        FROM events e JOIN clicked c ON e.user_id = c.user_id
+        FROM ev e JOIN clicked c ON e.user_id = c.user_id
         WHERE e.event_type = 'purchase' AND e.ts > c.t2
         GROUP BY e.user_id
     )
-    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
-           (SELECT COUNT(*) FROM viewed) AS n_viewed,
-           (SELECT COUNT(*) FROM clicked) AS n_clicked_after_view,
-           (SELECT COUNT(*) FROM purchased) AS n_purchased_after_click
+    SELECT u.user_id,
+           date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', v.t1)
+               AS viewed_us,
+           date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', c.t2)
+               AS clicked_us,
+           date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', p.t3)
+               AS purchased_us
+    FROM (SELECT DISTINCT user_id FROM ev) u
+    LEFT JOIN viewed v ON u.user_id = v.user_id
+    LEFT JOIN clicked c ON u.user_id = c.user_id
+    LEFT JOIN purchased p ON u.user_id = p.user_id
 """
 
 

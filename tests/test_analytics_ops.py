@@ -51,16 +51,21 @@ def test_scd2_intervals_partition_each_key(spark, sf_dir):
 
 
 def test_event_funnel_is_monotone(spark, sf_dir):
-    row = q_event_funnel(spark, sf_dir).collect()[0]
-    assert (
-        row["n_users"]
-        >= row["n_viewed"]
-        >= row["n_clicked_after_view"]
-        >= row["n_purchased_after_click"]
-        >= 0
-    )
-    # with 4k+ events over 150 users every stage should convert somebody
-    assert row["n_purchased_after_click"] > 0
+    rows = q_event_funnel(spark, sf_dir).collect()
+    assert len(rows) > 0
+    converted = 0
+    for r in rows:
+        # stage times are strictly increasing where present, and a stage
+        # cannot be reached without its predecessor
+        if r["clicked_us"] is not None:
+            assert r["viewed_us"] is not None
+            assert r["clicked_us"] > r["viewed_us"]
+        if r["purchased_us"] is not None:
+            assert r["clicked_us"] is not None
+            assert r["purchased_us"] > r["clicked_us"]
+            converted += 1
+    # with thousands of events over 150 users somebody fully converts
+    assert converted > 0
 
 
 def test_retention_cohorts_triangle(spark, sf_dir):
