@@ -57,17 +57,20 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-reuse shape as sessionize_events. Incremental refresh
     at 100 TB MERGEs only the keys present in the new batch (close the
     open interval, insert the new one) — the upsert machinery in
-    operators/upsert.py composes with this directly."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        F.col("o_custkey").alias("custkey"),
-        F.row_number().over(w).cast("long").alias("version"),
-        F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w).alias("valid_to"),
-        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
-        F.col("o_orderpriority").alias("priority"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    operators/upsert.py composes with this directly. The window build
+    lives in ``operators/scd2.py:scd2_from_orders`` (shared with the
+    incremental and streaming paths)."""
+    from imperio_patitas_etl_spark.operators.scd2 import scd2_from_orders
+
+    h = scd2_from_orders(load_table(spark, sf_dir, "orders"))
+    return h.select(
+        "custkey",
+        "version",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+        "priority",
+        "price_cents",
     )
 
 
@@ -423,73 +426,21 @@ def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE row (max version, open valid_from), a skinny aggregate of the
     existing history joined batch-side; untouched keys' rows pass
     through unread (in a real table, untouched PARTITIONS pass through
-    unwritten — the MERGE machinery of operators/upsert.py)."""
+    unwritten — the MERGE machinery of operators/upsert.py). The apply
+    itself is ``operators/scd2.py:scd2_apply`` — the same function the
+    streaming foreachBatch sink commits per micro-batch, so this green
+    row certifies the streaming path's math too."""
+    from imperio_patitas_etl_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_from_orders,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     split = F.lit(SCD2_SPLIT).cast("timestamp_ntz")
     prefix, batch = o.filter(F.col("o_orderdate") < split), o.filter(
         F.col("o_orderdate") >= split
     )
-
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    hist = prefix.select(
-        F.col("o_custkey").alias("custkey"),
-        F.row_number().over(w).cast("long").alias("version"),
-        F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w).alias("valid_to"),
-        F.col("o_orderpriority").alias("priority"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
-    )
-
-    # per-key carry state: existing max version (0 for brand-new keys)
-    state = hist.groupBy("custkey").agg(F.max("version").alias("base_v"))
-
-    bw = Window.partitionBy("custkey").orderBy("valid_from", "o_orderkey")
-    new_rows = (
-        batch.select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_orderdate").alias("valid_from"),
-            F.col("o_orderkey").alias("o_orderkey"),
-            F.col("o_orderpriority").alias("priority"),
-            F.round(F.col("o_totalprice") * 100)
-            .cast("long")
-            .alias("price_cents"),
-        )
-        .join(state, "custkey", "left")
-        .select(
-            "custkey",
-            (F.coalesce(F.col("base_v"), F.lit(0)) + F.row_number().over(bw))
-            .cast("long")
-            .alias("version"),
-            "valid_from",
-            F.lead("valid_from").over(bw).alias("valid_to"),
-            "priority",
-            "price_cents",
-        )
-    )
-
-    # close each touched key's previously-open interval at the batch's
-    # first change; every other existing row passes through untouched
-    first_change = new_rows.groupBy("custkey").agg(
-        F.min("valid_from").alias("next_from")
-    )
-    closed = (
-        hist.join(first_change, "custkey", "left")
-        .select(
-            "custkey",
-            "version",
-            "valid_from",
-            F.when(
-                F.col("valid_to").isNull() & F.col("next_from").isNotNull(),
-                F.col("next_from"),
-            )
-            .otherwise(F.col("valid_to"))
-            .alias("valid_to"),
-            "priority",
-            "price_cents",
-        )
-    )
-
-    merged = closed.unionByName(new_rows.select(closed.columns))
+    merged = scd2_apply(scd2_from_orders(prefix), batch)
     return merged.select(
         "custkey",
         "version",
