@@ -84,3 +84,68 @@ def test_validation_partitions_input(spark, data):
     # every accepted row satisfies all rules
     for r in res.accepted.collect():
         assert r["v"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# SCD2: fold(apply, batches) == rebuild, for ANY date-respecting split
+# ---------------------------------------------------------------------------
+
+_order = st.tuples(
+    st.integers(min_value=0, max_value=3),     # custkey (collisions likely)
+    st.integers(min_value=0, max_value=9),     # day number -> orderdate
+    st.sampled_from(["1-URGENT", "3-MEDIUM"]),
+    st.integers(min_value=1, max_value=999),   # price units
+)
+_orders = st.lists(_order, min_size=1, max_size=14)
+
+
+def _orders_df(spark, data):
+    rows = [
+        (i, k, f"2024-01-{d + 1:02d} 00:00:00", p, float(c))
+        for i, (k, d, p, c) in enumerate(data)
+    ]
+    return (
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderdate string, "
+            "o_orderpriority string, o_totalprice double",
+        )
+        .withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    )
+
+
+@_settings
+@given(data=_orders, cuts=st.sets(st.integers(min_value=1, max_value=9), max_size=3))
+def test_scd2_fold_equals_rebuild(spark, data, cuts):
+    """Applying the change feed as ANY sequence of date-contiguous
+    batches reproduces the batch rebuild exactly — the invariant behind
+    both scd2_incremental and the streaming foreachBatch sink, checked
+    here over random feeds and random split points (splits fall between
+    distinct days, the precondition scd2_apply documents)."""
+    from imperio_patitas_etl_spark.operators.scd2 import (
+        SCD2_COLS,
+        scd2_apply,
+        scd2_from_orders,
+    )
+
+    o = _orders_df(spark, data)
+    bounds = sorted(cuts) + [100]
+    lo = -1
+    history = None
+    for b in bounds:
+        batch = o.filter(
+            (F.dayofmonth("o_orderdate") > lo + 1)
+            & (F.dayofmonth("o_orderdate") <= b + 1)
+        )
+        lo = b
+        if batch.isEmpty():
+            continue
+        history = (
+            scd2_from_orders(batch)
+            if history is None
+            else scd2_apply(history, batch)
+        )
+    assert history is not None
+    got = sorted(map(tuple, history.select(*SCD2_COLS).collect()))
+    want = sorted(map(tuple, scd2_from_orders(o).select(*SCD2_COLS).collect()))
+    assert got == want
