@@ -141,6 +141,37 @@ def dedup_counts(
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
+def user_tier_dim(spark, n_users: int = 1024) -> DataFrame:
+    """Static enrichment dimension: user_id → tier, derived by pure
+    arithmetic so stream and batch (and any oracle) agree bit-for-bit.
+    Stands in for the profile table a real pipeline would load."""
+    return spark.range(0, n_users).select(
+        F.col("id").alias("user_id"),
+        F.element_at(
+            F.array(F.lit("bronze"), F.lit("silver"), F.lit("gold")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("tier"),
+    )
+
+
+def tier_enriched_counts(
+    events: DataFrame, dim: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment: the unbounded event stream joins the
+    BROADCAST static dimension (no state, no stream-stream machinery —
+    the static side re-broadcasts per micro-batch), then rolls up
+    per (tier, event_type). The join must precede the aggregation so the
+    state key is the enriched one; the broadcast keeps the stream side's
+    partitioning untouched at any scale."""
+    enriched = events.withWatermark("ts", watermark).join(
+        F.broadcast(dim), "user_id"
+    )
+    return enriched.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
 def foreach_batch_upsert(
     stream_df: DataFrame,
     warehouse,

@@ -109,3 +109,21 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     )
     assert _as_set(got) == _as_set(want)
     assert got.count() > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir):
+    """Stream-static broadcast join: the streaming events enriched with
+    a static tier dimension then aggregated must equal the same plan run
+    in batch — the enrichment pattern every near-line pipeline uses
+    before its rollups."""
+    from imperio_patitas_etl_spark.streaming.events import (
+        tier_enriched_counts,
+        user_tier_dim,
+    )
+
+    dim = user_tier_dim(spark)
+    stream = tier_enriched_counts(read_events_stream(spark, sf_dir), dim)
+    got = run_stream_to_memory(stream, "t_tier")
+    want = tier_enriched_counts(load_table(spark, sf_dir, "events"), dim)
+    assert _as_set(got) == _as_set(want)
+    assert got.count() > 0
