@@ -51,3 +51,18 @@ def test_streaming_scd2_equals_batch_rebuild(spark, sf_dir, tmp_path):
     assert got.count() == orders.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+    # restart with the SAME checkpoint: every file is already committed,
+    # so re-attaching must apply nothing (exactly-once across restarts —
+    # the property the checkpoint + atomic swap combination exists for)
+    q2 = foreach_batch_scd2(
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/batch_*"),
+        hist_path,
+        str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(60)
+    again = spark.read.parquet(hist_path).select(*SCD2_COLS)
+    assert again.count() == orders.count()
+    assert again.exceptAll(want).count() == 0
