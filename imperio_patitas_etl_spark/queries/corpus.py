@@ -202,17 +202,22 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of anything corpus-sized."""
     d = load_table(spark, sf_dir, "documents")
     W = SPAN_TOKENS
+    # split once per row; the lambda slices the PRE-SPLIT array (split()
+    # inside a transform body re-evaluates per element — Catalyst does
+    # not CSE into lambda scopes)
     spans = F.expr(
-        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {W}) AS INT) - 1), "
-        f"i -> array_join(slice(split(text, ' '), i * {W} + 1, {W}), ' '))"
+        f"transform(sequence(0, CAST(ceil(size(t) / {W}) AS INT) - 1), "
+        f"i -> array_join(slice(t, i * {W} + 1, {W}), ' '))"
     )
-    exploded = d.select(
-        "doc_id", F.posexplode(spans).alias("span_idx", "span")
-    ).select(
-        "doc_id",
-        F.col("span_idx").cast("long").alias("span_idx"),
-        "span",
-        F.expr(_MD5INT.format(x="span")).alias("span_h"),
+    exploded = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("long").alias("span_idx"),
+            "span",
+            F.expr(_MD5INT.format(x="span")).alias("span_h"),
+        )
     )
     first = Window.partitionBy("span_h").orderBy("doc_id", "span_idx")
     kept = (
@@ -490,11 +495,12 @@ def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows."""
     d = load_table(spark, sf_dir, "documents")
     W = SPAN_TOKENS
+    # pre-split, as in span_dedup: no split() inside the lambda
     spans = F.expr(
-        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {W}) AS INT) - 1), "
-        f"i -> array_join(slice(split(text, ' '), i * {W} + 1, {W}), ' '))"
+        f"transform(sequence(0, CAST(ceil(size(t) / {W}) AS INT) - 1), "
+        f"i -> array_join(slice(t, i * {W} + 1, {W}), ' '))"
     )
-    exploded = d.select(
+    exploded = d.select("doc_id", F.split("text", " ").alias("t")).select(
         "doc_id", F.posexplode(spans).alias("span_idx", "span")
     )
     kept = exploded.groupBy("doc_id", "span").agg(
@@ -563,15 +569,19 @@ def q_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab², in practice Zipf-bounded) and the top-k compiles to
     TakeOrderedAndProject (per-partition heaps, k rows to the driver)."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = d.select(
+    # split ONCE per row, then zip the token array with its own tail —
+    # the transform/element_at form re-evaluates split() per pair
+    # element (Catalyst does not CSE inside lambda bodies), turning an
+    # O(tokens) row into O(tokens²) string splitting
+    toks = d.select(F.split("text", " ").alias("t"))
+    pairs = toks.select(
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(element_at(split(text, ' '), i) AS a, "
-                "element_at(split(text, ' '), i + 1) AS b))"
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
             )
         ).alias("p")
-    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
     return (
         pairs.groupBy("a", "b")
         .agg(F.count("*").alias("n"))
