@@ -228,13 +228,19 @@ ORACLE_DEDUP_EXACT = f"""
 """
 
 
-#: Spark expr: distinct word 3-gram shingles of ``text``.
-_SHINGLES = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
-    " i -> array_join(slice(split(text, ' '), i + 1, 3), ' '))) "
-    "ELSE array() END"
-)
+#: Spark expr: distinct word 3-gram shingles over a PRE-SPLIT token
+#: array column. Catalyst does not CSE into lambda scopes, so a
+#: ``split(text)`` inside the transform body would re-tokenize the
+#: document once per shingle — O(tokens²) string work per row (measured
+#: 6× on bpe_pair_merge before the same fix); callers project
+#: ``split(text, ' ')`` once and pass the array column's name.
+def _shingles_of(arr: str) -> str:
+    return (
+        f"CASE WHEN size({arr}) >= 3 THEN "
+        f"array_distinct(transform(sequence(0, size({arr}) - 3),"
+        f" i -> array_join(slice({arr}, i + 1, 3), ' '))) "
+        "ELSE array() END"
+    )
 #: DuckDB twin (1-based inclusive list slicing).
 _SQL_SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(regexp_split_to_array(text, ' ')) - 1, 1)),"
@@ -244,7 +250,9 @@ _SQL_SHINGLES = (
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", F.expr(_SHINGLES).alias("shingles"))
+    return d.select(
+        "doc_id", "lang", F.split("text", " ").alias("__t")
+    ).select("doc_id", "lang", F.expr(_shingles_of("__t")).alias("shingles"))
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,7 +361,9 @@ def _minhash_sigs(docs: DataFrame) -> DataFrame:
     The md5 of each shingle is materialized ONCE (projection step) before
     the 8 permutation columns — inlining it per permutation re-hashes every
     shingle 8×, which dominated the whole benchmark at sf0.1."""
-    s = docs.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    s = docs.select("doc_id", F.split("text", " ").alias("__t")).select(
+        "doc_id", F.expr(_shingles_of("__t")).alias("shingles")
+    )
     hashed = s.select(
         "doc_id",
         F.expr(f"transform(shingles, s -> {_MD5INT.format(x='s')} % {P})").alias("hx"),
@@ -419,18 +429,20 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # point): broadcast them, join the raw text, and shingle ONLY the
     # paired docs — the corpus-wide shingle pipeline runs once (in sigs),
     # not three times, and the verification shuffles nothing.
-    txt_a = reps.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    txt_b = reps.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    sh_a = _SHINGLES.replace("text", "text_a")
-    sh_b = _SHINGLES.replace("text", "text_b")
+    txt_a = reps.select(
+        F.col("doc_id").alias("doc_a"), F.split("text", " ").alias("t_a")
+    )
+    txt_b = reps.select(
+        F.col("doc_id").alias("doc_b"), F.split("text", " ").alias("t_b")
+    )
     verified = (
         txt_a.join(F.broadcast(cand), "doc_a")
         .join(txt_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.expr(sh_a).alias("sh_a"),
-            F.expr(sh_b).alias("sh_b"),
+            F.expr(_shingles_of("t_a")).alias("sh_a"),
+            F.expr(_shingles_of("t_b")).alias("sh_b"),
         )
         .select(
             "doc_a",
@@ -558,10 +570,10 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["doc_new", "doc_corpus"])
     )
     txt_n = new_docs.select(
-        F.col("doc_id").alias("doc_new"), F.col("text").alias("text_n")
+        F.col("doc_id").alias("doc_new"), F.split("text", " ").alias("t_n")
     )
     txt_c = corpus_docs.select(
-        F.col("doc_id").alias("doc_corpus"), F.col("text").alias("text_c")
+        F.col("doc_id").alias("doc_corpus"), F.split("text", " ").alias("t_c")
     )
     verified = (
         txt_c.join(F.broadcast(cand), "doc_corpus")
@@ -569,8 +581,8 @@ def minhash_lsh_pairs_incremental(
         .select(
             "doc_new",
             "doc_corpus",
-            F.expr(_SHINGLES.replace("text", "text_n")).alias("sh_a"),
-            F.expr(_SHINGLES.replace("text", "text_c")).alias("sh_b"),
+            F.expr(_shingles_of("t_n")).alias("sh_a"),
+            F.expr(_shingles_of("t_c")).alias("sh_b"),
         )
         .select(
             "doc_new",
