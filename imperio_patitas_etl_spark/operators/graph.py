@@ -108,3 +108,62 @@ def connected_components_star(docs: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    unit: int = 1_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over undirected ``edges(part_a,
+    part_b)``; returns (part, rank_units). All-integer recurrence
+
+        r0(v) = unit
+        r_{k+1}(v) = (100-damping_pct)% · unit
+                     + (damping_pct · Σ_{u→v} (r_k(u) div deg(u))) div 100
+
+    so the ranking is bit-reproducible across engines, partitionings,
+    and re-runs (no float accumulation order anywhere). The inbound sum
+    widens to DECIMAL(38,0) before the damping multiply — a hub's
+    inbound mass approaches total graph mass n·unit, which clears int64
+    at n ≈ 10⁹ nodes. Undirected edges mean deg ≥ 1 for every node in
+    the graph, so there is no dangling mass to redistribute.
+
+    Scale shape per iteration: one equi-join of the skinny rank table
+    onto the edge list (same key every round — a cluster co-locates it
+    by bucketing the edge list on src) plus one map-side-combinable
+    groupBy: the Pregel step expressed relationally. The edge set is
+    ``localCheckpoint``-ed once so its derivation doesn't re-enter every
+    iteration's lineage (the dup_clusters lesson above)."""
+    teleport = unit * (100 - damping_pct) // 100
+    sym = (
+        edges.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .union(
+            edges.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select("src", F.lit(unit).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(38,0)")).alias("s"))
+            .select(
+                F.col("dst").alias("src"),
+                F.expr(
+                    f"CAST({teleport} + ({damping_pct} * s) div 100 AS BIGINT)"
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("src").alias("part"), F.col("rank").alias("rank_units")
+    )

@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from imperio_patitas_etl_spark.queries import (
+    affinity,
     analytics,
     core,
     corpus,
@@ -29,6 +30,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 _MODULES = (
+    affinity,
     streaming_ops,
     text,
     corpus,
@@ -84,6 +86,15 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
+    # newest this round (r7b): the affinity/reconciliation/retrieval tier
+    # (queries/affinity.py) — prepended per rule (a); they displace the
+    # last four r5-refresh keys (ann_ivf, ann_ivf_trained,
+    # ann_lsh_bucketed, ann_recall — all r5-driver-green, code unchanged,
+    # locally re-verified this round) past the 50-key window to r8
+    "item_cooccurrence",
+    "pagerank_copurchase",
+    "snapshot_diff",
+    "bm25_topk",
     # new this round: the corpus-assembly tier (queries/corpus.py) and
     # the §2.7 pivot/unpivot/histogram extensions (queries/core.py)
     "chunk_sequences",
@@ -137,10 +148,6 @@ _R7_FRONT = (
     "tpch_q12",
     "tpch_q14",
     "tpch_q21",
-    "ann_ivf",
-    "ann_ivf_trained",
-    "ann_lsh_bucketed",
-    "ann_recall",
 )
 
 

@@ -1,0 +1,441 @@
+"""Affinity / reconciliation / retrieval analytics (r7b).
+
+Beyond-reference tier (same mandate as ``queries/corpus.py``): the
+cross-table analytics a 100 TB warehouse grows once the reference's
+entity pipeline (app/services/etl_service.py) is feeding it —
+
+- ``item_cooccurrence`` — market-basket pair support + lift over the
+  order/part bipartite relation (the "bought together" query);
+- ``pagerank_copurchase`` — fixed-iteration PageRank centrality over the
+  co-purchase graph, pure integer arithmetic so the ranking is
+  bit-reproducible across engines and cluster re-runs;
+- ``snapshot_diff`` — CDC-style reconciliation of two per-order state
+  snapshots via row fingerprints (the standard "did the backfill change
+  anything" audit between warehouse loads);
+- ``bm25_topk`` — BM25 ranked retrieval over the documents corpus,
+  integerized to micro-nats like ``unigram_logprob``.
+
+Exactness: every aggregate is integer (units/micro-nats); every divide
+is integral ``div`` on DECIMAL(38,0) operands (Spark) mirrored by ``//``
+on HUGEINT (DuckDB) — per ADVICE r6, operands are widened BEFORE any
+multiply so no product can wrap at any corpus size. The only float op
+is the per-distinct-term ``ln`` in BM25's idf, computed on an identical
+double in both engines (the ``unigram_logprob`` convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.operators.graph import pagerank_fixed
+from imperio_patitas_etl_spark.operators.reconcile import classify_snapshot_diff
+from imperio_patitas_etl_spark.sources.parquet import load_table
+
+# --------------------------------------------------------------------------
+# item_cooccurrence — market-basket support + lift
+# --------------------------------------------------------------------------
+
+MIN_PAIR_SUPPORT = 2
+
+
+def _baskets(li: DataFrame) -> DataFrame:
+    """Distinct (order, part) pairs — the bipartite basket relation."""
+    return li.select("l_orderkey", "l_partkey").distinct()
+
+
+def _copurchase_pairs(li: DataFrame) -> DataFrame:
+    """Support-counted unordered part pairs (part_a < part_b) that appear
+    in the same order.
+
+    Scale shape: one shuffle to ``collect_set`` per order (partial-agg
+    combinable), then the pair space is generated INSIDE each basket via
+    posexplode × slice — output bounded by Σ |basket|², never a
+    part×part self-join. TPC-H baskets are ≤ 13 parts; a real catalog
+    caps the basket at top-N items before exploding (same bound the
+    AllPairs prefix filter uses in ``ngram_jaccard_dedup``)."""
+    baskets = (
+        _baskets(li)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = (
+        baskets.select(
+            F.posexplode("parts").alias("i", "part_a"), F.col("parts")
+        )
+        .select(
+            "part_a",
+            F.explode(
+                F.slice("parts", F.col("i") + 2, F.size("parts"))
+            ).alias("part_b"),
+        )
+    )
+    return pairs.groupBy("part_a", "part_b").agg(
+        F.count("*").alias("pair_cnt")
+    )
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts bought together: pair support ≥ {MIN_PAIR_SUPPORT} plus lift
+    in basis points — lift = P(ab) / (P(a)·P(b)) = pair·N / (cnt_a·cnt_b)
+    with N = number of baskets.
+
+    lift_bp is exact integral arithmetic: operands widen to
+    DECIMAL(38,0) before the multiply (pair·N·10⁴ overflows int64 once
+    N > ~10⁹ baskets — the 100 TB case), then one ``div``; the quotient
+    itself always fits a long. Item counts are vocabulary-sized and
+    broadcast back onto the pair table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = _baskets(li)
+    item_cnt = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    n_orders = b.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    pairs = _copurchase_pairs(li).filter(
+        F.col("pair_cnt") >= MIN_PAIR_SUPPORT
+    )
+    cnt_a = item_cnt.select(
+        F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a")
+    )
+    cnt_b = item_cnt.select(
+        F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pairs.join(F.broadcast(cnt_a), "part_a")
+        .join(F.broadcast(cnt_b), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                "CAST((CAST(pair_cnt AS DECIMAL(38,0)) * n_orders * 10000)"
+                " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"
+            ).alias("lift_bp"),
+        )
+    )
+
+
+ORACLE_ITEM_COOCCURRENCE = f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    ic AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY l_partkey),
+    p AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               COUNT(*) AS pair_cnt
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.pair_cnt,
+           a.cnt AS cnt_a, c.cnt AS cnt_b,
+           CAST((p.pair_cnt::HUGEINT * n.n_orders * 10000)
+                // (a.cnt::HUGEINT * c.cnt) AS BIGINT) AS lift_bp
+    FROM p
+    JOIN ic a ON p.part_a = a.l_partkey
+    JOIN ic c ON p.part_b = c.l_partkey
+    CROSS JOIN n
+"""
+
+
+# --------------------------------------------------------------------------
+# pagerank_copurchase — fixed-iteration integer PageRank
+# --------------------------------------------------------------------------
+
+PR_ITERATIONS = 3
+PR_UNIT = 1_000_000_000  # initial rank per node, integer units
+PR_TELEPORT = PR_UNIT * 15 // 100  # 0.15 · unit, exact
+PR_TOPK = 100
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph (edges = part pairs
+    with support ≥ {MIN_PAIR_SUPPORT}, symmetric), {PR_ITERATIONS} fixed
+    iterations, damping 0.85, un-normalized per-node teleport:
+
+        r₀(v) = U;  rₖ₊₁(v) = 0.15·U + (85 · Σ_{{u→v}} (rₖ(u) div deg(u))) div 100
+
+    All-integer recurrence → the ranking is bit-reproducible (no float
+    accumulation order anywhere), and the multiply widens to
+    DECIMAL(38,0) first because a hub's inbound sum approaches total
+    graph mass n·U, which clears int64 at n ≈ 10⁹ nodes. Symmetric
+    edges mean deg ≥ 1 for every node in the graph — no dangling mass.
+
+    Scale shape per iteration: one equi-join of the skinny rank table
+    onto edges (co-partitioned on the same key across iterations) plus
+    one map-side-combinable groupBy — the classic Pregel step expressed
+    relationally; the fixed iteration count keeps the lineage O(1)
+    without checkpointing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = _copurchase_pairs(li).filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+    return (
+        pagerank_fixed(e, iterations=PR_ITERATIONS, unit=PR_UNIT)
+        .orderBy(F.col("rank_units").desc(), F.col("part"))
+        .limit(PR_TOPK)
+    )
+
+
+def _sql_pr_iter(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT s.dst AS src,
+               CAST({PR_TELEPORT} + (85 * SUM(r.rank::HUGEINT // d.deg))
+                    // 100 AS BIGINT) AS rank
+        FROM sym s JOIN {prev} r ON s.src = r.src
+                   JOIN deg d ON s.src = d.src
+        GROUP BY s.dst
+    )"""
+
+
+ORACLE_PAGERANK = f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    sym AS (
+        SELECT part_a AS src, part_b AS dst FROM p
+        UNION ALL
+        SELECT part_b AS src, part_a AS dst FROM p
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+    r0 AS (SELECT src, {PR_UNIT}::BIGINT AS rank FROM deg),
+    {_sql_pr_iter("r0", "r1")},
+    {_sql_pr_iter("r1", "r2")},
+    {_sql_pr_iter("r2", "r3")}
+    SELECT src AS part, rank AS rank_units
+    FROM r3 ORDER BY rank DESC, part LIMIT {PR_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# snapshot_diff — CDC reconciliation between two warehouse snapshots
+# --------------------------------------------------------------------------
+
+SNAP_D1 = "1995-06-01"
+SNAP_D2 = "1996-06-01"
+
+
+def _order_state(li: DataFrame, cutoff: str) -> DataFrame:
+    """Per-order aggregate state as shipped by ``cutoff`` — line count,
+    exact integer quantity, exact price cents — plus an md5 fingerprint
+    of the state tuple. The fingerprint is what ships between sites in a
+    real reconciliation: one 16-byte hash per key instead of the row."""
+    st = (
+        li.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.floor("l_quantity").cast("long")).alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "price_cents"
+            ),
+        )
+    )
+    return st.withColumn(
+        "fp",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("n_lines").cast("string"),
+                F.col("qty").cast("string"),
+                F.col("price_cents").cast("string"),
+            )
+        ),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between the order-state snapshot at {SNAP_D1} and at
+    {SNAP_D2}: full-outer join on the key, classify each key as
+    ``added`` / ``removed`` / ``changed`` by comparing the state
+    FINGERPRINTS, emit only the delta (unchanged keys drop out — the
+    CDC contract). Ship-date monotonicity means ``removed`` is empty
+    here; the branch is still real code because a compaction or GDPR
+    delete produces it in production.
+
+    Scale shape: both snapshots aggregate map-side-combinably on the
+    same key, the outer join co-partitions on that key (one shuffle
+    each side), and the compared payload is one 16-byte hash per key —
+    the bucketed-layout version of this join is zero-shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return classify_snapshot_diff(
+        _order_state(li, SNAP_D1), _order_state(li, SNAP_D2), "l_orderkey"
+    )
+
+
+def _sql_order_state(cutoff: str) -> str:
+    return f"""
+        SELECT l_orderkey, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS price_cents,
+               md5(COUNT(*)::VARCHAR || '|' ||
+                   CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)::VARCHAR
+                   || '|' ||
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)::VARCHAR)
+                   AS fp
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '{cutoff} 00:00:00'
+        GROUP BY l_orderkey
+    """
+
+
+ORACLE_SNAPSHOT_DIFF = f"""
+    WITH a AS ({_sql_order_state(SNAP_D1)}), b AS ({_sql_order_state(SNAP_D2)})
+    SELECT COALESCE(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+           CASE WHEN a.l_orderkey IS NULL THEN 'added'
+                WHEN b.l_orderkey IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           a.n_lines AS n_lines_old, b.n_lines AS n_lines_new,
+           a.qty AS qty_old, b.qty AS qty_new,
+           a.price_cents AS price_cents_old, b.price_cents AS price_cents_new
+    FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+    WHERE CASE WHEN a.l_orderkey IS NULL THEN 'added'
+               WHEN b.l_orderkey IS NULL THEN 'removed'
+               WHEN a.fp <> b.fp THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+"""
+
+
+# --------------------------------------------------------------------------
+# bm25_topk — BM25 ranked retrieval over documents
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("vector", "merge", "window", "hash")
+BM25_TOPK = 20
+# k1 = 1.2, b = 0.75 multiplied out to one integer fraction:
+#   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+#     = 22·tf·L / (10·tf·L + 3·L + 9·dl·N)      with avgdl = L/N
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} over ``documents`` for the fixed query
+    {BM25_TERMS} (k1=1.2, b=0.75). The Robertson idf
+    ln(1 + (N−df+0.5)/(df+0.5)) integerizes to micro-nats per DISTINCT
+    term (the ``unigram_logprob`` convention — the double both engines
+    take ln of is constructed by the identical expression), and the tf
+    normalization is multiplied out to ONE integer fraction so each
+    per-term contribution is a single exact integral ``div`` on
+    DECIMAL(38,0) operands (idf·22·tf·L clears int64 once the corpus
+    passes ~10¹³ tokens).
+
+    Scale shape: doc lengths are a zero-shuffle map; tf for the query
+    terms is one combinable groupBy over the filtered token stream
+    (the IN-list prunes before the explode's shuffle); df and the
+    corpus totals are O(|query|) and broadcast; one final groupBy on
+    doc_id + TakeOrdered for the top-k. No inverted index is needed for
+    a fixed query — the scan IS the index probe; the materialized
+    inverted layout is the same bucket-by-term step SCALE.md describes
+    for the MinHash band index."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    corpus = toks.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = (
+        df_tbl.crossJoin(F.broadcast(corpus))
+        .select(
+            "tok",
+            "n_docs",
+            "total_len",
+            F.round(
+                F.log(
+                    (
+                        (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double")
+                        / (2 * F.col("df") + 1).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("idf_unat"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "tok").select(
+        "doc_id",
+        F.expr(
+            "CAST((CAST(idf_unat AS DECIMAL(38,0)) * 22 * tf * total_len)"
+            " div (CAST(10 AS DECIMAL(38,0)) * tf * total_len"
+            "      + 3 * total_len + CAST(9 AS DECIMAL(38,0)) * dl * n_docs)"
+            " AS BIGINT)"
+        ).alias("contrib_unat"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.sum("contrib_unat").alias("score_unat"),
+        )
+        .orderBy(F.col("score_unat").desc(), F.col("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+ORACLE_BM25 = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM toks),
+    tf AS (
+        SELECT doc_id, dl, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS tok FROM toks)
+        WHERE tok IN ({_BM25_IN})
+        GROUP BY doc_id, dl, tok
+    ),
+    dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    idf AS (
+        SELECT tok, n_docs, total_len,
+               CAST(ROUND(ln((CAST(2 * (n_docs - df) + 1 AS DOUBLE)
+                              / CAST(2 * df + 1 AS DOUBLE)) + 1.0)
+                          * 1000000) AS BIGINT) AS idf_unat
+        FROM dft CROSS JOIN corpus
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST((idf.idf_unat::HUGEINT * 22 * tf.tf * idf.total_len)
+                    // (10::HUGEINT * tf.tf * idf.total_len
+                        + 3 * idf.total_len
+                        + 9::HUGEINT * tf.dl * idf.n_docs) AS BIGINT)
+                   AS contrib_unat
+        FROM tf JOIN idf ON tf.tok = idf.tok
+    )
+    SELECT doc_id, COUNT(*) AS n_terms_hit,
+           CAST(SUM(contrib_unat) AS BIGINT) AS score_unat
+    FROM scored GROUP BY doc_id
+    ORDER BY score_unat DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+QUERIES = {
+    "item_cooccurrence": q_item_cooccurrence,
+    "pagerank_copurchase": q_pagerank_copurchase,
+    "snapshot_diff": q_snapshot_diff,
+    "bm25_topk": q_bm25_topk,
+}
+
+ORACLE = {
+    "item_cooccurrence": ORACLE_ITEM_COOCCURRENCE,
+    "pagerank_copurchase": ORACLE_PAGERANK,
+    "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "bm25_topk": ORACLE_BM25,
+}
