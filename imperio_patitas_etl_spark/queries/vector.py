@@ -759,6 +759,72 @@ def _sql_recall() -> str:
     return arm("lsh", ORACLE_ANN_LSH) + "\n    UNION ALL\n" + arm("ivf", ORACLE_ANN_IVF)
 
 
+RECALL_BLOCKS = 8
+
+
+def _allpairs_count_blocked(v: DataFrame, threshold: float) -> DataFrame:
+    """Exact count of unordered pairs with cosine ≥ threshold, as a
+    BLOCKED dense pass: pack the corpus into ``RECALL_BLOCKS`` row blocks
+    (one groupBy), equi-join the B(B+1)/2 unordered block pairs, and let
+    numpy compute each block-pair's int64 Gram matrix in one
+    ``A @ B.T``. Replaces the old broadcast-nested-loop + per-pair
+    zip_with fold, which spent ~13 µs/pair in interpreted array lambdas
+    (26-44 s at sf0.1; this path runs it in ~2 s).
+
+    Still O(n²·d) WORK by definition — it's the audit's ground truth —
+    but now (a) distributed across block pairs with no corpus-sized
+    driver collect, closure, or broadcast, and (b) each task is a dense
+    exact-int64 matmul (the ``q_ann_ivf`` argument: |coord| < 2⁸ in
+    10⁻² units ⇒ dot < 2⁶³; cosine = integer dot / one sqrt of a
+    double product — bit-identical to the oracle's IEEE expression).
+    Intra-block pairs keep the vec_id_a < vec_id_b orientation; each
+    cross-block unordered pair occurs in exactly one block pair."""
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        v.withColumn("blk", F.pmod("vec_id", F.lit(RECALL_BLOCKS)))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("ivec").alias("mat"),
+            F.collect_list("norm2").alias("norms"),
+        )
+    )
+    pa = packed.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("mat").alias("mat_a"),
+        F.col("norms").alias("norms_a"),
+    )
+    pb = packed.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("mat").alias("mat_b"),
+        F.col("norms").alias("norms_b"),
+    )
+    pairs = pa.join(pb, pa.blk_a <= pb.blk_b)
+
+    def _count(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                ida = np.asarray(r.ids_a, dtype=np.int64)
+                idb = np.asarray(r.ids_b, dtype=np.int64)
+                ma = np.array([list(x) for x in r.mat_a], dtype=np.int64)
+                mb = np.array([list(x) for x in r.mat_b], dtype=np.int64)
+                na = np.asarray(r.norms_a, dtype=np.float64)
+                nb = np.asarray(r.norms_b, dtype=np.float64)
+                cos = (ma @ mb.T) / np.sqrt(na[:, None] * nb[None, :])
+                mask = cos >= threshold
+                if r.blk_a == r.blk_b:
+                    mask &= ida[:, None] < idb[None, :]
+                out.append(int(mask.sum()))
+            yield pd.DataFrame({"partial": pd.Series(out, dtype="int64")})
+
+    return pairs.mapInPandas(_count, "partial long")
+
+
 def q_cosine_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the ``embedding_cosine_dedup`` LSH prefilter against the
     exact all-pairs ground truth — the miss-rate audit the ANN variants
@@ -769,27 +835,19 @@ def q_cosine_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified candidates are a SUBSET of the truth set (the verify step is
     exact cosine on exact integers), so hits = |found| and
     recall_bp = |found| / |all pairs with cosine ≥ T| in half-up basis
-    points. The denominator is a deliberate brute-force all-pairs pass —
-    a broadcast nested-loop over the corpus — which is what makes this an
-    AUDIT query you run on a sample (as here, at test SF), not a
-    production plan; the plan under audit stays shuffle-bounded."""
+    points. The denominator is a deliberate brute-force all-pairs count —
+    O(n²·d) by definition, structured as a blocked dense matmul
+    (``_allpairs_count_blocked``) — which is what makes this an AUDIT
+    query you run on a sample (as here, at test SF), not a production
+    plan; the plan under audit stays shuffle-bounded."""
     n_rows = load_table(spark, sf_dir, "embeddings").count()
     v = _with_ivec(spark, sf_dir)
     vb = v.withColumn("bucket", _bucket_expr(collect_planes(v, dedup_n_planes(n_rows))))
     found = cosine_pairs_lsh(vb, COS_DEDUP_T)
-    a, b = v.alias("a"), v.alias("b")
-    truth = (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            (
-                _dot("a.ivec", "b.ivec")
-                / F.sqrt(F.col("a.norm2").cast("double") * F.col("b.norm2").cast("double"))
-            ).alias("cosine")
-        )
-        .filter(F.col("cosine") >= COS_DEDUP_T)
-    )
     hits = found.agg(F.count("*").cast("long").alias("hits"))
-    denom = truth.agg(F.count("*").cast("long").alias("denom"))
+    denom = _allpairs_count_blocked(v, COS_DEDUP_T).agg(
+        F.sum("partial").cast("long").alias("denom")
+    )
     num = F.col("hits") * 10000 * 2 + F.col("denom")
     den = F.col("denom") * 2
     return hits.crossJoin(denom).select(

@@ -29,3 +29,42 @@ def test_cell_layout_prunes_partitions_and_matches_inplan(spark, sf_dir, tmp_pat
     a = {tuple(r) for r in pruned.collect()}
     b = {tuple(r) for r in inplan.collect()}
     assert a == b and len(a) > 0
+
+
+def test_allpairs_count_blocked_matches_naive(spark):
+    """The blocked numpy ground-truth counter equals a naive python count
+    on a corpus that straddles blocks (n > RECALL_BLOCKS), including
+    intra-block id ordering and the >= threshold boundary."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from imperio_patitas_etl_spark.queries.vector import (
+        RECALL_BLOCKS,
+        _allpairs_count_blocked,
+    )
+
+    vecs = {
+        i: [(i * 7 + j * 3) % 11 - 5 for j in range(4)] for i in range(20)
+    }
+    rows = [(i, v, sum(x * x for x in v)) for i, v in vecs.items()]
+    v = spark.createDataFrame(
+        rows, "vec_id long, ivec array<long>, norm2 long"
+    )
+    t = 0.45
+    naive = sum(
+        1
+        for a, b in itertools.combinations(sorted(vecs), 2)
+        if sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        / math.sqrt(float(sum(x * x for x in vecs[a])) * sum(x * x for x in vecs[b]))
+        >= t
+    )
+    got = (
+        _allpairs_count_blocked(v, t)
+        .agg(F.sum("partial").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert 20 > RECALL_BLOCKS  # corpus straddles blocks by construction
+    assert got == naive > 0
