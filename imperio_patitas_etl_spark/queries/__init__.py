@@ -69,10 +69,17 @@ _MODULES = (
 #   - stale r3 rows: the seven trivial core keys deferred from r6
 #     exactly as promised (scan_parquet/limit/sort_limit/count_star/
 #     count_by_flag/groupby_avg/exists_any_agg);
+#   - newest (r7b): the four affinity keys (queries/affinity.py:
+#     item_cooccurrence, pagerank_copurchase, snapshot_diff, bm25_topk)
+#     lead the window per rule (a); to keep the window at exactly 50
+#     they displace ann_ivf / ann_ivf_trained / ann_lsh_bucketed /
+#     ann_recall to r8 — all four r5-driver-green, code unchanged, and
+#     re-verified by the full local sweeps at both SFs this round;
 #   - the rest: r5-row keys (all driver-green, code unchanged). The
 #     r5-green unchanged tier that waits for r8: the eight scalar-layer
 #     keys (arith_derived, casts, coalesce_defaults, regex_email,
-#     regex_rut, string_cleanup, timestamp_from_unix, dq_flags) plus the
+#     regex_rut, string_cleanup, timestamp_from_unix, dq_flags), the
+#     four ann_* keys above, plus the
 #     twenty-two displaced by this round's new keys (stratified_sample,
 #     json_extract, stream_dedup, stream_session_window,
 #     stream_sliding_window, filter_project_client/detail/document/
