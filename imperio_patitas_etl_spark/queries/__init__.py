@@ -69,7 +69,14 @@ _MODULES = (
 #   - stale r3 rows: the seven trivial core keys deferred from r6
 #     exactly as promised (scan_parquet/limit/sort_limit/count_star/
 #     count_by_flag/groupby_avg/exists_any_agg);
-#   - newest (r7b): the four affinity keys (queries/affinity.py:
+#   - newest (r7c): the eight scan/statistics keys (resample_ffill,
+#     incremental_agg_merge, rolling_distinct_users, triangle_count,
+#     pps_systematic_sample, pmi_collocations, equi_depth_histogram,
+#     feature_scale) lead the window per rule (a); to keep the window at
+#     exactly 50 they displace the eight r5-refresh TPC-H keys
+#     (tpch_q3/q4/q5/q6/q10/q12/q14/q21) to r8 — all r5-driver-green,
+#     code unchanged, re-verified by this round's full local sweeps;
+#   - r7b: the four affinity keys (queries/affinity.py:
 #     item_cooccurrence, pagerank_copurchase, snapshot_diff, bm25_topk)
 #     lead the window per rule (a); to keep the window at exactly 50
 #     they displace ann_ivf / ann_ivf_trained / ann_lsh_bucketed /
@@ -93,7 +100,21 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # newest this round (r7b): the affinity/reconciliation/retrieval tier
+    # newest this round (r7c): the scan/statistics tier — the two-phase
+    # prefix-sum scan (operators/prefix_sum.py) and its consumers, plus
+    # time-series / IVM / graph / collocation / scaling analytics; per
+    # rule (a) they lead the window and displace the eight r5-refresh
+    # TPC-H keys (tpch_q3/q4/q5/q6/q10/q12/q14/q21 — all r5-driver-green,
+    # code unchanged, re-verified by this round's full local sweeps) to r8
+    "resample_ffill",
+    "incremental_agg_merge",
+    "rolling_distinct_users",
+    "triangle_count",
+    "pps_systematic_sample",
+    "pmi_collocations",
+    "equi_depth_histogram",
+    "feature_scale",
+    # r7b: the affinity/reconciliation/retrieval tier
     # (queries/affinity.py) — prepended per rule (a); they displace the
     # last four r5-refresh keys (ann_ivf, ann_ivf_trained,
     # ann_lsh_bucketed, ann_recall — all r5-driver-green, code unchanged,
@@ -146,15 +167,6 @@ _R7_FRONT = (
     "count_by_flag",
     "groupby_avg",
     "exists_any_agg",
-    # r5-row refresh tier (oldest remaining driver rows)
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q21",
 )
 
 

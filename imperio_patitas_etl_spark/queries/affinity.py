@@ -426,11 +426,149 @@ ORACLE_BM25 = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# triangle_count — degree-oriented triangle counting on the co-purchase graph
+# --------------------------------------------------------------------------
+
+TRIANGLE_TOPK = 50
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the support-≥2 co-purchase
+    graph (the clustering/community signal on the "bought together"
+    relation), top {TRIANGLE_TOPK} nodes.
+
+    Algorithm: degree-ordered orientation (Cohen, "Graph Twiddling in a
+    MapReduce World", 2009) — orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, enumerate wedges by
+    self-joining oriented edges on their source, and close each wedge
+    with one more equi-join. Each triangle is found EXACTLY once, and
+    the wedge count is Σ out-deg² where out-degree is bounded by
+    O(√m) under this orientation — the property that keeps the
+    intermediate from exploding on skewed (popular-product) nodes at
+    100 TB, where orienting by raw id would give a hub node a wedge set
+    quadratic in its full degree.
+
+    The orientation key packs (degree, id) into one int64
+    (deg·2³² + id) so joins and comparisons stay single-column. All
+    joins are equi-joins on ids; the degree table joins back onto the
+    edge list at node cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_pairs(li)
+        .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+        .select("part_a", "part_b")
+    )
+    deg = (
+        edges.select(F.col("part_a").alias("node"))
+        .unionAll(edges.select(F.col("part_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    keyed = (
+        edges.join(deg.withColumnRenamed("node", "part_a"), "part_a")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.withColumnRenamed("node", "part_b").withColumnRenamed(
+                "d", "db"
+            ),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            (F.col("da") * F.lit(4294967296) + F.col("part_a")).alias("ka"),
+            (F.col("db") * F.lit(4294967296) + F.col("part_b")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("part_a"))
+        .otherwise(F.col("part_b"))
+        .alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("part_b"))
+        .otherwise(F.col("part_a"))
+        .alias("dst"),
+        F.greatest("ka", "kb").alias("dst_k"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst_k") < F.col("o2.dst_k")),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    closer = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closer, ["v", "w"], "left_semi")
+    nodes = (
+        tri.select(F.col("u").alias("part_id"))
+        .unionAll(tri.select(F.col("v").alias("part_id")))
+        .unionAll(tri.select(F.col("w").alias("part_id")))
+    )
+    return (
+        nodes.groupBy("part_id")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part_id")
+        .limit(TRIANGLE_TOPK)
+    )
+
+
+ORACLE_TRIANGLE_COUNT = f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {{MIN_PAIR_SUPPORT}}
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT pa AS node FROM pairs
+            UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    ),
+    keyed AS (
+        SELECT pa, pb,
+               da.d * 4294967296 + pa AS ka,
+               db.d * 4294967296 + pb AS kb
+        FROM pairs
+        JOIN deg da ON da.node = pa
+        JOIN deg db ON db.node = pb
+    ),
+    o AS (
+        SELECT CASE WHEN ka < kb THEN pa ELSE pb END AS src,
+               CASE WHEN ka < kb THEN pb ELSE pa END AS dst,
+               CASE WHEN ka < kb THEN kb ELSE ka END AS dst_k
+        FROM keyed
+    ),
+    tri AS (
+        SELECT o1.src AS u, o1.dst AS v, o2.dst AS w
+        FROM o o1 JOIN o o2
+          ON o1.src = o2.src AND o1.dst_k < o2.dst_k
+        WHERE EXISTS (SELECT 1 FROM o e
+                      WHERE e.src = o1.dst AND e.dst = o2.dst)
+    )
+    SELECT part_id, COUNT(*) AS n_triangles FROM (
+        SELECT u AS part_id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    )
+    GROUP BY part_id
+    ORDER BY n_triangles DESC, part_id
+    LIMIT {{TRIANGLE_TOPK}}
+""".format(MIN_PAIR_SUPPORT=MIN_PAIR_SUPPORT, TRIANGLE_TOPK=TRIANGLE_TOPK)
+
+
 QUERIES = {
     "item_cooccurrence": q_item_cooccurrence,
     "pagerank_copurchase": q_pagerank_copurchase,
     "snapshot_diff": q_snapshot_diff,
     "bm25_topk": q_bm25_topk,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLE = {
@@ -438,4 +576,5 @@ ORACLE = {
     "pagerank_copurchase": ORACLE_PAGERANK,
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "bm25_topk": ORACLE_BM25,
+    "triangle_count": ORACLE_TRIANGLE_COUNT,
 }

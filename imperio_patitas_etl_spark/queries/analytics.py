@@ -884,6 +884,201 @@ ORACLE_PARETO = """
 """
 
 
+# --------------------------------------------------------------------------
+# resample_ffill — time-spine gap fill + forward fill
+# --------------------------------------------------------------------------
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resampling with forward fill: per user, a gap-free daily
+    spine from the user's first to last active day; days with no events
+    carry the LAST OBSERVED daily event count forward (the standard
+    sensor/metrics "resample + ffill" — pandas ``resample('D').ffill()``
+    as a distributed plan).
+
+    Scale: every stage is keyed by user_id — the daily rollup
+    (map-side-combinable count), the span aggregate, the spine explode
+    (bounded by the user's active date RANGE, not the corpus), the
+    spine↔daily join, and the ignore-nulls fill window all co-partition
+    on the same key, so AQE collapses them onto one exchange. Spine
+    width is data-bounded: a user active d days explodes to at most
+    (max-min+1) rows — there is no global calendar cross join."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    daily = (
+        e.select("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("n_events").isNotNull().cast("int").alias("observed"),
+            F.last("n_events", ignorenulls=True).over(fill).alias(
+                "n_events_filled"
+            ),
+        )
+    )
+
+
+ORACLE_RESAMPLE_FFILL = """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                             AS DATE) AS day
+        FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM daily GROUP BY user_id)
+    )
+    SELECT s.user_id, s.day,
+           CAST(d.n_events IS NOT NULL AS INT) AS observed,
+           last_value(d.n_events IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_events_filled
+    FROM spine s LEFT JOIN daily d
+      ON d.user_id = s.user_id AND d.day = s.day
+"""
+
+
+# --------------------------------------------------------------------------
+# incremental_agg_merge — incremental view maintenance of a groupBy
+# --------------------------------------------------------------------------
+
+#: Orders strictly before this date play the maintained "base" aggregate
+#: (the state a 100 TB warehouse has already paid for); the rest is the
+#: newly-arrived delta batch. The merge must equal the full recompute —
+#: which is exactly what the oracle computes.
+IVM_SPLIT_DATE = "1999-01-01"
+
+
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a per-customer order aggregate:
+    merge a pre-aggregated base state with the aggregate of a delta
+    batch via full-outer coalesce-sum, instead of rescanning the base.
+    COUNT and SUM are self-maintainable, so merged == full recompute —
+    the oracle IS the full recompute, making the green row a proof of
+    the merge operator, not just of one query.
+
+    Scale: this is the pattern that turns a 100 TB nightly rebuild into
+    a delta-sized job — the base side is a stored aggregate (customer-
+    cardinality rows, not order-cardinality), the delta aggregate is
+    map-side-combinable over the new partition only, and the merge is
+    one equi-join on the grouping key both sides are already hashed by."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    split = F.lit(IVM_SPLIT_DATE).cast("timestamp")
+
+    def agg(part: DataFrame) -> DataFrame:
+        return part.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    base = agg(o.filter(F.col("o_orderdate") < split))
+    delta = agg(o.filter(F.col("o_orderdate") >= split))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            (
+                F.coalesce(F.col("b.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.total_cents"), F.lit(0))
+                + F.coalesce(F.col("d.total_cents"), F.lit(0))
+            ).alias("total_cents"),
+        )
+    )
+
+
+ORACLE_INCREMENTAL_AGG_MERGE = """
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# rolling_distinct_users — sliding-window distinct counts (trailing WAU)
+# --------------------------------------------------------------------------
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (the WAU curve).
+    COUNT(DISTINCT) OVER a sliding range isn't a window Spark (or any
+    engine) can decompose, so the standard distributed rewrite applies:
+    collapse to distinct (user, day) once, explode each active day into
+    the ≤7 window-end days it contributes to, and count distinct users
+    per window end.
+
+    Scale: the explode factor is the window length (a constant), the
+    pre-collapse bounds it by ACTIVE (user, day) pairs rather than raw
+    events, and the final count-distinct is a two-level exact aggregate
+    on (window_end, user) — partials combine map-side; no self-join of
+    the events table against its own 7-day range (the O(n·w) row
+    explosion stays, but on the collapsed relation, which is the known
+    optimum for exact sliding distinct)."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    w = ROLLING_WINDOW_DAYS - 1
+    return (
+        du.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {w}), interval 1 day)")
+            ).alias("window_end"),
+        )
+        .groupBy("window_end")
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+
+
+ORACLE_ROLLING_DISTINCT = f"""
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    ex AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(
+                   day, day + {ROLLING_WINDOW_DAYS - 1}, INTERVAL 1 DAY))
+                    AS DATE) AS window_end
+        FROM du
+    )
+    SELECT window_end, COUNT(DISTINCT user_id) AS n_users_7d
+    FROM ex GROUP BY window_end
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -895,6 +1090,9 @@ QUERIES = {
     "scd2_incremental": q_scd2_incremental,
     "dq_profile": q_dq_profile,
     "pareto_frontier_2d": q_pareto_frontier_2d,
+    "resample_ffill": q_resample_ffill,
+    "incremental_agg_merge": q_incremental_agg_merge,
+    "rolling_distinct_users": q_rolling_distinct_users,
 }
 
 ORACLE = {
@@ -908,4 +1106,7 @@ ORACLE = {
     "scd2_incremental": ORACLE_SCD2_INCREMENTAL,
     "dq_profile": ORACLE_DQ_PROFILE,
     "pareto_frontier_2d": ORACLE_PARETO,
+    "resample_ffill": ORACLE_RESAMPLE_FFILL,
+    "incremental_agg_merge": ORACLE_INCREMENTAL_AGG_MERGE,
+    "rolling_distinct_users": ORACLE_ROLLING_DISTINCT,
 }

@@ -30,6 +30,9 @@ from imperio_patitas_etl_spark.operators.joins import (
     explode_nested,
     fk_orphan_report,
 )
+from imperio_patitas_etl_spark.operators.prefix_sum import (
+    partitioned_prefix_sum,
+)
 from imperio_patitas_etl_spark.operators.upsert import delete_insert, upsert_latest_wins
 from imperio_patitas_etl_spark.sources.parquet import load_table
 
@@ -805,6 +808,77 @@ ORACLE_SQL_INTERFACE = """
 """
 
 
+# --------------------------------------------------------------------------
+# equi_depth_histogram — exact equal-frequency buckets without a global sort
+# --------------------------------------------------------------------------
+
+EQUI_DEPTH_BUCKETS = 16
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {EQUI_DEPTH_BUCKETS}-bucket equi-depth histogram of order
+    totals (the complement of ``histogram_fixed``'s equal-width buckets,
+    and the exact twin of ``quantile_sketch``'s approximation): bucket
+    boundaries fall so every bucket holds the same row count ±1, with
+    per-bucket [lo, hi] cents and count.
+
+    Bucket assignment needs each row's EXACT global rank in
+    (cents, o_orderkey) order. A ``Window.orderBy(...)`` row_number is a
+    single-task global sort — the canonical Spark scale trap — so ranks
+    come from ``operators/prefix_sum.py:partitioned_prefix_sum`` instead:
+    range-partition by the sort key, two-phase scan with value 1, and
+    the inclusive prefix count IS the rank, computed partition-parallel.
+    Bucket = (rank−1)·B div N (the even-spread rule, stated explicitly
+    on both engines — SQL's NTILE puts all remainder rows in the FIRST
+    buckets, a different and no more canonical convention).
+
+    The (cents, orderkey) key is unique, so ranks — and therefore the
+    histogram — are fully deterministic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit(0).alias("all"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+        F.lit(1).alias("one"),
+    )
+    ranked = partitioned_prefix_sum(
+        o, "all", ["cents", "o_orderkey"], "one", "rank"
+    )
+    n_total = ranked.agg(F.max("rank").alias("n_total"))
+    b = EQUI_DEPTH_BUCKETS
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            "cents",
+            F.expr(f"(({b} * (rank - 1)) div n_total) + 1").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+ORACLE_EQUI_DEPTH = f"""
+    WITH ranked AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                            o_orderkey
+               ) AS rank
+        FROM orders
+    )
+    SELECT (({EQUI_DEPTH_BUCKETS} * (rank - 1))
+            // (SELECT COUNT(*) FROM orders)) + 1 AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(cents) AS lo_cents,
+           MAX(cents) AS hi_cents
+    FROM ranked
+    GROUP BY bucket
+"""
+
+
 QUERIES = {
     "scan_parquet": q_scan_parquet,
     "limit": q_limit,
@@ -841,6 +915,7 @@ QUERIES = {
     "pivot_wide": q_pivot_wide,
     "unpivot_long": q_unpivot_long,
     "histogram_fixed": q_histogram_fixed,
+    "equi_depth_histogram": q_equi_depth_histogram,
     "sql_interface": q_sql_interface,
 }
 
@@ -1052,5 +1127,6 @@ ORACLE = {
     "pivot_wide": ORACLE_PIVOT_WIDE,
     "unpivot_long": ORACLE_UNPIVOT_LONG,
     "histogram_fixed": ORACLE_HISTOGRAM_FIXED,
+    "equi_depth_histogram": ORACLE_EQUI_DEPTH,
     "sql_interface": ORACLE_SQL_INTERFACE,
 }

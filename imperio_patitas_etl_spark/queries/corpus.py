@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imperio_patitas_etl_spark.operators.prefix_sum import (
+    partitioned_prefix_sum,
+)
 from imperio_patitas_etl_spark.sources.parquet import load_table
 
 # Cross-engine deterministic 60-bit hash (same construction as
@@ -607,6 +610,77 @@ ORACLE_BPE_PAIR_MERGE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# pps_systematic_sample — probability-proportional-to-size sampling
+# --------------------------------------------------------------------------
+
+#: Sample points per stratum. Classic PPS systematic sampling (Madow &
+#: Madow 1944; the workhorse of survey statistics): lay k equally-spaced
+#: points on the stratum's cumulative-weight axis at (2j+1)·T/(2k) and
+#: take the document whose cumulative interval contains each point. A
+#: document with weight ≥ T/k can be hit more than once (n_hits is its
+#: integer multiplicity) — exactly the "long documents contribute more
+#: training sequences" semantics a token-budgeted corpus sampler wants.
+PPS_K = 8
+
+
+def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample: per source stratum,
+    {PPS_K} systematic points over the n_chars cumulative axis in
+    doc_id order. Zero floats — selection is pure integer interval
+    arithmetic (n_hits = pts_below(cum) − pts_below(cum − w) with
+    pts_below(x) = (2kx + T − 1) div 2T), so Spark and the oracle agree
+    bit-for-bit at any scale.
+
+    Scale: the cumulative weights come from
+    ``operators/prefix_sum.py:partitioned_prefix_sum`` — the two-phase
+    Blelloch scan over a range-partitioned layout — NOT from a
+    ``Window.partitionBy(source)`` running sum, which would serialize
+    each stratum into a single task (with ~20 sources over 100 TB,
+    that is a 20-task job). Stratum totals are a stratum-cardinality
+    aggregate broadcast back onto the cumulative relation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("w")
+    )
+    cum = partitioned_prefix_sum(d, "source", ["doc_id"], "w", "cum")
+    tot = cum.groupBy("source").agg(F.max("cum").alias("t"))
+    k = PPS_K
+    pts = "((2*{k}*{x} + t - 1) div (2*t))"
+    n_hits = (
+        f"{pts.format(k=k, x='cum')} - {pts.format(k=k, x='(cum - w)')}"
+    )
+    return (
+        cum.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            "doc_id",
+            "w",
+            "cum",
+            F.expr(n_hits).alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )
+
+
+ORACLE_PPS_SAMPLE = f"""
+    WITH c AS (
+        SELECT source, doc_id, n_chars AS w,
+               CAST(SUM(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM documents
+    ),
+    t AS (SELECT source, MAX(cum) AS t FROM c GROUP BY source)
+    SELECT * FROM (
+        SELECT c.source, doc_id, w, cum,
+               ((2*{PPS_K}*cum + t.t - 1) // (2*t.t))
+               - ((2*{PPS_K}*(cum - w) + t.t - 1) // (2*t.t)) AS n_hits
+        FROM c JOIN t ON c.source = t.source
+    ) WHERE n_hits >= 1
+"""
+
+
 QUERIES = {
     "chunk_sequences": q_chunk_sequences,
     "pack_sequences": q_pack_sequences,
@@ -616,6 +690,7 @@ QUERIES = {
     "domain_mixture_sample": q_domain_mixture_sample,
     "bpe_pair_merge": q_bpe_pair_merge,
     "intra_doc_dedup": q_intra_doc_dedup,
+    "pps_systematic_sample": q_pps_systematic_sample,
 }
 
 ORACLE = {
@@ -627,4 +702,5 @@ ORACLE = {
     "domain_mixture_sample": ORACLE_DOMAIN_MIXTURE_SAMPLE,
     "bpe_pair_merge": ORACLE_BPE_PAIR_MERGE,
     "intra_doc_dedup": ORACLE_INTRA_DOC_DEDUP,
+    "pps_systematic_sample": ORACLE_PPS_SAMPLE,
 }

@@ -1516,6 +1516,123 @@ ORACLE_CORPUS_KEEP = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# pmi_collocations — bigram pointwise mutual information
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 100
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} bigram collocations by pointwise mutual information
+    — PMI(a,b) = ln(P(ab) / (P(a)·P(b))) = ln(c_ab·N / (c_a·c_b)) — the
+    classic phrase/multi-word-expression extractor (Church & Hanks 1990),
+    over whitespace bigrams with corpus count ≥ {PMI_MIN_COUNT}.
+
+    Exactness: follows the ``unigram_logprob`` convention — PMI is
+    integerized to micro-nats via one ``ln`` per surviving bigram on a
+    double built with a FIXED association order ((c_ab·N)/(c_a·c_b),
+    each operand cast to double first), identical IEEE ops in both
+    engines. The top-k order (pmi_unat DESC, w1, w2) is unique, so the
+    LIMIT boundary is deterministic.
+
+    Scale: bigrams are generated per row from the pre-split token array
+    (zero shuffle), pair counts are one map-side-combinable groupBy, and
+    the unigram table is vocabulary-bounded and broadcast twice (w1/w2).
+    The ≥{PMI_MIN_COUNT} filter runs BEFORE the unigram joins, so the
+    joined relation is the surviving-collocation set, not the raw bigram
+    stream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # Spark's sequence(0, -1) DESCENDS instead of being empty — guard the
+    # single-token doc (the DuckDB twin's generate_series(1, 0) is empty).
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    pairs = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= PMI_MIN_COUNT)
+    )
+    n_bigrams = bg.agg(F.count("*").alias("n_bigrams"))
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("cnt_w1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("cnt_w2"))
+    return (
+        pairs.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "cnt_w1",
+            "cnt_w2",
+            F.round(
+                F.log(
+                    (
+                        F.col("pair_cnt").cast("double")
+                        * F.col("n_bigrams").cast("double")
+                    )
+                    / (
+                        F.col("cnt_w1").cast("double")
+                        * F.col("cnt_w2").cast("double")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("pmi_unat"),
+        )
+        .orderBy(F.desc("pmi_unat"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
+ORACLE_PMI = f"""
+    WITH toks AS (
+        SELECT regexp_split_to_array(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i
+        )
+    ),
+    pairs AS (
+        SELECT w1, w2, COUNT(*) AS pair_cnt FROM bg GROUP BY w1, w2
+        HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, pair_cnt, c1.cnt AS cnt_w1, c2.cnt AS cnt_w2,
+           CAST(ROUND(ln((pair_cnt::DOUBLE * (SELECT COUNT(*) FROM bg)::DOUBLE)
+                         / (c1.cnt::DOUBLE * c2.cnt::DOUBLE))
+                      * 1000000) AS BIGINT) AS pmi_unat
+    FROM pairs
+    JOIN uni c1 ON c1.tok = w1
+    JOIN uni c2 ON c2.tok = w2
+    ORDER BY pmi_unat DESC, w1, w2
+    LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1537,6 +1654,7 @@ QUERIES = {
     "decontaminate_ngram": q_decontaminate_ngram,
     "unigram_logprob": q_unigram_logprob,
     "corpus_keep_list": q_corpus_keep_list,
+    "pmi_collocations": q_pmi_collocations,
 }
 
 ORACLE = {
@@ -1560,4 +1678,5 @@ ORACLE = {
     "decontaminate_ngram": ORACLE_DECONTAMINATE,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "corpus_keep_list": ORACLE_CORPUS_KEEP,
+    "pmi_collocations": ORACLE_PMI,
 }

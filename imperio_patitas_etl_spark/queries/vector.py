@@ -879,6 +879,72 @@ ORACLE_COS_DEDUP_RECALL = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# feature_scale — per-dimension min-max normalization, exact integer units
+# --------------------------------------------------------------------------
+
+FEATURE_SCALE_DIMS = 8
+
+
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling over the first {FEATURE_SCALE_DIMS}
+    embedding dimensions — the fit+transform preprocessing stage of any
+    ML feature pipeline, as one distributed plan: per-dimension (min,
+    max) statistics, then scaled = (v − lo)·10⁶ div (hi − lo) ∈
+    [0, 10⁶], one output row per (vector, dimension).
+
+    Exactness: values enter as the ×10⁷ integer embedding units shared
+    with the ANN family (``_IVEC``), so the fit statistics and the
+    affine transform are pure int64 arithmetic — no float mean/variance
+    whose summation ORDER could differ between engines (min/max are
+    order-free; this is why min-max rather than z-score is the exact
+    variant — a z-score twin needs the same integerize-before-aggregate
+    treatment for the mean).
+
+    Scale: the dimension slice prunes the array BEFORE the explode; the
+    stats aggregate is map-side-combinable to D rows, broadcast back
+    onto the exploded stream — the same fit-table-broadcast shape a
+    100 TB transform wants (fit once, transform anywhere, no shuffle of
+    the data itself beyond the explode)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select(
+        "vec_id",
+        F.posexplode(F.expr(f"slice({_IVEC}, 1, {FEATURE_SCALE_DIMS})")).alias(
+            "dim", "v"
+        ),
+    )
+    stats = iv.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    return (
+        iv.join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.expr(
+                "CASE WHEN hi = lo THEN 0"
+                " ELSE ((v - lo) * 1000000) div (hi - lo) END"
+            ).alias("scaled_micro"),
+        )
+    )
+
+
+ORACLE_FEATURE_SCALE = f"""
+    WITH iv AS (
+        SELECT vec_id, i - 1 AS dim, ivec[i] AS v
+        FROM (SELECT vec_id,
+                     list_slice({_SQL_IVEC}, 1, {FEATURE_SCALE_DIMS}) AS ivec
+              FROM embeddings),
+        LATERAL (SELECT unnest(generate_series(1, {FEATURE_SCALE_DIMS})) AS i)
+    ),
+    st AS (SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM iv GROUP BY dim)
+    SELECT vec_id, CAST(iv.dim AS BIGINT) AS dim,
+           CASE WHEN hi = lo THEN 0
+                ELSE ((v - lo) * 1000000) // (hi - lo) END AS scaled_micro
+    FROM iv JOIN st ON iv.dim = st.dim
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -888,6 +954,7 @@ QUERIES = {
     "embedding_dup_clusters": q_embedding_dup_clusters,
     "cosine_dedup_recall": q_cosine_dedup_recall,
     "ann_recall": q_ann_recall,
+    "feature_scale": q_feature_scale,
 }
 
 ORACLE = {
@@ -899,4 +966,5 @@ ORACLE = {
     "embedding_dup_clusters": ORACLE_EMB_DUP_CLUSTERS,
     "cosine_dedup_recall": ORACLE_COS_DEDUP_RECALL,
     "ann_recall": _sql_recall(),
+    "feature_scale": ORACLE_FEATURE_SCALE,
 }

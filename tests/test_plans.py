@@ -312,3 +312,36 @@ def test_asof_and_skyline_avoid_inequality_joins(spark, sf_dir):
         plan = _plan(qs[key](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in plan, key
         assert "CartesianProduct" not in plan, key
+
+
+def test_prefix_sum_queries_have_no_window_sort(spark, sf_dir):
+    """pps_systematic_sample and equi_depth_histogram exist to replace
+    the single-task Window.partitionBy running sum / global row_number
+    with the two-phase scan — a Window node in their plans IS the
+    scale regression they guard against."""
+    qs = all_queries()
+    for key in ("pps_systematic_sample", "equi_depth_histogram"):
+        plan = _plan(qs[key](spark, sf_dir))
+        assert "Window" not in plan, key
+
+
+def test_fit_tables_broadcast(spark, sf_dir):
+    """feature_scale's per-dimension stats and pmi_collocations' two
+    unigram sides are tiny fit tables — they must broadcast, never
+    shuffle the exploded stream on a join key."""
+    qs = all_queries()
+    plan = _plan(qs["feature_scale"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan = _plan(qs["pmi_collocations"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_triangle_and_rolling_all_equijoins(spark, sf_dir):
+    """triangle_count's wedge + closure joins and resample_ffill's
+    spine join must stay equi-joins (the inequality parts are
+    residual filters, not join strategies)."""
+    qs = all_queries()
+    for key in ("triangle_count", "resample_ffill"):
+        plan = _plan(qs[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key

@@ -64,6 +64,12 @@ EXTENSION_KEYS = {
     "zorder_layout_audit", "scd2_incremental", "bpe_pair_merge",
     "intra_doc_dedup", "sql_interface", "dq_profile",
     "pareto_frontier_2d",
+    # r7b affinity tier
+    "item_cooccurrence", "pagerank_copurchase", "snapshot_diff", "bm25_topk",
+    # r7c scan/statistics tier
+    "resample_ffill", "incremental_agg_merge", "rolling_distinct_users",
+    "triangle_count", "pps_systematic_sample", "pmi_collocations",
+    "equi_depth_histogram", "feature_scale",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
