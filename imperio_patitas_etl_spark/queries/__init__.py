@@ -66,10 +66,16 @@ _MODULES = (
 #     grouping_sets — their floor-vs-cast quantity semantics changed in
 #     r6 commit 0a8fd36 but sat outside the r6 window; rule (a) demands
 #     a driver row on the current text, so they lead this window;
-#   - stale r3 rows: the seven trivial core keys deferred from r6
-#     exactly as promised (scan_parquet/limit/sort_limit/count_star/
-#     count_by_flag/groupby_avg/exists_any_agg);
-#   - newest (r7c): the eight scan/statistics keys (resample_ffill,
+#   - stale r3 rows: of the seven trivial core keys deferred from r6,
+#     four take their promised r7 slots (scan_parquet/count_by_flag/
+#     groupby_avg/exists_any_agg); limit/sort_limit/count_star defer
+#     once more to r8 — bare scan shapes, unchanged since r1, and
+#     re-verified by this round's full local sweeps at both SFs — to
+#     make room for the r7c second wave under rule (a);
+#   - r7c second wave: event_transition_matrix / attribution_last_touch
+#     (queries/analytics.py) and node_jaccard_linkpred
+#     (queries/affinity.py) lead the window per rule (a);
+#   - r7c first wave: the eight scan/statistics keys (resample_ffill,
 #     incremental_agg_merge, rolling_distinct_users, triangle_count,
 #     pps_systematic_sample, pmi_collocations, equi_depth_histogram,
 #     feature_scale) lead the window per rule (a); to keep the window at
@@ -100,7 +106,18 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # newest this round (r7c): the scan/statistics tier — the two-phase
+    # newest this round (r7c, second wave): behavioral analytics + link
+    # prediction (event_transition_matrix, attribution_last_touch,
+    # node_jaccard_linkpred) — rule (a). To hold the window at 50 they
+    # displace limit / sort_limit / count_star from the stale-r3 tier:
+    # the three most trivial keys in the registry (bare scan shapes,
+    # unchanged since r1, r3-driver-green, re-verified by this round's
+    # full local sweeps at sf0.01 AND sf0.1); the other four stale-r3
+    # keys keep their promised r7 refresh slots
+    "event_transition_matrix",
+    "attribution_last_touch",
+    "node_jaccard_linkpred",
+    # r7c first wave: the scan/statistics tier — the two-phase
     # prefix-sum scan (operators/prefix_sum.py) and its consumers, plus
     # time-series / IVM / graph / collocation / scaling analytics; per
     # rule (a) they lead the window and displace the eight r5-refresh
@@ -159,11 +176,9 @@ _R7_FRONT = (
     "tpch_q17",
     "tpch_q18",
     "grouping_sets",
-    # stale: last driver rows r3 (deferred from the r6 window)
+    # stale: last driver rows r3 (deferred from the r6 window; limit /
+    # sort_limit / count_star deferred once more to r8, see top comment)
     "scan_parquet",
-    "limit",
-    "sort_limit",
-    "count_star",
     "count_by_flag",
     "groupby_avg",
     "exists_any_agg",

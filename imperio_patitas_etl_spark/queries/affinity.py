@@ -563,12 +563,118 @@ ORACLE_TRIANGLE_COUNT = f"""
 """.format(MIN_PAIR_SUPPORT=MIN_PAIR_SUPPORT, TRIANGLE_TOPK=TRIANGLE_TOPK)
 
 
+# --------------------------------------------------------------------------
+# node_jaccard_linkpred — neighborhood-Jaccard link prediction
+# --------------------------------------------------------------------------
+
+LINKPRED_TOPK = 100
+
+
+def q_node_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: for node pairs that are
+    NOT edges but share at least one neighbor, the Jaccard similarity of
+    their neighborhoods — |N(a)∩N(b)| div |N(a)∪N(b)| in basis points —
+    top {LINKPRED_TOPK} predicted links (the classic "customers who
+    bought these also buy together" recommender signal).
+
+    Scale: candidate pairs are generated INSIDE each center node's
+    sorted adjacency list (posexplode × slice, the `item_cooccurrence`
+    basket pattern) — wedge volume is Σ deg(u)², never a node×node
+    cross join, and a production run caps hub adjacency at top-N
+    neighbors exactly like the basket cap. Common-neighbor counts are
+    one combinable groupBy; the existing-edge anti-join and the two
+    degree joins are equi-joins on node ids; the union size needs no
+    second pass (|∪| = d_a + d_b − cn). Exact integral arithmetic
+    throughout; the top-k order (jaccard_bp DESC, part_a, part_b) is
+    unique."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_pairs(li)
+        .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+        .select("part_a", "part_b")
+    )
+    sym = edges.select(
+        F.col("part_a").alias("node"), F.col("part_b").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("part_b").alias("node"), F.col("part_a").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("d"))
+    adj = sym.groupBy("node").agg(
+        F.sort_array(F.collect_set("nbr")).alias("nbrs")
+    )
+    cand = (
+        adj.select(F.posexplode("nbrs").alias("i", "part_a"), "nbrs")
+        .select(
+            "part_a",
+            F.explode(
+                F.slice("nbrs", F.col("i") + 2, F.size("nbrs"))
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("cn"))
+        .join(edges, ["part_a", "part_b"], "left_anti")
+    )
+    da = deg.select(F.col("node").alias("part_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("d").alias("deg_b"))
+    return (
+        cand.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.expr("(cn * 10000) div (deg_a + deg_b - cn)").alias(
+                "jaccard_bp"
+            ),
+        )
+        .orderBy(F.desc("jaccard_bp"), "part_a", "part_b")
+        .limit(LINKPRED_TOPK)
+    )
+
+
+ORACLE_NODE_JACCARD = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {sup}
+    ),
+    sym AS (
+        SELECT pa AS node, pb AS nbr FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM sym GROUP BY node),
+    cand AS (
+        SELECT s1.nbr AS part_a, s2.nbr AS part_b, COUNT(*) AS cn
+        FROM sym s1 JOIN sym s2
+          ON s1.node = s2.node AND s1.nbr < s2.nbr
+        GROUP BY 1, 2
+    ),
+    non_edges AS (
+        SELECT * FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                          WHERE p.pa = c.part_a AND p.pb = c.part_b)
+    )
+    SELECT part_a, part_b, cn, da.d AS deg_a, db.d AS deg_b,
+           (cn * 10000) // (da.d + db.d - cn) AS jaccard_bp
+    FROM non_edges
+    JOIN deg da ON da.node = part_a
+    JOIN deg db ON db.node = part_b
+    ORDER BY jaccard_bp DESC, part_a, part_b
+    LIMIT {topk}
+""".format(sup=MIN_PAIR_SUPPORT, topk=LINKPRED_TOPK)
+
+
 QUERIES = {
     "item_cooccurrence": q_item_cooccurrence,
     "pagerank_copurchase": q_pagerank_copurchase,
     "snapshot_diff": q_snapshot_diff,
     "bm25_topk": q_bm25_topk,
     "triangle_count": q_triangle_count,
+    "node_jaccard_linkpred": q_node_jaccard_linkpred,
 }
 
 ORACLE = {
@@ -577,4 +683,5 @@ ORACLE = {
     "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "bm25_topk": ORACLE_BM25,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
+    "node_jaccard_linkpred": ORACLE_NODE_JACCARD,
 }

@@ -1079,6 +1079,159 @@ ORACLE_ROLLING_DISTINCT = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transitions between events
+# --------------------------------------------------------------------------
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: for every (from_type → to_type) pair of CONSECUTIVE events
+    of the same user, the transition count and its row-normalized
+    probability in basis points — the "what do users do next" model
+    behind session analysis and next-action prediction.
+
+    Scale: one user_id-partitioned window (users are many, so the sort
+    parallelizes; the per-user sequence is the unavoidable sequential
+    unit), then a combinable groupBy to an |event_types|² relation —
+    constant-sized however big the corpus — whose row totals broadcast
+    back. prob_bp is exact integral `div`; the (ts, event_id) sort key
+    is unique per user, so consecutive-pair extraction is deterministic
+    under ties."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_trans").alias("row_total")
+    )
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.expr("(n_trans * 10000) div row_total").alias("prob_bp"),
+        )
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    trans AS (
+        SELECT from_type, to_type, COUNT(*) AS n_trans
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    tot AS (
+        SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS row_total
+        FROM trans GROUP BY from_type
+    )
+    SELECT trans.from_type, to_type, n_trans,
+           (n_trans * 10000) // row_total AS prob_bp
+    FROM trans JOIN tot ON trans.from_type = tot.from_type
+"""
+
+
+# --------------------------------------------------------------------------
+# attribution_last_touch — marketing attribution via ignore-nulls carry
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click at or before it, if that click happened within
+    the {ATTRIBUTION_WINDOW_DAYS}-day lookback — the standard marketing
+    attribution join.
+
+    The naive form is an inequality self-join (purchases × clicks with
+    a BETWEEN) — O(n·m) per user and the same trap `scd2_asof_lookup`
+    exists to avoid. Instead ONE pass over the interleaved event stream
+    carries the last-seen click forward with an ignore-nulls window
+    (the carried (ts, id) columns come from the same CASE, so they null
+    out together and always describe one click). One user_id shuffle
+    total; lookback enforcement is a post-filter on the carried value.
+    Ordering by (ts, event_id) makes same-instant click/purchase pairs
+    deterministic: the click attributes only if its event_id sorts
+    first."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    is_click = F.col("event_type") == "click"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+    )
+    in_window = F.col("last_click_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAYS"
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(in_window, F.col("last_click_id")).alias("click_id"),
+            F.when(in_window, F.col("last_click_ts")).alias("click_ts"),
+            F.coalesce(in_window, F.lit(False)).alias("attributed"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = f"""
+    WITH carried AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS) OVER w AS last_click_ts,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER w AS last_click_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN last_click_ts >= ts - INTERVAL {ATTRIBUTION_WINDOW_DAYS}
+                     DAY
+                THEN last_click_id END AS click_id,
+           CASE WHEN last_click_ts >= ts - INTERVAL {ATTRIBUTION_WINDOW_DAYS}
+                     DAY
+                THEN last_click_ts END AS click_ts,
+           COALESCE(last_click_ts >= ts - INTERVAL {ATTRIBUTION_WINDOW_DAYS}
+                    DAY, FALSE) AS attributed
+    FROM carried WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -1093,6 +1246,8 @@ QUERIES = {
     "resample_ffill": q_resample_ffill,
     "incremental_agg_merge": q_incremental_agg_merge,
     "rolling_distinct_users": q_rolling_distinct_users,
+    "event_transition_matrix": q_event_transition_matrix,
+    "attribution_last_touch": q_attribution_last_touch,
 }
 
 ORACLE = {
@@ -1109,4 +1264,6 @@ ORACLE = {
     "resample_ffill": ORACLE_RESAMPLE_FFILL,
     "incremental_agg_merge": ORACLE_INCREMENTAL_AGG_MERGE,
     "rolling_distinct_users": ORACLE_ROLLING_DISTINCT,
+    "event_transition_matrix": ORACLE_EVENT_TRANSITIONS,
+    "attribution_last_touch": ORACLE_ATTRIBUTION,
 }

@@ -267,3 +267,118 @@ def test_feature_scale_range_and_extremes(spark, sf_dir):
     assert len(rows) == FEATURE_SCALE_DIMS
     # min-max scaling pins the per-dimension extremes exactly
     assert all(r["mn"] == 0 and r["mx"] == 1_000_000 for r in rows)
+
+
+# ------------------------------------------- event_transition_matrix
+
+
+def test_transition_matrix_conserves_and_normalizes(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        q_event_transition_matrix,
+    )
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    t = q_event_transition_matrix(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    # each user with k events contributes exactly k-1 transitions
+    assert (
+        t.agg(F.sum("n_trans")).collect()[0][0] == n_events - n_users
+    )
+    # floor-rounded row probabilities sum to within one bp per cell
+    rows = t.groupBy("from_type").agg(
+        F.sum("prob_bp").alias("s"), F.count("*").alias("k")
+    )
+    bad = rows.filter(
+        (F.col("s") > 10000) | (F.col("s") <= 10000 - F.col("k"))
+    )
+    assert bad.count() == 0
+
+
+# ------------------------------------------- attribution_last_touch
+
+
+def test_attribution_matches_bruteforce_inequality_join(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        ATTRIBUTION_WINDOW_DAYS,
+        q_attribution_last_touch,
+    )
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    got = q_attribution_last_touch(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (
+            (F.col("click_ts") < F.col("purchase_ts"))
+            | (
+                (F.col("click_ts") == F.col("purchase_ts"))
+                & (F.col("click_id") < F.col("purchase_id"))
+            )
+        )
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAYS")
+        ),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("click_ts"), F.desc("click_id")
+    )
+    brute = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            F.col("click_id").isNotNull().alias("attributed"),
+        )
+    )
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+
+
+# ------------------------------------------- node_jaccard_linkpred
+
+
+def test_linkpred_candidates_are_nonedges_with_valid_scores(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.affinity import (
+        MIN_PAIR_SUPPORT,
+        _copurchase_pairs,
+        q_node_jaccard_linkpred,
+    )
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    got = q_node_jaccard_linkpred(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_pairs(li)
+        .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+        .select("part_a", "part_b")
+    )
+    # every predicted link is a NON-edge sharing >= 1 neighbor, with a
+    # well-formed Jaccard (0 < bp <= 10000, cn <= min(deg))
+    assert got.join(edges, ["part_a", "part_b"], "inner").count() == 0
+    bad = got.filter(
+        (F.col("cn") < 1)
+        | (F.col("jaccard_bp") <= 0)
+        | (F.col("jaccard_bp") > 10000)
+        | (F.col("cn") > F.least("deg_a", "deg_b"))
+    )
+    assert bad.count() == 0

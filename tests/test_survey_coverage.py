@@ -70,6 +70,8 @@ EXTENSION_KEYS = {
     "resample_ffill", "incremental_agg_merge", "rolling_distinct_users",
     "triangle_count", "pps_systematic_sample", "pmi_collocations",
     "equi_depth_histogram", "feature_scale",
+    "event_transition_matrix", "attribution_last_touch",
+    "node_jaccard_linkpred",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
