@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from imperio_patitas_etl_spark.operators.checkpoint import (
+    CheckpointGenerations,
+)
+
 STAR_MAX_ROUNDS = 40
 
 
@@ -78,19 +82,24 @@ def connected_components_star(docs: DataFrame, edges: DataFrame) -> DataFrame:
     |cur| = |nxt| AND nxt\\cur = ∅ — one cheap count over checkpointed
     rows plus ONE one-sided ``exceptAll`` probe (limit-1 short circuit),
     instead of a two-sided difference per round."""
+    gens = CheckpointGenerations(edges.sparkSession)
     cur = (
         edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
+    gens.mark()
     n_cur = cur.count()
     for _ in range(STAR_MAX_ROUNDS):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
+        gens.mark()
         n_nxt = nxt.count()
         changed = (
             1 if n_nxt != n_cur else nxt.exceptAll(cur).limit(1).count()
         )
+        # cur's blocks are dead once the convergence probe has read them
+        gens.release_previous()
         cur, n_cur = nxt, n_nxt
         if changed == 0:
             break

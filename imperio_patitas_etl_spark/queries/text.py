@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imperio_patitas_etl_spark.operators.checkpoint import (
+    CheckpointGenerations,
+)
 from imperio_patitas_etl_spark.sources.parquet import load_table
 
 # MinHash constants — fixed, mirrored literally into the oracle SQL.
@@ -1072,7 +1075,9 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     sym = sym.persist()
+    gens = CheckpointGenerations(docs.sparkSession)
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    gens.mark()
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
     for _ in range(CC_MAX_ITERS):
         nbr = (
@@ -1089,6 +1094,10 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
             )
             .localCheckpoint()
         )
+        gens.mark()
+        # the superseded round's blocks die once the new one is
+        # materialized (localCheckpoint is eager)
+        gens.release_previous()
         cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
             break
