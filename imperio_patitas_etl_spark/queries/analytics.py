@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.functions.cleaning import epoch_us
+from imperio_patitas_etl_spark.operators.prefix_sum import (
+    partitioned_prefix_sum,
+)
 from imperio_patitas_etl_spark.sources.parquet import load_table
 
 _MD5INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
@@ -1232,6 +1235,128 @@ ORACLE_ATTRIBUTION = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# dq_anomaly_mad — robust outlier detection via exact median/MAD
+# --------------------------------------------------------------------------
+
+MAD_K = 3  # the classic "3 MADs from the median" rule
+
+
+def _exact_group_median(
+    df: "DataFrame", group_col: str, value_col: str, out_col: str
+) -> DataFrame:
+    """Exact LOWER median of ``value_col`` per group — the element at
+    rank (n+1) div 2 in (value, event_id) order — computed from the
+    two-phase prefix-sum scan (rank = running count), NOT a per-group
+    Window sort: with a handful of event types over 100 TB a
+    ``Window.partitionBy(type)`` would serialize each type into one
+    task. The lower median is an actual element, so no averaging float
+    enters the pipeline."""
+    ranked = partitioned_prefix_sum(
+        df.withColumn("one", F.lit(1)),
+        group_col,
+        [value_col, "event_id"],
+        "one",
+        "rnk",
+    )
+    counts = ranked.groupBy(group_col).agg(F.max("rnk").alias("n"))
+    return (
+        ranked.join(F.broadcast(counts), group_col)
+        .filter(F.col("rnk") == F.expr("(n + 1) div 2"))
+        .select(group_col, F.col(value_col).alias(out_col))
+    )
+
+
+def q_dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier profile: exact lower median of the
+    event value, exact lower median absolute deviation (MAD), and the
+    count of events beyond {MAD_K}·MAD — the standard data-quality
+    anomaly rule that, unlike z-scores, is not itself corrupted by the
+    outliers it hunts.
+
+    Exactness: values integerize by FLOOR(value·10⁶) — floor, not
+    round, because IEEE floor is bit-identical across engines while
+    round's half-way rule is not — and both medians are actual elements
+    (rank (n+1) div 2), so no float averaging anywhere.
+
+    Scale: two passes of the prefix-sum scan (operators/prefix_sum.py) —
+    one over (type, value) for the median, one over (type, |dev|) for
+    the MAD — each partition-parallel regardless of how few event types
+    exist; the 5-row median/MAD tables broadcast back onto the stream
+    for the final combinable count."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    med = _exact_group_median(e, "event_type", "vm", "med_micro")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "vm",
+        F.abs(F.col("vm") - F.col("med_micro")).alias("dev"),
+    )
+    mad = _exact_group_median(
+        dev.select("event_id", "event_type", F.col("dev").alias("vm")),
+        "event_type",
+        "vm",
+        "mad_micro",
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("dev") > MAD_K * F.col("mad_micro")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "n", "med_micro", "mad_micro", "n_outliers")
+    )
+
+
+ORACLE_DQ_ANOMALY_MAD = f"""
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS vm
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, vm AS med_micro FROM (
+            SELECT event_type, vm,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY vm, event_id) AS rnk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM v
+        ) WHERE rnk = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT v.event_id, v.event_type, v.vm,
+               ABS(v.vm - med_micro) AS dev
+        FROM v JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, dev AS mad_micro FROM (
+            SELECT event_type, dev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY dev, event_id) AS rnk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ) WHERE rnk = (n + 1) // 2
+    )
+    SELECT dev.event_type, COUNT(*) AS n, MIN(med_micro) AS med_micro,
+           MIN(mad_micro) AS mad_micro,
+           CAST(SUM(CASE WHEN dev > {MAD_K} * mad_micro THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev
+    JOIN med ON med.event_type = dev.event_type
+    JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY dev.event_type
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -1248,6 +1373,7 @@ QUERIES = {
     "rolling_distinct_users": q_rolling_distinct_users,
     "event_transition_matrix": q_event_transition_matrix,
     "attribution_last_touch": q_attribution_last_touch,
+    "dq_anomaly_mad": q_dq_anomaly_mad,
 }
 
 ORACLE = {
@@ -1266,4 +1392,5 @@ ORACLE = {
     "rolling_distinct_users": ORACLE_ROLLING_DISTINCT,
     "event_transition_matrix": ORACLE_EVENT_TRANSITIONS,
     "attribution_last_touch": ORACLE_ATTRIBUTION,
+    "dq_anomaly_mad": ORACLE_DQ_ANOMALY_MAD,
 }

@@ -382,3 +382,43 @@ def test_linkpred_candidates_are_nonedges_with_valid_scores(spark, sf_dir):
         | (F.col("cn") > F.least("deg_a", "deg_b"))
     )
     assert bad.count() == 0
+
+
+# ------------------------------------------------- dq_anomaly_mad
+
+
+def test_mad_profile_matches_driver_bruteforce(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        MAD_K,
+        q_dq_anomaly_mad,
+    )
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    got = {r["event_type"]: r for r in q_dq_anomaly_mad(spark, sf_dir).collect()}
+    import math
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        vm = math.floor(r["value"] * 1_000_000)
+        by_type.setdefault(r["event_type"], []).append((vm, r["event_id"]))
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        med = vals[(len(vals) + 1) // 2 - 1][0]
+        devs = sorted(
+            (abs(vm - med), eid) for vm, eid in vals
+        )
+        mad = devs[(len(devs) + 1) // 2 - 1][0]
+        n_out = sum(1 for d, _ in devs if d > MAD_K * mad)
+        g = got[t]
+        assert (g["n"], g["med_micro"], g["mad_micro"], g["n_outliers"]) == (
+            len(vals),
+            med,
+            mad,
+            n_out,
+        ), t
