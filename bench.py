@@ -105,6 +105,7 @@ HEADLINE = [
     "attribution_last_touch",
     "node_jaccard_linkpred",
     "dq_anomaly_mad",
+    "session_path_trigrams",
 ]
 
 

@@ -72,12 +72,12 @@ _MODULES = (
 #     once more to r8 — bare scan shapes, unchanged since r1, and
 #     re-verified by this round's full local sweeps at both SFs — to
 #     make room for the r7c second wave under rule (a);
-#   - r7c second wave: dq_anomaly_mad / event_transition_matrix /
-#     attribution_last_touch (queries/analytics.py) and
-#     node_jaccard_linkpred (queries/affinity.py) lead the window per
-#     rule (a); dq_anomaly_mad's slot displaces count_by_flag to r8
-#     (trivial conditional count, r3-green, unchanged, locally
-#     re-verified this round);
+#   - r7c second wave: session_path_trigrams (queries/streaming_ops.py),
+#     dq_anomaly_mad / event_transition_matrix / attribution_last_touch
+#     (queries/analytics.py) and node_jaccard_linkpred
+#     (queries/affinity.py) lead the window per rule (a); their slots
+#     displace count_by_flag and groupby_avg to r8 (trivial aggregate
+#     shapes, r3-green, unchanged, locally re-verified this round);
 #   - r7c first wave: the eight scan/statistics keys (resample_ffill,
 #     incremental_agg_merge, rolling_distinct_users, triangle_count,
 #     pps_systematic_sample, pmi_collocations, equi_depth_histogram,
@@ -117,6 +117,7 @@ _R7_FRONT = (
     # unchanged since r1, r3-driver-green, re-verified by this round's
     # full local sweeps at sf0.01 AND sf0.1); the other four stale-r3
     # keys keep their promised r7 refresh slots
+    "session_path_trigrams",
     "dq_anomaly_mad",
     "event_transition_matrix",
     "attribution_last_touch",
@@ -181,10 +182,10 @@ _R7_FRONT = (
     "tpch_q18",
     "grouping_sets",
     # stale: last driver rows r3 (deferred from the r6 window; limit /
-    # sort_limit / count_star — and count_by_flag, displaced by
-    # dq_anomaly_mad — deferred once more to r8, see top comment)
+    # sort_limit / count_star / count_by_flag / groupby_avg — displaced
+    # by this round's new keys — deferred once more to r8, see top
+    # comment; all five re-verified by this round's full local sweeps)
     "scan_parquet",
-    "groupby_avg",
     "exists_any_agg",
 )
 

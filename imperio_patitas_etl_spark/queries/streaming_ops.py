@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.functions.cleaning import epoch_us
 from imperio_patitas_etl_spark.sources.parquet import load_table
@@ -323,6 +324,101 @@ ORACLE_STREAM_INTERVAL_JOIN = """
 """
 
 
+# --------------------------------------------------------------------------
+# session_path_trigrams — top within-session event paths
+# --------------------------------------------------------------------------
+
+PATH_TOPK = 20
+
+
+def q_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top {PATH_TOPK} three-step event paths users take WITHIN a
+    session (the "view → click → purchase vs view → view → view" path
+    analysis behind funnel design), sessions defined by the same
+    ≥{SESSION_GAP_US}-µs gap rule as ``sessionize_events``.
+
+    Scale: everything happens inside ONE user_id window pass — session
+    ordinals (lag + running sum) and the two look-aheads share the same
+    (user, ts, event_id) sort, and session-boundary trigrams are
+    discarded by comparing the LED session ordinals instead of
+    re-windowing by (user, session): partitioning a second window by the
+    finer key would re-shuffle the stream for no reason. The path
+    aggregate is ≤|event_types|³ rows, combinable map-side; top-k order
+    (n_paths DESC, e1, e2, e3) is unique."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(epoch_us("ts")).over(w)
+    new_sess = (
+        F.when(
+            prev_us.isNull() | (epoch_us("ts") - prev_us >= SESSION_GAP_US),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    numbered = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("s1"),
+    )
+    tri = numbered.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        "s1",
+        F.lead("s1", 1).over(w).alias("s2"),
+        F.lead("s1", 2).over(w).alias("s3"),
+    )
+    return (
+        tri.filter(
+            (F.col("s2") == F.col("s1")) & (F.col("s3") == F.col("s1"))
+        )
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(PATH_TOPK)
+    )
+
+
+ORACLE_SESSION_PATHS = f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS s1
+        FROM ordered
+    ), tri AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3,
+               s1,
+               lead(s1, 1) OVER w AS s2,
+               lead(s1, 2) OVER w AS s3
+        FROM numbered
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, COUNT(*) AS n_paths
+    FROM tri WHERE s2 = s1 AND s3 = s1
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT {PATH_TOPK}
+"""
+
+
 QUERIES = {
     "stream_sliding_window": q_stream_sliding_window,
     "stream_interval_join": q_stream_interval_join,
@@ -333,6 +429,7 @@ QUERIES = {
     "range_join": q_range_join,
     "sessionize_events": q_sessionize_events,
     "sessionize_sharded": q_sessionize_sharded,
+    "session_path_trigrams": q_session_path_trigrams,
 }
 
 ORACLE = {
@@ -345,4 +442,5 @@ ORACLE = {
     "range_join": ORACLE_RANGE_JOIN,
     "sessionize_events": ORACLE_SESSIONIZE,
     "sessionize_sharded": ORACLE_SESSIONIZE,
+    "session_path_trigrams": ORACLE_SESSION_PATHS,
 }

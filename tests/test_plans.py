@@ -345,3 +345,17 @@ def test_triangle_and_rolling_all_equijoins(spark, sf_dir):
     for key in ("triangle_count", "resample_ffill"):
         plan = _plan(qs[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
+
+
+def test_session_paths_single_user_shuffle(spark, sf_dir):
+    """session_path_trigrams exists to do session ordinals AND both
+    look-aheads in ONE user_id window pass — a second Exchange keyed on
+    (user, session) would mean the finer re-shuffle it avoids. One
+    shuffle for the window + one for the small path aggregate +
+    TakeOrdered; no more."""
+    plan = _plan(all_queries()["session_path_trigrams"](spark, sf_dir))
+    import re as _re
+
+    n_exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 2, plan[:2000]
+    assert "TakeOrderedAndProject" in plan

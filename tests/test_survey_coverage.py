@@ -71,7 +71,7 @@ EXTENSION_KEYS = {
     "triangle_count", "pps_systematic_sample", "pmi_collocations",
     "equi_depth_histogram", "feature_scale",
     "event_transition_matrix", "attribution_last_touch",
-    "node_jaccard_linkpred", "dq_anomaly_mad",
+    "node_jaccard_linkpred", "dq_anomaly_mad", "session_path_trigrams",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
