@@ -106,6 +106,7 @@ HEADLINE = [
     "node_jaccard_linkpred",
     "dq_anomaly_mad",
     "session_path_trigrams",
+    "stream_rolling_distinct",
 ]
 
 

@@ -117,6 +117,7 @@ _R7_FRONT = (
     # unchanged since r1, r3-driver-green, re-verified by this round's
     # full local sweeps at sf0.01 AND sf0.1); the other four stale-r3
     # keys keep their promised r7 refresh slots
+    "stream_rolling_distinct",
     "session_path_trigrams",
     "dq_anomaly_mad",
     "event_transition_matrix",
@@ -181,12 +182,13 @@ _R7_FRONT = (
     "tpch_q17",
     "tpch_q18",
     "grouping_sets",
-    # stale: last driver rows r3 (deferred from the r6 window; limit /
-    # sort_limit / count_star / count_by_flag / groupby_avg — displaced
-    # by this round's new keys — deferred once more to r8, see top
-    # comment; all five re-verified by this round's full local sweeps)
+    # stale: last driver rows r3. This round added 49 new/changed keys,
+    # so only one stale slot survives — scan_parquet (it exercises the
+    # filter-pushdown scan path, the least trivial of the seven). The
+    # other six (limit/sort_limit/count_star/count_by_flag/groupby_avg/
+    # exists_any_agg) defer to r8: bare scan/agg shapes, unchanged since
+    # r1, all re-verified by this round's full local sweeps at both SFs.
     "scan_parquet",
-    "exists_any_agg",
 )
 
 

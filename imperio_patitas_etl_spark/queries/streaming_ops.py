@@ -325,6 +325,48 @@ ORACLE_STREAM_INTERVAL_JOIN = """
 
 
 # --------------------------------------------------------------------------
+# stream_rolling_distinct — sliding-window distinct users, streaming twin
+# --------------------------------------------------------------------------
+
+
+def q_stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming trailing-7-day distinct-users plan
+    (streaming/events.py:rolling_distinct_daily): F.window explode →
+    dedup on (user, window) → count per window — the two-level rewrite
+    that makes COUNT(DISTINCT) over a sliding window a bounded-state
+    streaming pipeline. The stream runs the SAME function with
+    ``dropDuplicatesWithinWatermark`` (equality pinned in
+    tests/test_streaming.py); the green oracle row here certifies the
+    shared window arithmetic. Complements ``rolling_distinct_users``,
+    which labels windows by inclusive last active day instead of
+    F.window's exclusive end."""
+    from imperio_patitas_etl_spark.streaming.events import (
+        rolling_distinct_daily,
+    )
+
+    return rolling_distinct_daily(
+        load_table(spark, sf_dir, "events"), streaming=False
+    )
+
+
+ORACLE_STREAM_ROLLING = """
+    WITH du AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    ex AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(day + 1, day + 7,
+                                           INTERVAL 1 DAY)) AS DATE)
+                   AS window_end
+        FROM du
+    )
+    SELECT window_end, COUNT(DISTINCT user_id) AS n_users_7d
+    FROM ex GROUP BY window_end
+"""
+
+
+# --------------------------------------------------------------------------
 # session_path_trigrams — top within-session event paths
 # --------------------------------------------------------------------------
 
@@ -430,6 +472,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "sessionize_sharded": q_sessionize_sharded,
     "session_path_trigrams": q_session_path_trigrams,
+    "stream_rolling_distinct": q_stream_rolling_distinct,
 }
 
 ORACLE = {
@@ -443,4 +486,5 @@ ORACLE = {
     "sessionize_events": ORACLE_SESSIONIZE,
     "sessionize_sharded": ORACLE_SESSIONIZE,
     "session_path_trigrams": ORACLE_SESSION_PATHS,
+    "stream_rolling_distinct": ORACLE_STREAM_ROLLING,
 }

@@ -141,6 +141,44 @@ def dedup_counts(
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
+def rolling_distinct_daily(
+    events: DataFrame,
+    window: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "14 days",
+    streaming: bool = True,
+) -> DataFrame:
+    """Exact trailing-window distinct active users (the WAU curve) as a
+    streaming plan: COUNT(DISTINCT) per sliding window is rewritten as
+    the two-level stateful pipeline streaming can actually run —
+    dedup on (user, window) then a plain count per window. Each event
+    lands in window/slide windows; dedup state is bounded by ACTIVE
+    (user, window) pairs inside the watermark horizon, which is the
+    same collapse the batch twin (``rolling_distinct_users``) relies
+    on. Output labels the window by its exclusive-end day cast to DATE.
+
+    Batch mode swaps ``dropDuplicatesWithinWatermark`` for plain
+    ``dropDuplicates`` — the count is survivor-independent, so stream
+    (first-arrival wins) and batch (arbitrary survivor) agree exactly,
+    the same argument as ``dedup_counts``."""
+    keyed = events.select(
+        "user_id", F.window("ts", window, slide).alias("w"), "ts"
+    )
+    if streaming:
+        deduped = keyed.withWatermark(
+            "ts", watermark
+        ).dropDuplicatesWithinWatermark(["user_id", "w"])
+    else:
+        deduped = keyed.dropDuplicates(["user_id", "w"])
+    return (
+        deduped.groupBy("w")
+        .agg(F.count("*").alias("n_users_7d"))
+        .select(
+            F.col("w.end").cast("date").alias("window_end"), "n_users_7d"
+        )
+    )
+
+
 def user_tier_dim(spark, n_users: int = 1024) -> DataFrame:
     """Static enrichment dimension: user_id → tier, derived by pure
     arithmetic so stream and batch (and any oracle) agree bit-for-bit.

@@ -127,3 +127,24 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
     want = tier_enriched_counts(load_table(spark, sf_dir, "events"), dim)
     assert _as_set(got) == _as_set(want)
     assert got.count() > 0
+
+
+def test_stream_rolling_distinct_equals_batch(spark, sf_dir):
+    """The sliding-window distinct-users rewrite (dedup on (user, window)
+    then count) must agree between the streaming plan
+    (dropDuplicatesWithinWatermark -> windowed count, two stateful
+    operators) and the batch twin — the count is survivor-independent by
+    construction."""
+    from imperio_patitas_etl_spark.streaming.events import (
+        rolling_distinct_daily,
+    )
+
+    stream = rolling_distinct_daily(
+        read_events_stream(spark, sf_dir), streaming=True
+    )
+    got = run_stream_to_memory(stream, "t_rolling_distinct")
+    want = rolling_distinct_daily(
+        load_table(spark, sf_dir, "events"), streaming=False
+    )
+    assert _as_set(got) == _as_set(want)
+    assert got.count() > 0

@@ -72,6 +72,7 @@ EXTENSION_KEYS = {
     "equi_depth_histogram", "feature_scale",
     "event_transition_matrix", "attribution_last_touch",
     "node_jaccard_linkpred", "dq_anomaly_mad", "session_path_trigrams",
+    "stream_rolling_distinct",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
