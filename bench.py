@@ -107,6 +107,8 @@ HEADLINE = [
     "dq_anomaly_mad",
     "session_path_trigrams",
     "stream_rolling_distinct",
+    "group_quantiles_exact",
+    "entity_resolution_blocked",
 ]
 
 

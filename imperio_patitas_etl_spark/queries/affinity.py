@@ -668,6 +668,67 @@ ORACLE_NODE_JACCARD = """
 """.format(sup=MIN_PAIR_SUPPORT, topk=LINKPRED_TOPK)
 
 
+# --------------------------------------------------------------------------
+# entity_resolution_blocked — edit-distance record linkage with blocking
+# --------------------------------------------------------------------------
+
+ER_MAX_LEV = 3
+
+
+def q_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entity resolution: candidate duplicate part-name pairs
+    with Levenshtein distance ≤ {ER_MAX_LEV}, blocked on the name's
+    head noun (its last token) so only plausibly-same entities are ever
+    compared — the standard blocking + pairwise-similarity record
+    linkage shape (Fellegi–Sunter with a single edit-distance field).
+
+    Scale: the pairwise space is built over the DISTINCT-name relation
+    — vocabulary-sized, not row-sized; a 100 TB catalog still has a
+    bounded name vocabulary — and pairs form only WITHIN a block via an
+    equi-join on the blocking key, never name×name. Each candidate
+    name carries its support (how many rows hold it) so downstream
+    merge decisions can weight by evidence. Levenshtein is exact
+    integer and identical across engines. Pair order (name_a < name_b)
+    makes the result a deterministic set."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count("*").alias("n_parts"))
+        .select(
+            F.col("p_name").alias("name"),
+            "n_parts",
+            F.element_at(F.split("p_name", " "), -1).alias("blk"),
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").cast("long").alias("lev"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+        .filter(F.col("lev") <= ER_MAX_LEV)
+    )
+
+
+ORACLE_ENTITY_RESOLUTION = f"""
+    WITH names AS (
+        SELECT p_name AS name, COUNT(*) AS n_parts,
+               split_part(p_name, ' ', -1) AS blk
+        FROM part GROUP BY p_name
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {ER_MAX_LEV}
+"""
+
+
 QUERIES = {
     "item_cooccurrence": q_item_cooccurrence,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -675,6 +736,7 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "triangle_count": q_triangle_count,
     "node_jaccard_linkpred": q_node_jaccard_linkpred,
+    "entity_resolution_blocked": q_entity_resolution_blocked,
 }
 
 ORACLE = {
@@ -684,4 +746,5 @@ ORACLE = {
     "bm25_topk": ORACLE_BM25,
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "node_jaccard_linkpred": ORACLE_NODE_JACCARD,
+    "entity_resolution_blocked": ORACLE_ENTITY_RESOLUTION,
 }

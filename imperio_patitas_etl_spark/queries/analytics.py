@@ -1357,6 +1357,70 @@ ORACLE_DQ_ANOMALY_MAD = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# group_quantiles_exact — exact type-1 quantiles per group from the scan
+# --------------------------------------------------------------------------
+
+QUANTILE_PCTS = (25, 50, 75)
+
+
+def q_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75 of the event value per event type — each
+    quantile is the ACTUAL element at rank ⌈q·n/100⌉ (type-1), so no
+    interpolation float exists anywhere. One pass of the prefix-sum
+    scan supplies every row's exact in-group rank; a 3-row quantile
+    spec cross-broadcasts onto the group counts and one filter picks
+    the ranked elements. Complements ``dq_anomaly_mad`` (same rank
+    machinery, different statistic) and ``quantile_sketch`` (this is
+    the exact answer the sketch approximates, per group).
+
+    Scale: identical to the MAD shape — partition-parallel scan
+    regardless of group count, |groups|·|quantiles| output rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
+    )
+    ranked = partitioned_prefix_sum(
+        e.withColumn("one", F.lit(1)),
+        "event_type",
+        ["vm", "event_id"],
+        "one",
+        "rnk",
+    )
+    counts = ranked.groupBy("event_type").agg(F.max("rnk").alias("n"))
+    spec = spark.createDataFrame(
+        [(q,) for q in QUANTILE_PCTS], "q_pct int"
+    ).select(F.col("q_pct").cast("long").alias("q_pct"))
+    targets = counts.crossJoin(F.broadcast(spec)).select(
+        "event_type",
+        "q_pct",
+        F.expr("(n * q_pct + 99) div 100").alias("rnk"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), ["event_type", "rnk"])
+        .select("event_type", "q_pct", F.col("vm").alias("value_micro"))
+    )
+
+
+ORACLE_GROUP_QUANTILES = f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000) AS BIGINT) AS vm,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY CAST(FLOOR(value * 1000000)
+                                                AS BIGINT), event_id)
+                   AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    spec AS (SELECT CAST(unnest(ARRAY{list(QUANTILE_PCTS)}) AS BIGINT)
+                 AS q_pct)
+    SELECT event_type, q_pct, vm AS value_micro
+    FROM v JOIN spec ON rnk = (n * q_pct + 99) // 100
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -1374,6 +1438,7 @@ QUERIES = {
     "event_transition_matrix": q_event_transition_matrix,
     "attribution_last_touch": q_attribution_last_touch,
     "dq_anomaly_mad": q_dq_anomaly_mad,
+    "group_quantiles_exact": q_group_quantiles_exact,
 }
 
 ORACLE = {
@@ -1393,4 +1458,5 @@ ORACLE = {
     "event_transition_matrix": ORACLE_EVENT_TRANSITIONS,
     "attribution_last_touch": ORACLE_ATTRIBUTION,
     "dq_anomaly_mad": ORACLE_DQ_ANOMALY_MAD,
+    "group_quantiles_exact": ORACLE_GROUP_QUANTILES,
 }

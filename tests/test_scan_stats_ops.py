@@ -422,3 +422,73 @@ def test_mad_profile_matches_driver_bruteforce(spark, sf_dir):
             mad,
             n_out,
         ), t
+
+
+# ------------------------------------------- group_quantiles_exact
+
+
+def test_group_quantiles_ordered_and_median_consistent(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        q_dq_anomaly_mad,
+        q_group_quantiles_exact,
+    )
+
+    rows = q_group_quantiles_exact(spark, sf_dir).collect()
+    by_type: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["q_pct"]] = r["value_micro"]
+    med = {
+        r["event_type"]: r["med_micro"]
+        for r in q_dq_anomaly_mad(spark, sf_dir).collect()
+    }
+    assert set(by_type) == set(med)
+    for t, qs in by_type.items():
+        assert set(qs) == {25, 50, 75}
+        assert qs[25] <= qs[50] <= qs[75]
+        # type-1 p50 rank ceil(n/2) == lower-median rank (n+1)//2
+        assert qs[50] == med[t]
+
+
+# ------------------------------------------- entity_resolution_blocked
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_entity_resolution_matches_bruteforce(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.affinity import (
+        ER_MAX_LEV,
+        q_entity_resolution_blocked,
+    )
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    got = {
+        (r["name_a"], r["name_b"], r["lev"])
+        for r in q_entity_resolution_blocked(spark, sf_dir).collect()
+    }
+    names = [
+        r["p_name"]
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .collect()
+    ]
+    want = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            lo, hi = min(a, b), max(a, b)
+            if lo.split(" ")[-1] != hi.split(" ")[-1]:
+                continue
+            d = _lev(lo, hi)
+            if d <= ER_MAX_LEV:
+                want.add((lo, hi, d))
+    assert got == want and want

@@ -72,7 +72,8 @@ EXTENSION_KEYS = {
     "equi_depth_histogram", "feature_scale",
     "event_transition_matrix", "attribution_last_touch",
     "node_jaccard_linkpred", "dq_anomaly_mad", "session_path_trigrams",
-    "stream_rolling_distinct",
+    "stream_rolling_distinct", "group_quantiles_exact",
+    "entity_resolution_blocked",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
