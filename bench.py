@@ -109,6 +109,8 @@ HEADLINE = [
     "stream_rolling_distinct",
     "group_quantiles_exact",
     "entity_resolution_blocked",
+    "bom_rollup",
+    "khop_reach",
 ]
 
 

@@ -729,6 +729,98 @@ ORACLE_ENTITY_RESOLUTION = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# khop_reach — bounded BFS over the co-purchase graph
+# --------------------------------------------------------------------------
+
+KHOP_MAX = 3
+KHOP_SEED_MOD = 500  # seeds: part keys divisible by this
+
+
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first reach: every part within {KHOP_MAX} hops of
+    the seed set (keys ≡ 0 mod {KHOP_SEED_MOD}) on the support-≥2
+    co-purchase graph, labeled with its minimum hop count — the
+    "related products within N clicks" / blast-radius traversal.
+
+    Scale: the textbook frontier BFS as DataFrame rounds — per hop ONE
+    equi-join of the (skinny) frontier onto the symmetric edge list
+    keyed on src, then an anti-join against the visited set so the
+    frontier only carries NEW nodes (state is O(reached), never
+    O(reached·hops)). Each round's visited/frontier pair is
+    localCheckpoint-ed with superseded generations released
+    (operators/checkpoint.py), the same O(1)-lineage discipline as the
+    CC loops. Hop count is bounded (not run-to-fixpoint), which is what
+    keeps the traversal predictable on a 100 TB graph — unbounded reach
+    on a connected component is the whole graph."""
+    from imperio_patitas_etl_spark.operators.checkpoint import (
+        CheckpointGenerations,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_pairs(li)
+        .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+        .select("part_a", "part_b")
+    )
+    sym = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    )
+    nodes = sym.select("src").distinct()
+    gens = CheckpointGenerations(spark)
+    frontier = (
+        nodes.filter(F.col("src") % KHOP_SEED_MOD == 0)
+        .select("src", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint()
+    )
+    gens.mark()
+    visited = frontier
+    for hop in range(1, KHOP_MAX + 1):
+        nxt = (
+            sym.join(frontier.select("src"), "src")
+            .select(F.col("dst").alias("src"))
+            .distinct()
+            .join(visited.select("src"), "src", "left_anti")
+            .select("src", F.lit(hop).cast("long").alias("hops"))
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        gens.mark()
+        gens.release_previous()
+        # re-derive the frontier FROM the new checkpoint — keeping `nxt`
+        # would lazily reference the generation just released
+        frontier = visited.filter(F.col("hops") == hop)
+    return visited.select(F.col("src").alias("part_id"), "hops")
+
+
+ORACLE_KHOP = f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                         AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_PAIR_SUPPORT}
+    ),
+    sym AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ),
+    h0 AS (SELECT DISTINCT src FROM sym WHERE src % {KHOP_SEED_MOD} = 0),
+    h1 AS (SELECT DISTINCT dst AS src FROM sym JOIN h0 USING (src)),
+    h2 AS (SELECT DISTINCT dst AS src FROM sym JOIN h1 USING (src)),
+    h3 AS (SELECT DISTINCT dst AS src FROM sym JOIN h2 USING (src)),
+    lev AS (
+        SELECT src, 0 AS hops FROM h0
+        UNION ALL SELECT src, 1 FROM h1
+        UNION ALL SELECT src, 2 FROM h2
+        UNION ALL SELECT src, 3 FROM h3
+    )
+    SELECT src AS part_id, CAST(MIN(hops) AS BIGINT) AS hops
+    FROM lev GROUP BY src
+"""
+
+
 QUERIES = {
     "item_cooccurrence": q_item_cooccurrence,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -737,6 +829,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "node_jaccard_linkpred": q_node_jaccard_linkpred,
     "entity_resolution_blocked": q_entity_resolution_blocked,
+    "khop_reach": q_khop_reach,
 }
 
 ORACLE = {
@@ -747,4 +840,5 @@ ORACLE = {
     "triangle_count": ORACLE_TRIANGLE_COUNT,
     "node_jaccard_linkpred": ORACLE_NODE_JACCARD,
     "entity_resolution_blocked": ORACLE_ENTITY_RESOLUTION,
+    "khop_reach": ORACLE_KHOP,
 }

@@ -1421,6 +1421,67 @@ ORACLE_GROUP_QUANTILES = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# bom_rollup — hierarchy subtree rollup without recursion
+# --------------------------------------------------------------------------
+
+#: decimal-digit hierarchy over part keys: parent(p) = p div 10 for
+#: p ≥ 10, keys < 10 are roots — a deterministic stand-in for the BOM /
+#: org-chart / category-tree parent relation a real catalog carries.
+BOM_POWERS = (1, 10, 100, 1_000, 10_000, 100_000, 1_000_000)
+
+
+def q_bom_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over a fixed-fanout hierarchy (the BOM / category
+    rollup): for every node, the part count and total retail cents of
+    its subtree (self + all descendants).
+
+    The classic formulations are recursion (not expressible as one
+    DataFrame plan) or per-level iteration (depth shuffles). Neither is
+    needed when the ancestor chain is cheaply computable per row: each
+    part EXPLODES into its own ≤7-element ancestor PATH
+    (p div 10^k while 10^k ≤ p) and one combinable groupBy per ancestor
+    sums the subtree — the bounded "path materialization" trick that
+    turns hierarchy rollups into a single-shuffle aggregate. Depth is
+    ≤ log₁₀(max key): 7 levels covers a million-node tree, 19 covers
+    int64 — a CONSTANT explode factor at any scale, with no iteration,
+    no driver loop, no recursion."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    powers = ", ".join(str(w) for w in BOM_POWERS)
+    chain = (
+        f"transform(filter(array({powers}), w -> w = 1 OR w <= p_partkey),"
+        f" w -> p_partkey div w)"
+    )
+    return (
+        p.select(
+            F.explode(F.expr(chain)).alias("node"),
+            "cents",
+        )
+        .groupBy("node")
+        .agg(
+            F.count("*").alias("n_subtree"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+    )
+
+
+ORACLE_BOM_ROLLUP = f"""
+    WITH chain AS (
+        SELECT p_partkey // w AS node,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part,
+        LATERAL (SELECT unnest(ARRAY{list(BOM_POWERS)}) AS w)
+        WHERE w = 1 OR w <= p_partkey
+    )
+    SELECT node, COUNT(*) AS n_subtree,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM chain GROUP BY node
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -1439,6 +1500,7 @@ QUERIES = {
     "attribution_last_touch": q_attribution_last_touch,
     "dq_anomaly_mad": q_dq_anomaly_mad,
     "group_quantiles_exact": q_group_quantiles_exact,
+    "bom_rollup": q_bom_rollup,
 }
 
 ORACLE = {
@@ -1459,4 +1521,5 @@ ORACLE = {
     "attribution_last_touch": ORACLE_ATTRIBUTION,
     "dq_anomaly_mad": ORACLE_DQ_ANOMALY_MAD,
     "group_quantiles_exact": ORACLE_GROUP_QUANTILES,
+    "bom_rollup": ORACLE_BOM_ROLLUP,
 }

@@ -492,3 +492,71 @@ def test_entity_resolution_matches_bruteforce(spark, sf_dir):
             if d <= ER_MAX_LEV:
                 want.add((lo, hi, d))
     assert got == want and want
+
+
+# ------------------------------------------- bom_rollup
+
+
+def test_bom_rollup_matches_driver_bruteforce(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import q_bom_rollup
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    got = {
+        r["node"]: (r["n_subtree"], r["subtree_cents"])
+        for r in q_bom_rollup(spark, sf_dir).collect()
+    }
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    ).collect()
+    want: dict[int, list[int]] = {}
+    for r in parts:
+        cents = round(r["p_retailprice"] * 100)
+        node = r["p_partkey"]
+        while True:
+            acc = want.setdefault(node, [0, 0])
+            acc[0] += 1
+            acc[1] += cents
+            if node < 10:
+                break
+            node //= 10
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+# ------------------------------------------- khop_reach
+
+
+def test_khop_matches_python_bfs(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.affinity import (
+        KHOP_MAX,
+        KHOP_SEED_MOD,
+        MIN_PAIR_SUPPORT,
+        _copurchase_pairs,
+        q_khop_reach,
+    )
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    got = {
+        r["part_id"]: r["hops"] for r in q_khop_reach(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        _copurchase_pairs(li)
+        .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+        .select("part_a", "part_b")
+        .collect()
+    )
+    adj: dict[int, set[int]] = {}
+    for r in edges:
+        adj.setdefault(r["part_a"], set()).add(r["part_b"])
+        adj.setdefault(r["part_b"], set()).add(r["part_a"])
+    dist = {n: 0 for n in adj if n % KHOP_SEED_MOD == 0}
+    frontier = set(dist)
+    for hop in range(1, KHOP_MAX + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.add(v)
+        frontier = nxt
+    assert got == dist

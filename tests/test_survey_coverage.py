@@ -73,7 +73,7 @@ EXTENSION_KEYS = {
     "event_transition_matrix", "attribution_last_touch",
     "node_jaccard_linkpred", "dq_anomaly_mad", "session_path_trigrams",
     "stream_rolling_distinct", "group_quantiles_exact",
-    "entity_resolution_blocked",
+    "entity_resolution_blocked", "bom_rollup", "khop_reach",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
