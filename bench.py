@@ -111,6 +111,7 @@ HEADLINE = [
     "entity_resolution_blocked",
     "bom_rollup",
     "khop_reach",
+    "scd2_time_weighted",
 ]
 
 

@@ -117,6 +117,7 @@ _R7_FRONT = (
     # unchanged since r1, r3-driver-green, re-verified by this round's
     # full local sweeps at sf0.01 AND sf0.1); the other four stale-r3
     # keys keep their promised r7 refresh slots
+    "scd2_time_weighted",
     "bom_rollup",
     "khop_reach",
     "group_quantiles_exact",
@@ -156,7 +157,6 @@ _R7_FRONT = (
     "pack_sequences",
     "span_dedup",
     "pii_redact",
-    "domain_mixture_sample",
     # new this round: warehouse-analytics tier (queries/analytics.py)
     "scd2_history",
     "event_funnel",
@@ -184,16 +184,18 @@ _R7_FRONT = (
     "grouping_sets",
     # --- window boundary: the driver samples the first 50 keys. This
     # round added MORE new/changed keys than the window holds, so the
-    # keys below it sit just past position 50 BY DESIGN, chosen as the
-    # least-risky overflow: domain_mixture takes the last in-window
-    # slot (49); unpivot_long / pivot_wide / histogram_fixed (trivial
-    # single-shuffle relational shapes with pytest plan pins) and
-    # scan_parquet (the stale-r3 pushdown probe) sit at positions
-    # 50-53. All verified by this round's full local sweeps at sf0.01
+    # keys below sit just past position 50 BY DESIGN, chosen as the
+    # least-risky overflow (domain_mixture itself holds the last
+    # in-window slot): domain_mixture_sample (exact quota arithmetic
+    # shared with in-window domain_mixture), unpivot_long / pivot_wide /
+    # histogram_fixed (trivial single-shuffle relational shapes with
+    # pytest plan pins) and scan_parquet (the stale-r3 pushdown probe).
+    # All verified by this round's full local sweeps at sf0.01
     # (×3, 146/146 then 148/148) and the r7c sf0.1 passes. The six
     # other stale-r3 keys (limit/sort_limit/count_star/count_by_flag/
     # groupby_avg/exists_any_agg) defer to r8 the same way.
     "domain_mixture",
+    "domain_mixture_sample",
     "unpivot_long",
     "pivot_wide",
     "histogram_fixed",

@@ -1482,6 +1482,71 @@ ORACLE_BOM_ROLLUP = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# scd2_time_weighted — temporal (duration-weighted) aggregation over SCD2
+# --------------------------------------------------------------------------
+
+#: fixed observation horizon closing every open interval — just past the
+#: testdata's last order date, so each customer's current version gets
+#: the remaining observation time as weight
+SCD2_TWA_HORIZON = "2002-01-01"
+
+
+def q_scd2_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average order value per customer over the SCD2
+    validity intervals — the temporal aggregate plain AVG gets wrong
+    (AVG weights every version equally; a price in force for 3 years
+    must count 36× one in force for a month). Open (current) intervals
+    are closed at a fixed horizon, so every customer has positive total
+    observation time.
+
+    Exactness: weights are exact integer microseconds
+    (epoch_us(valid_to) − epoch_us(valid_from)); the weighted sum
+    widens to DECIMAL(38,0) BEFORE the multiply (cents·µs reaches
+    ~10¹⁹ for one multi-year interval — past int64) and one integral
+    ``div`` at the end yields the answer, the ADVICE-r6 convention.
+
+    Scale: composes on the scd2_history build — one natural-key window
+    shuffle — then a combinable per-key aggregate; nothing new
+    shuffles. The same plan maintains incrementally: a new version
+    closes one interval, so the stored Σ(cents·dur) and Σ(dur) update
+    with delta arithmetic exactly like ``incremental_agg_merge``."""
+    h = q_scd2_history(spark, sf_dir)
+    horizon = F.lit(SCD2_TWA_HORIZON).cast("timestamp")
+    dur = (
+        epoch_us(F.coalesce(F.col("valid_to"), horizon))
+        - epoch_us(F.col("valid_from"))
+    ).alias("dur_us")
+    return (
+        h.select("custkey", "price_cents", dur)
+        .groupBy("custkey")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.expr(
+                "CAST(SUM(CAST(price_cents AS DECIMAL(38,0)) * dur_us)"
+                " div SUM(CAST(dur_us AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("twa_cents"),
+        )
+    )
+
+
+ORACLE_SCD2_TWA = f"""
+    WITH h AS ({{scd2}}),
+    d AS (
+        SELECT custkey, price_cents,
+               epoch_us(COALESCE(valid_to, TIMESTAMP '{SCD2_TWA_HORIZON}'))
+               - epoch_us(valid_from) AS dur_us
+        FROM h
+    )
+    SELECT custkey, COUNT(*) AS n_versions,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(SUM(CAST(price_cents AS HUGEINT) * dur_us)
+                // SUM(CAST(dur_us AS HUGEINT)) AS BIGINT) AS twa_cents
+    FROM d GROUP BY custkey
+""".format(scd2=ORACLE_SCD2_HISTORY)
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -1501,6 +1566,7 @@ QUERIES = {
     "dq_anomaly_mad": q_dq_anomaly_mad,
     "group_quantiles_exact": q_group_quantiles_exact,
     "bom_rollup": q_bom_rollup,
+    "scd2_time_weighted": q_scd2_time_weighted,
 }
 
 ORACLE = {
@@ -1522,4 +1588,5 @@ ORACLE = {
     "dq_anomaly_mad": ORACLE_DQ_ANOMALY_MAD,
     "group_quantiles_exact": ORACLE_GROUP_QUANTILES,
     "bom_rollup": ORACLE_BOM_ROLLUP,
+    "scd2_time_weighted": ORACLE_SCD2_TWA,
 }

@@ -149,3 +149,50 @@ def test_scd2_fold_equals_rebuild(spark, data, cuts):
     got = sorted(map(tuple, history.select(*SCD2_COLS).collect()))
     want = sorted(map(tuple, scd2_from_orders(o).select(*SCD2_COLS).collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------- prefix sum
+
+_ps_row = st.tuples(
+    st.sampled_from(["s0", "s1", "s2"]),             # stratum (few, skewed)
+    st.integers(min_value=0, max_value=50),          # order key (dups pruned)
+    st.integers(min_value=-100, max_value=100),      # value (negatives too)
+)
+_ps_rows = st.lists(_ps_row, min_size=0, max_size=24)
+
+
+@_settings
+@given(data=_ps_rows, nparts=st.sampled_from([1, 3, 8]))
+def test_prefix_sum_equals_window_cumsum_property(spark, data, nparts):
+    """For ANY stratum distribution, value signs, and partition count,
+    the two-phase scan equals the Window running sum — including empty
+    input, single-row strata, and every stratum crammed into one range
+    partition."""
+    from pyspark.sql.window import Window
+
+    from imperio_patitas_etl_spark.operators.prefix_sum import (
+        partitioned_prefix_sum,
+    )
+
+    # unique (stratum, k) so the prefix order is total
+    seen = set()
+    uniq = []
+    for s, k, v in data:
+        if (s, k) not in seen:
+            seen.add((s, k))
+            uniq.append((s, k, v))
+    df = (
+        spark.createDataFrame(uniq, "s string, k long, v long")
+        if uniq
+        else spark.createDataFrame([], "s string, k long, v long")
+    )
+    got = partitioned_prefix_sum(df, "s", ["k"], "v", "cum", nparts)
+    w = (
+        Window.partitionBy("s")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

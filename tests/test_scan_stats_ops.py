@@ -560,3 +560,38 @@ def test_khop_matches_python_bfs(spark, sf_dir):
                     nxt.add(v)
         frontier = nxt
     assert got == dist
+
+
+# ------------------------------------------- scd2_time_weighted
+
+
+def test_twa_bounded_and_duration_conserves(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        SCD2_TWA_HORIZON,
+        q_scd2_history,
+        q_scd2_time_weighted,
+    )
+
+    twa = q_scd2_time_weighted(spark, sf_dir)
+    h = q_scd2_history(spark, sf_dir)
+    # the weighted average lies within each customer's [min, max] price
+    bounds = h.groupBy("custkey").agg(
+        F.min("price_cents").alias("lo"),
+        F.max("price_cents").alias("hi"),
+        F.min("valid_from").alias("first_from"),
+    )
+    j = twa.join(bounds, "custkey")
+    assert (
+        j.filter(
+            (F.col("twa_cents") < F.col("lo"))
+            | (F.col("twa_cents") > F.col("hi"))
+        ).count()
+        == 0
+    )
+    # intervals tile [first_from, horizon): total duration == horizon - first
+    bad = j.filter(
+        F.col("total_dur_us")
+        != F.unix_micros(F.lit(SCD2_TWA_HORIZON).cast("timestamp"))
+        - F.unix_micros(F.col("first_from").cast("timestamp"))
+    )
+    assert bad.count() == 0

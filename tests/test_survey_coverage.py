@@ -74,6 +74,7 @@ EXTENSION_KEYS = {
     "node_jaccard_linkpred", "dq_anomaly_mad", "session_path_trigrams",
     "stream_rolling_distinct", "group_quantiles_exact",
     "entity_resolution_blocked", "bom_rollup", "khop_reach",
+    "scd2_time_weighted",
 }
 
 #: keys intentionally without a SQL oracle (none — every registered query
