@@ -112,6 +112,16 @@ HEADLINE = [
     "bom_rollup",
     "khop_reach",
     "scd2_time_weighted",
+    # r7d sketch/temporal/replication/LM tier
+    "hll_distinct_sketch",
+    "interval_concurrency",
+    "cdc_apply",
+    "table_checksum_blocks",
+    "bigram_logprob",
+    # r7e sampling/estimation/trend tier
+    "weighted_sample_aes",
+    "kmv_join_cardinality",
+    "group_linear_fit",
 ]
 
 

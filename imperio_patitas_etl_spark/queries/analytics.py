@@ -1547,6 +1547,377 @@ ORACLE_SCD2_TWA = f"""
 """.format(scd2=ORACLE_SCD2_HISTORY)
 
 
+# --------------------------------------------------------------------------
+# interval_concurrency — sweep-line max concurrent sessions per day
+# --------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the classic interval sweep-line:
+    every session interval [first_ts, last_ts] (from the already-green
+    ``sessionize_events`` build) emits a +1 point at its start and a −1
+    just past its end; the running sum of deltas in global time order IS
+    the concurrency curve, and the per-day max of that curve is the
+    capacity-planning number (how many simultaneous users did we peak
+    at?). An inequality self-join (interval × interval overlap) computes
+    the same thing in O(n²); the sweep line is O(n log n) and join-free.
+
+    Exactness: pure integer arithmetic — microsecond epochs, ±1 deltas,
+    integral-div day bucketing. The sweep order (t_us, delta, user_id,
+    session_no) is a total order (session endpoints are unique per
+    (user, session)), so the running sum is well-defined; −1 sorts
+    before +1 at equal instants, making the interval closed-open
+    [start, end+1µs) on both engines.
+
+    Scale shape: the global running sum does NOT use a single-task
+    ``Window.orderBy`` — it rides ``operators/prefix_sum.py``'s
+    two-phase Blelloch scan (range-partition by time, per-partition
+    totals → exclusive offsets, one Arrow pass), so the concurrency
+    curve of a 100 TB event log computes with every partition active.
+    The day-max re-aggregation is map-side combinable on the same
+    range layout (days are contiguous under the time ordering)."""
+    from imperio_patitas_etl_spark.queries.streaming_ops import (
+        q_sessionize_events,
+    )
+
+    sess = q_sessionize_events(spark, sf_dir)
+    starts = sess.select(
+        epoch_us(F.col("first_ts")).alias("t_us"),
+        F.lit(1).cast("long").alias("delta"),
+        "user_id",
+        "session_no",
+    )
+    ends = sess.select(
+        (epoch_us(F.col("last_ts")) + 1).alias("t_us"),
+        F.lit(-1).cast("long").alias("delta"),
+        "user_id",
+        "session_no",
+    )
+    pts = starts.unionByName(ends).withColumn("_all", F.lit(0))
+    run = partitioned_prefix_sum(
+        pts, "_all", ["t_us", "delta", "user_id", "session_no"], "delta", "conc"
+    )
+    return (
+        run.select(F.expr(f"t_us div {_US_PER_DAY}").alias("day_no"), "conc")
+        .groupBy("day_no")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.max("conc").alias("max_concurrent"),
+        )
+    )
+
+
+ORACLE_INTERVAL_CONCURRENCY = f"""
+    WITH sess AS ({{sessionize}}),
+    pts AS (
+        SELECT epoch_us(first_ts) AS t_us, 1::BIGINT AS delta,
+               user_id, session_no
+        FROM sess
+        UNION ALL
+        SELECT epoch_us(last_ts) + 1, -1::BIGINT, user_id, session_no
+        FROM sess
+    ), run AS (
+        SELECT t_us,
+               CAST(SUM(delta) OVER (
+                   ORDER BY t_us, delta, user_id, session_no
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS conc
+        FROM pts
+    )
+    SELECT t_us // {_US_PER_DAY} AS day_no, COUNT(*) AS n_points,
+           MAX(conc) AS max_concurrent
+    FROM run GROUP BY 1
+"""
+
+# late import: streaming_ops does not import analytics, so no cycle; the
+# sweep-line oracle nests the (already-green) sessionize oracle as its CTE
+from imperio_patitas_etl_spark.queries.streaming_ops import (  # noqa: E402
+    ORACLE_SESSIONIZE as _ORACLE_SESSIONIZE,
+)
+
+ORACLE_INTERVAL_CONCURRENCY = ORACLE_INTERVAL_CONCURRENCY.format(
+    sessionize=_ORACLE_SESSIONIZE
+)
+
+
+# --------------------------------------------------------------------------
+# cdc_apply — ordered change-log apply with tombstones
+# --------------------------------------------------------------------------
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log apply — the Debezium/Delta-CDF consumer shape:
+    a multi-version change stream (op ∈ {{U, D}}, arbitrary arrival
+    order) collapses to final table state by LAST-WRITER-WINS per key
+    under the total sequence order, with D tombstones deleting the key.
+    This is the 3-generation generalization of ``upsert_latest_wins``
+    (reference MERGE, etl_service.py:252-293): that operator folds
+    exactly two frames and cannot delete; a real replication feed has N
+    versions per key and tombstones interleaved.
+
+    The change log derives deterministically from orders: each order is
+    an upsert of its customer's "latest order" record, sequenced by
+    (o_orderdate, o_orderkey); orders whose md5-hash ≡ 0 (mod 10)
+    carry op='D' so ~10% of events are tombstones both engines agree on.
+
+    Scale shape: ONE shuffle on the key; the rank-1-per-key window
+    compiles to WindowGroupLimit, so each map task forwards only its
+    local winner per key (top-1 pushdown), and version history depth
+    never amplifies the exchange. ``n_versions`` rides the same window
+    partition for free."""
+    o = load_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        "o_orderdate",
+        "o_orderkey",
+        F.expr(
+            f"CASE WHEN {_MD5INT.format(x='CAST(o_orderkey AS STRING)')} % 10 = 0 "
+            "THEN 'D' ELSE 'U' END"
+        ).alias("op"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    ranked = log.select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("n_versions"),
+    )
+    return (
+        ranked.filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_date"),
+            F.col("price_cents").alias("last_price_cents"),
+            "n_versions",
+        )
+    )
+
+
+ORACLE_CDC_APPLY = f"""
+    WITH log AS (
+        SELECT o_custkey AS key, o_orderdate, o_orderkey,
+               CASE WHEN {_sql_md5int('CAST(o_orderkey AS VARCHAR)')} % 10 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY key
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY key) AS n_versions
+        FROM log
+    )
+    SELECT key, o_orderkey AS last_orderkey, o_orderdate AS last_date,
+           price_cents AS last_price_cents, CAST(n_versions AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
+# table_checksum_blocks — merkle-style replica verification
+# --------------------------------------------------------------------------
+
+CHECKSUM_BUCKETS = 256
+_CK_DROP_MOD = 199  # replica "lost" these rows
+_CK_FLIP_MOD = 211  # replica corrupted these rows' price by 1 cent
+
+
+def q_table_checksum_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level replica verification — how you diff two copies of a
+    100 TB table WITHOUT moving either: each row hashes to a 60-bit
+    md5 fingerprint over its content columns, rows bucket by
+    fingerprint mod {CHECKSUM_BUCKETS}, and each side reduces every
+    bucket to (row count, XOR of fingerprints) — an order-independent,
+    overflow-free, mergeable digest. Comparing replicas then exchanges
+    {CHECKSUM_BUCKETS} rows per side instead of the table; only buckets
+    whose digests disagree need row-level repair (the anti-entropy
+    design of Dynamo/Cassandra merkle trees, one level deep).
+
+    The "replica" derives deterministically from orders: rows whose key
+    hash ≡ 0 (mod {_CK_DROP_MOD}) are missing, rows ≡ 0 (mod
+    {_CK_FLIP_MOD}) have their price off by one cent — so the query
+    returns exactly the damaged buckets and the two failure modes are
+    distinguishable (count mismatch vs XOR-only mismatch). Buckets are
+    addressed by KEY hash, not content hash — a corrupted row must stay
+    in ITS bucket for the diff to localize (content-addressing would
+    move the row to a random other bucket, smearing one corruption
+    across two blocks; pinned by test_r7d_ops.py).
+
+    Exactness: fingerprints are the shared md5→int60 primitive over a
+    canonical '|'-joined string (integer cents, ISO date — no float or
+    locale formatting); XOR and counts are exact integers.
+
+    Scale shape: two parallel map-side-combinable aggregates bounded by
+    bucket count, one {CHECKSUM_BUCKETS}-row join. No data-sized
+    shuffle anywhere — the whole comparison is O(table scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = (
+        "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), "
+        "o_orderstatus, CAST(price_cents AS STRING), CAST(o_orderdate AS STRING))"
+    )
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("price_cents"),
+        F.expr(_MD5INT.format(x="CAST(o_orderkey AS STRING)")).alias("h_key"),
+    )
+    replica = base.filter(F.col("h_key") % _CK_DROP_MOD != 0).withColumn(
+        "price_cents",
+        F.when(
+            F.col("h_key") % _CK_FLIP_MOD == 0, F.col("price_cents") + 1
+        ).otherwise(F.col("price_cents")),
+    )
+
+    def digest(df: DataFrame) -> DataFrame:
+        rowh = df.select(
+            "h_key", F.expr(_MD5INT.format(x=canon)).alias("row_h")
+        )
+        return rowh.groupBy(
+            (F.col("h_key") % CHECKSUM_BUCKETS).alias("bucket")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(row_h)").alias("xor_h"),
+        )
+
+    a = digest(base)
+    b = digest(replica)
+    j = a.alias("a").join(b.alias("b"), "bucket", "full_outer")
+    return (
+        j.filter(
+            (F.col("a.n_rows").eqNullSafe(F.col("b.n_rows")) == False)  # noqa: E712
+            | (F.col("a.xor_h").eqNullSafe(F.col("b.xor_h")) == False)  # noqa: E712
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.col("a.n_rows"), F.lit(0)).alias("n_rows_primary"),
+            F.coalesce(F.col("b.n_rows"), F.lit(0)).alias("n_rows_replica"),
+            F.col("a.xor_h").alias("xor_primary"),
+            F.col("b.xor_h").alias("xor_replica"),
+        )
+    )
+
+
+_CK_CANON_SQL = (
+    "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+    "o_orderstatus, CAST(price_cents AS VARCHAR), CAST(o_orderdate AS VARCHAR))"
+)
+
+ORACLE_TABLE_CHECKSUM = f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+               {_sql_md5int('CAST(o_orderkey AS VARCHAR)')} AS h_key
+        FROM orders
+    ), replica AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+               CASE WHEN h_key % {_CK_FLIP_MOD} = 0 THEN price_cents + 1
+                    ELSE price_cents END AS price_cents,
+               h_key
+        FROM base WHERE h_key % {_CK_DROP_MOD} <> 0
+    ), da AS (
+        SELECT h_key % {CHECKSUM_BUCKETS} AS bucket, COUNT(*) AS n_rows,
+               bit_xor(row_h) AS xor_h
+        FROM (SELECT h_key, {_sql_md5int(_CK_CANON_SQL)} AS row_h FROM base)
+        GROUP BY 1
+    ), db AS (
+        SELECT h_key % {CHECKSUM_BUCKETS} AS bucket, COUNT(*) AS n_rows,
+               bit_xor(row_h) AS xor_h
+        FROM (SELECT h_key, {_sql_md5int(_CK_CANON_SQL)} AS row_h FROM replica)
+        GROUP BY 1
+    )
+    SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+           CAST(COALESCE(da.n_rows, 0) AS BIGINT) AS n_rows_primary,
+           CAST(COALESCE(db.n_rows, 0) AS BIGINT) AS n_rows_replica,
+           da.xor_h AS xor_primary,
+           db.xor_h AS xor_replica
+    FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+    WHERE da.n_rows IS DISTINCT FROM db.n_rows
+       OR da.xor_h IS DISTINCT FROM db.xor_h
+"""
+
+
+# --------------------------------------------------------------------------
+# group_linear_fit — exact-integer per-group OLS trend
+# --------------------------------------------------------------------------
+
+def q_group_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend line — revenue drift in
+    micro-cents/day per order priority, the segment-trend query behind
+    every "is this cohort growing?" dashboard. OLS slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = epoch-day of
+    o_orderdate, y = price cents.
+
+    Exactness: the four moments accumulate as DECIMAL(38,0) — Σxy is
+    cents·days ≈ 10¹² per row and overflows int64 near 10⁷ rows per
+    group, exactly the 100 TB regime — and the slope publishes as ONE
+    integral division of exact integers, scaled to micro-cents/day.
+    Both engines truncate integral division toward zero (verified:
+    Spark ``div`` and DuckDB ``//`` agree on negative operands, so a
+    declining trend is safe without a sign workaround). The mean point
+    (x̄, ȳ) publishes the same way, making the intercept a two-integer
+    client-side step.
+
+    Scale shape: ONE map-side-combinable groupBy over a narrow
+    two-column projection — the moments are classic algebraic
+    aggregates (the reason OLAP cubes store Σx/Σx²/Σxy): partial
+    per-partition sums merge associatively, so the plan is a scan plus
+    a groups-sized exchange. No window, no join, no second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    m = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    return m.select(
+        "grp",
+        "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_microcents_per_day"),
+        F.expr("CAST(sx div n AS BIGINT)").alias("mean_x_day"),
+        F.expr("CAST(sy div n AS BIGINT)").alias("mean_y_cents"),
+    )
+
+
+ORACLE_GROUP_LINEAR_FIT = """
+    WITH pts AS (
+        SELECT o_orderpriority AS grp,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS x,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ), m AS (
+        SELECT grp, COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x * y AS HUGEINT)) AS sxy,
+               SUM(CAST(x * x AS HUGEINT)) AS sxx
+        FROM pts GROUP BY grp
+    )
+    SELECT grp, n,
+           CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_microcents_per_day,
+           CAST(sx // n AS BIGINT) AS mean_x_day,
+           CAST(sy // n AS BIGINT) AS mean_y_cents
+    FROM m
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -1567,6 +1938,10 @@ QUERIES = {
     "group_quantiles_exact": q_group_quantiles_exact,
     "bom_rollup": q_bom_rollup,
     "scd2_time_weighted": q_scd2_time_weighted,
+    "interval_concurrency": q_interval_concurrency,
+    "cdc_apply": q_cdc_apply,
+    "table_checksum_blocks": q_table_checksum_blocks,
+    "group_linear_fit": q_group_linear_fit,
 }
 
 ORACLE = {
@@ -1589,4 +1964,8 @@ ORACLE = {
     "group_quantiles_exact": ORACLE_GROUP_QUANTILES,
     "bom_rollup": ORACLE_BOM_ROLLUP,
     "scd2_time_weighted": ORACLE_SCD2_TWA,
+    "interval_concurrency": ORACLE_INTERVAL_CONCURRENCY,
+    "cdc_apply": ORACLE_CDC_APPLY,
+    "table_checksum_blocks": ORACLE_TABLE_CHECKSUM,
+    "group_linear_fit": ORACLE_GROUP_LINEAR_FIT,
 }

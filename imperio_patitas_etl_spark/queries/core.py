@@ -417,8 +417,10 @@ _KMV_SCALE = float((KMV_K - 1) * 2**60)  # exact double: 63·2^60
 def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values / bottom-k) distinct-count sketch per group —
     a real mergeable sketch, made fully deterministic by the md5-based
-    60-bit hash so DuckDB replicates the estimate bit-for-bit (unlike
-    HLL, whose register layout is engine-specific).
+    60-bit hash so DuckDB replicates the estimate bit-for-bit (the
+    engine-NATIVE HLLs aren't portable; ``hll_distinct_sketch`` below
+    rebuilds HLL's register math explicitly to get the same
+    determinism).
 
     Scale shape: the distinct step is a combinable shuffle dedup, and the
     bottom-k per group compiles to WindowGroupLimit — Spark keeps only k
@@ -459,6 +461,224 @@ ORACLE_KMV = f"""
                       ELSE {KMV_K - 1} * 1152921504606846976.0 / kth_hash::DOUBLE
                  END, 6) AS est_distinct
     FROM m
+"""
+
+
+HLL_M = 64  # registers (b = 6 index bits off the 60-bit md5 hash)
+HLL_REST_BITS = 54  # 60 - 6 bits feed the leading-zero count
+# α_64·m²·2^(rest+1): the raw-estimator numerator, precomputed in Python so
+# both engines parse the identical double literal (repr round-trips).
+_HLL_NUM = 0.709 * HLL_M * HLL_M * float(2 ** (HLL_REST_BITS + 1))
+
+
+def q_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per group (Flajolet et al. 2007),
+    register math spelled out so DuckDB replicates it bit-for-bit — the
+    engine-native HLLs (Spark ``approx_count_distinct``, DuckDB
+    ``approx_count_distinct``) have incompatible register layouts, so this
+    is the portable twin the ``kmv_distinct_sketch`` docstring said was
+    impossible to oracle-check; it isn't, once the registers are explicit:
+    the low 6 hash bits pick one of m=64 registers, ρ = leading zeros + 1
+    of the remaining 54 bits (via ``length(bin(rest))`` — identical string
+    semantics in both engines), and Z is accumulated EXACTLY as the
+    integer Σ 2^(55−M_j) (absent registers contribute 2^55), so the only
+    float op is one final double division of exact integers.
+
+    Publishes the RAW estimator plus ``n_zero_regs`` (the input to the
+    small-range linear-counting correction — left to the consumer because
+    ln(m/V) is libm-dependent) and the exact count + signed basis-point
+    error, following the ``cosine_dedup_recall`` audit convention:
+    measure the sketch's error, don't hide it.
+
+    Scale shape: register build is a map-side-combinable groupBy bounded
+    by m·groups (64·groups rows TOTAL regardless of corpus size — this is
+    the sketch the 100 TB path actually ships, vs KMV's k rows); the
+    exact count is the audit side only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select("l_returnflag", F.expr(_KMV_HASH).alias("h"))
+    rho = h.select(
+        "l_returnflag",
+        F.expr(f"h % {HLL_M}").alias("reg"),
+        F.expr(
+            f"CASE WHEN h div {HLL_M} = 0 THEN {HLL_REST_BITS + 1} "
+            f"ELSE {HLL_REST_BITS + 1} - length(bin(h div {HLL_M})) END"
+        ).alias("rho"),
+    )
+    regs = rho.groupBy("l_returnflag", "reg").agg(F.max("rho").alias("maxrho"))
+    z = regs.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_hit"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_REST_BITS + 1} - maxrho AS INT))")
+        ).alias("z_hit"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    empty_w = F.lit(2 ** (HLL_REST_BITS + 1)) * (F.lit(HLL_M) - F.col("n_hit"))
+    zs = F.col("z_hit") + empty_w
+    est = F.lit(_HLL_NUM) / zs.cast("double")
+    return (
+        z.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            (F.lit(HLL_M) - F.col("n_hit")).cast("long").alias("n_zero_regs"),
+            zs.cast("long").alias("z_scaled"),
+            F.round(est, 4).alias("hll_est"),
+            "exact_distinct",
+            F.round((est - F.col("exact_distinct")) / F.col("exact_distinct") * 10000)
+            .cast("long")
+            .alias("err_bp"),
+        )
+    )
+
+
+ORACLE_HLL = f"""
+    WITH hsh AS (
+        SELECT l_returnflag,
+               (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+        FROM lineitem
+    ), rho AS (
+        SELECT l_returnflag, h % {HLL_M} AS reg,
+               CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+                    ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M})) END AS rho
+        FROM hsh
+    ), regs AS (
+        SELECT l_returnflag, reg, MAX(rho) AS maxrho
+        FROM rho GROUP BY l_returnflag, reg
+    ), z AS (
+        SELECT l_returnflag, COUNT(*) AS n_hit,
+               CAST(SUM(1::BIGINT << ({HLL_REST_BITS + 1} - maxrho)) AS BIGINT) AS z_hit
+        FROM regs GROUP BY l_returnflag
+    ), ex AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST({HLL_M} - n_hit AS BIGINT) AS n_zero_regs,
+           CAST(z_hit + {2 ** (HLL_REST_BITS + 1)} * ({HLL_M} - n_hit) AS BIGINT) AS z_scaled,
+           ROUND({_HLL_NUM!r} / (z_hit + {2 ** (HLL_REST_BITS + 1)} * ({HLL_M} - n_hit))::DOUBLE, 4) AS hll_est,
+           exact_distinct,
+           CAST(ROUND(({_HLL_NUM!r} / (z_hit + {2 ** (HLL_REST_BITS + 1)} * ({HLL_M} - n_hit))::DOUBLE
+                       - exact_distinct) / exact_distinct * 10000) AS BIGINT) AS err_bp
+    FROM z JOIN ex USING (l_returnflag)
+"""
+
+
+KMV_JC_K = 256
+
+
+def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from merged KMV sketches — the
+    query-optimizer primitive (Beyer et al., SIGMOD 2007): to size
+    A ⋈ B on a key at 100 TB you never count |A ∩ B| exactly; you merge
+    the two sides' bottom-k sketches. The k smallest hashes of A ∪ B
+    estimate the union cardinality ((k−1)/kth-min, as
+    ``kmv_distinct_sketch``), and the fraction of those k that belong
+    to BOTH sides estimates the Jaccard similarity, so
+    |A∩B| ≈ (n_both/k) · est(|A∪B|). Sides here: parts with returned
+    line items vs parts with size ≤ 25.
+
+    Exactness: the shared md5→int60 hash makes both sketches
+    deterministic; the estimate is one fixed-tree double expression
+    over exact integers. The exact intersection rides along as the
+    audit column with the signed bp error, per the
+    ``cosine_dedup_recall`` convention. When the union has < k distinct
+    keys the sketch degenerates to exact counting (CASE on n_mins).
+
+    Scale shape: each side is a combinable distinct; the flagged union
+    is a full-outer join on the key; the bottom-k compiles to
+    TakeOrderedAndProject (k-row heaps per partition, one k-row driver
+    merge) — sketch traffic is k rows regardless of data size. The
+    audit-side exact count is the only data-sized join, and it drops
+    out in production use."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    a = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_partkey").alias("key"))
+        .distinct()
+        .withColumn("in_a", F.lit(True))
+    )
+    b = (
+        p.filter(F.col("p_size") <= 25)
+        .select(F.col("p_partkey").alias("key"))
+        .distinct()
+        .withColumn("in_b", F.lit(True))
+    )
+    u = (
+        a.join(b, "key", "full_outer")
+        .select(
+            F.expr(
+                _KMV_HASH.replace("l_partkey", "key")
+            ).alias("h"),
+            F.coalesce("in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("in_b", F.lit(False)).alias("in_b"),
+        )
+    )
+    mins = u.orderBy("h").limit(KMV_JC_K)
+    g = mins.agg(
+        F.count("*").alias("n_mins"),
+        F.max("h").alias("kth_hash"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias(
+            "n_both"
+        ),
+    )
+    exact = (
+        a.join(b, "key", "inner").agg(F.count("*").alias("exact_inter"))
+    )
+    est_union = F.lit(float((KMV_JC_K - 1) * 2**60)) / F.col("kth_hash").cast(
+        "double"
+    )
+    est_inter = F.when(
+        F.col("n_mins") < KMV_JC_K, F.col("n_both").cast("double")
+    ).otherwise(
+        (F.col("n_both").cast("double") / KMV_JC_K) * est_union
+    )
+    return g.crossJoin(exact).select(
+        "n_mins",
+        "kth_hash",
+        "n_both",
+        F.round(est_inter, 4).alias("est_inter"),
+        "exact_inter",
+        F.round((est_inter - F.col("exact_inter")) / F.col("exact_inter") * 10000)
+        .cast("long")
+        .alias("err_bp"),
+    )
+
+
+_KMV_JC_HASH_SQL = "(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT)"
+
+ORACLE_KMV_JOIN_CARD = f"""
+    WITH a AS (
+        SELECT DISTINCT l_partkey AS key FROM lineitem WHERE l_returnflag = 'R'
+    ), b AS (
+        SELECT DISTINCT p_partkey AS key FROM part WHERE p_size <= 25
+    ), u AS (
+        SELECT {_KMV_JC_HASH_SQL} AS h,
+               (akey IS NOT NULL) AS in_a, (bkey IS NOT NULL) AS in_b
+        FROM (SELECT key, key AS akey FROM a) a
+        FULL OUTER JOIN (SELECT key, key AS bkey FROM b) b USING (key)
+    ), mins AS (
+        SELECT * FROM u ORDER BY h LIMIT {KMV_JC_K}
+    ), g AS (
+        SELECT COUNT(*) AS n_mins, MAX(h) AS kth_hash,
+               CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both
+        FROM mins
+    ), ex AS (
+        SELECT COUNT(*) AS exact_inter FROM a JOIN b USING (key)
+    )
+    SELECT n_mins, kth_hash, n_both,
+           ROUND(CASE WHEN n_mins < {KMV_JC_K} THEN CAST(n_both AS DOUBLE)
+                      ELSE (CAST(n_both AS DOUBLE) / {KMV_JC_K})
+                           * ({float((KMV_JC_K - 1) * 2**60)!r} / CAST(kth_hash AS DOUBLE))
+                 END, 4) AS est_inter,
+           exact_inter,
+           CAST(ROUND((CASE WHEN n_mins < {KMV_JC_K} THEN CAST(n_both AS DOUBLE)
+                            ELSE (CAST(n_both AS DOUBLE) / {KMV_JC_K})
+                                 * ({float((KMV_JC_K - 1) * 2**60)!r} / CAST(kth_hash AS DOUBLE))
+                       END - exact_inter) / exact_inter * 10000) AS BIGINT) AS err_bp
+    FROM g CROSS JOIN ex
 """
 
 
@@ -904,6 +1124,8 @@ QUERIES = {
     "distinct_agg": q_distinct_agg,
     "percentile_agg": q_percentile_agg,
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
+    "hll_distinct_sketch": q_hll_distinct_sketch,
+    "kmv_join_cardinality": q_kmv_join_cardinality,
     "quantile_sketch": q_quantile_sketch,
     "salted_join_skew": q_salted_join_skew,
     "union_except": q_union_except,
@@ -1093,6 +1315,8 @@ ORACLE = {
     """,
     "percentile_agg": ORACLE_PERCENTILE,
     "kmv_distinct_sketch": ORACLE_KMV,
+    "hll_distinct_sketch": ORACLE_HLL,
+    "kmv_join_cardinality": ORACLE_KMV_JOIN_CARD,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "window_range_rolling": ORACLE_RANGE_ROLLING,
     "window_running_sum": """

@@ -681,6 +681,65 @@ ORACLE_PPS_SAMPLE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# weighted_sample_aes — weighted sampling without replacement (A-ES)
+# --------------------------------------------------------------------------
+
+AES_K = 100
+_AES_SCALE = 1152921504606846976.0  # 2^60 as an exact double
+
+
+def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sampling without replacement — Efraimidis-Spirakis
+    A-ES (2006): each row draws u ∈ (0,1] and keeps priority u^(1/w);
+    the k largest priorities ARE an exact weighted sample without
+    replacement. Ranking by ln(u)/w (monotone in u^(1/w)) avoids the
+    pow() and keeps one ``ln`` per row; u = (h+1)/2^60 from the shared
+    md5 hash makes the "random" draw reproducible and oracle-checkable.
+    This is how you take a length-weighted corpus subsample (here
+    w = n_chars) in ONE scan with no global RNG state — ``stratified_
+    sample`` keeps fixed rates per stratum, ``pps_systematic_sample``
+    needs the prefix-sum pass; A-ES is the one-pass top-k that PPS
+    pipelines use at ingest.
+
+    Exactness: priority is integerized to pico-units
+    (round(ln(u)/w · 10¹²) as int64) before ranking — one ln per row on
+    a double built with a fixed expression tree; (priority, doc_id) is
+    a total order, so the top-{AES_K} boundary is deterministic even if
+    two priorities collide after rounding.
+
+    Scale shape: priorities compute per row with zero shuffle;
+    the global top-k compiles to TakeOrderedAndProject (per-partition
+    heaps of k, single k-row merge at the driver) — no sort, no
+    repartition, the same plan shape as ``topk_per_group``'s global
+    variant. At 100 TB the only cross-node traffic is k rows per
+    partition."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h = _MD5INT.format(x="concat('aes_', CAST(doc_id AS STRING))")
+    pr = d.select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.expr(
+            f"CAST(ROUND(ln((CAST({h} AS DOUBLE) + 1.0) / {_AES_SCALE!r})"
+            " / CAST(n_chars AS DOUBLE) * 1000000000000) AS BIGINT)"
+        ).alias("priority_punits"),
+    )
+    return pr.orderBy(F.desc("priority_punits"), "doc_id").limit(AES_K)
+
+
+ORACLE_WEIGHTED_SAMPLE_AES = f"""
+    SELECT doc_id, n_chars AS w,
+           CAST(ROUND(ln((CAST({_sql_md5int("'aes_' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+                         / {_AES_SCALE!r})
+                      / CAST(n_chars AS DOUBLE) * 1000000000000) AS BIGINT)
+               AS priority_punits
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY priority_punits DESC, doc_id
+    LIMIT {AES_K}
+"""
+
+
 QUERIES = {
     "chunk_sequences": q_chunk_sequences,
     "pack_sequences": q_pack_sequences,
@@ -691,6 +750,7 @@ QUERIES = {
     "bpe_pair_merge": q_bpe_pair_merge,
     "intra_doc_dedup": q_intra_doc_dedup,
     "pps_systematic_sample": q_pps_systematic_sample,
+    "weighted_sample_aes": q_weighted_sample_aes,
 }
 
 ORACLE = {
@@ -703,4 +763,5 @@ ORACLE = {
     "bpe_pair_merge": ORACLE_BPE_PAIR_MERGE,
     "intra_doc_dedup": ORACLE_INTRA_DOC_DEDUP,
     "pps_systematic_sample": ORACLE_PPS_SAMPLE,
+    "weighted_sample_aes": ORACLE_WEIGHTED_SAMPLE_AES,
 }

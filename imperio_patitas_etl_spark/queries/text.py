@@ -1642,6 +1642,112 @@ ORACLE_PMI = f"""
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model score per document — the next
+    rung above ``unigram_logprob`` on the CCNet/KenLM perplexity-filter
+    ladder: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N with λ = 3/4,
+    summed in micro-nats over each document's consecutive token pairs
+    (plus the pair count, so mean logprob = sum/n). Backoff to the
+    unigram term keeps every observed pair finite without add-k
+    smoothing. Single-token documents have no bigrams and are absent
+    by definition.
+
+    Exactness: the ``unigram_logprob`` convention — ONE ln per distinct
+    corpus bigram over a double built with a FIXED expression tree
+    (0.75·(c₁₂/c₁) + 0.25·(c₂/N), every operand cast to double first,
+    written as the same SQL text in both engines), integerized to
+    micro-nats BEFORE the per-doc sum, so aggregation is exact integer
+    arithmetic in any partial-agg order.
+
+    Scale shape: bigrams generate per row from the pre-split array
+    (zero shuffle, the ``pmi_collocations`` skeleton); the model table
+    is bounded by DISTINCT BIGRAMS (vocab-scale, not corpus-scale),
+    built with one combinable groupBy + two broadcast unigram joins;
+    scoring is one equi-join of the doc-bigram stream against the model
+    and one doc_id-keyed sum — two data-sized shuffles total."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_total = uni.agg(F.sum("cnt").alias("n_total"))
+    # sequence(0, -1) descends instead of being empty — guard 1-token docs
+    bg = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    pairs = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("c1"))
+    c2 = uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("c2"))
+    model = (
+        pairs.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                "CAST(ROUND(ln(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))"
+                " + 0.25 * (CAST(c2 AS DOUBLE) / CAST(n_total AS DOUBLE)))"
+                " * 1000000) AS BIGINT)"
+            ).alias("lp_unat"),
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_unat").alias("sum_lp_unat"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LOGPROB = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, ' ') AS t FROM documents
+    ),
+    uni AS (
+        SELECT tok, COUNT(*) AS cnt
+        FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i
+        )
+    ),
+    pairs AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ),
+    model AS (
+        SELECT w1, w2,
+               CAST(ROUND(ln(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1.cnt AS DOUBLE))
+                             + 0.25 * (CAST(c2.cnt AS DOUBLE)
+                                       / CAST((SELECT SUM(cnt) FROM uni) AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS lp_unat
+        FROM pairs
+        JOIN uni c1 ON c1.tok = w1
+        JOIN uni c2 ON c2.tok = w2
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(lp_unat) AS BIGINT) AS sum_lp_unat
+    FROM bg JOIN model USING (w1, w2)
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
@@ -1664,6 +1770,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "corpus_keep_list": q_corpus_keep_list,
     "pmi_collocations": q_pmi_collocations,
+    "bigram_logprob": q_bigram_logprob,
 }
 
 ORACLE = {
@@ -1688,4 +1795,5 @@ ORACLE = {
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "corpus_keep_list": ORACLE_CORPUS_KEEP,
     "pmi_collocations": ORACLE_PMI,
+    "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
 }

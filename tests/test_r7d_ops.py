@@ -1,0 +1,246 @@
+"""Property tests for the r7d/r7e waves: deterministic HLL, sweep-line
+concurrency, CDC apply, block checksums, bigram LM, A-ES weighted
+sampling, KMV join-cardinality, per-group OLS.
+
+Each operator's exact-value parity with DuckDB is covered by
+tools/check.py; these tests pin the SEMANTIC invariants a value-hash
+can't express (error bounds, conservation laws, idempotence, damage
+localization).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.queries.analytics import (
+    CHECKSUM_BUCKETS,
+    _CK_DROP_MOD,
+    _CK_FLIP_MOD,
+    q_cdc_apply,
+    q_interval_concurrency,
+    q_table_checksum_blocks,
+)
+from imperio_patitas_etl_spark.queries.core import (
+    HLL_M,
+    q_hll_distinct_sketch,
+)
+from imperio_patitas_etl_spark.queries.text import q_bigram_logprob
+from imperio_patitas_etl_spark.sources.parquet import load_table
+
+_MD5INT = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def test_hll_estimate_within_theoretical_error(spark, sf_dir):
+    rows = q_hll_distinct_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_zero_regs <= HLL_M
+        assert r.z_scaled > 0
+        # raw HLL relative error is ~1.04/sqrt(m) ≈ 13% at m=64; allow
+        # 4 sigma, plus slack when the small-range regime (many empty
+        # registers) applies, where the RAW estimator biases low by
+        # design (the published n_zero_regs feeds the correction).
+        rel = abs(r.hll_est - r.exact_distinct) / r.exact_distinct
+        bound = 4 * 1.04 / math.sqrt(HLL_M)
+        if r.n_zero_regs == 0:
+            assert rel < bound, r
+        # err_bp is consistent with the two published values
+        assert abs(r.err_bp - (r.hll_est - r.exact_distinct) / r.exact_distinct * 10000) < 1.5
+
+
+def test_interval_concurrency_conservation(spark, sf_dir):
+    """Σ deltas = 0 (every start has an end), the curve never goes
+    negative, and the global max equals a brute-force overlap count at
+    its argmax instant."""
+    from imperio_patitas_etl_spark.queries.streaming_ops import (
+        q_sessionize_events,
+    )
+
+    out = q_interval_concurrency(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    assert all(r.max_concurrent >= 1 for r in rows)
+
+    from imperio_patitas_etl_spark.functions.cleaning import epoch_us
+
+    sess = q_sessionize_events(spark, sf_dir).select(
+        epoch_us(F.col("first_ts")).alias("s"),
+        epoch_us(F.col("last_ts")).alias("e"),
+    )
+    best = max(rows, key=lambda r: r.max_concurrent)
+    # brute-force: count sessions overlapping some instant that day —
+    # the sweep max for the day must be achievable by SOME instant; we
+    # verify at every session-start instant of that day (the max of a
+    # right-continuous step function is attained at a +1 step).
+    day_us = 86_400_000_000
+    starts = [
+        r.s
+        for r in sess.collect()
+        if r.s // day_us == best.day_no
+    ]
+    pairs = sess.collect()
+    brute = max(
+        sum(1 for p in pairs if p.s <= t <= p.e) for t in starts
+    )
+    assert brute == best.max_concurrent
+
+
+def test_cdc_apply_tombstones_and_idempotence(spark, sf_dir):
+    out = q_cdc_apply(spark, sf_dir)
+    res = out.collect()
+    assert res
+    o = load_table(spark, sf_dir, "orders")
+    # last-version-is-delete keys must be absent
+    last = (
+        o.selectExpr(
+            "o_custkey AS key",
+            "o_orderdate",
+            "o_orderkey",
+            f"CASE WHEN {_MD5INT.format(x='CAST(o_orderkey AS STRING)')} % 10 = 0"
+            " THEN 'D' ELSE 'U' END AS op",
+        )
+        .withColumn(
+            "rn",
+            F.expr(
+                "row_number() OVER (PARTITION BY key"
+                " ORDER BY o_orderdate DESC, o_orderkey DESC)"
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    deleted = {r.key for r in last if r.op == "D"}
+    live = {r.key for r in last if r.op == "U"}
+    got = {r.key for r in res}
+    assert got == live
+    assert not (got & deleted)
+    # applying the same log twice changes nothing (apply is a pure
+    # function of the log): re-run and compare the full row set
+    again = {tuple(r) for r in q_cdc_apply(spark, sf_dir).collect()}
+    assert again == {tuple(r) for r in res}
+
+
+def test_table_checksum_localizes_damage(spark, sf_dir):
+    """Every reported bucket contains at least one dropped or flipped
+    row, and every dropped/flipped row's bucket is reported — the
+    merkle property: damage localizes to exactly the dirty blocks."""
+    diff = q_table_checksum_blocks(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    h_key = _MD5INT.format(x="CAST(o_orderkey AS STRING)")
+    damaged = (
+        o.selectExpr(f"{h_key} AS hk")
+        .filter(f"hk % {_CK_DROP_MOD} = 0 OR hk % {_CK_FLIP_MOD} = 0")
+        .selectExpr(
+            f"hk % {CHECKSUM_BUCKETS} AS bucket",
+            f"hk % {_CK_DROP_MOD} = 0 AS dropped",
+        )
+        .collect()
+    )
+    dirty = {r.bucket for r in damaged}
+    drop_buckets = {r.bucket for r in damaged if r.dropped}
+    reported = {r.bucket for r in diff}
+    assert reported == dirty
+    for r in diff:
+        if r.bucket in drop_buckets:
+            # at least one row missing -> count mismatch
+            assert r.n_rows_primary > r.n_rows_replica
+        else:
+            # flip-only bucket: counts equal, XOR disagrees
+            assert r.n_rows_primary == r.n_rows_replica
+            assert r.xor_primary != r.xor_replica
+
+
+def test_bigram_logprob_bounds(spark, sf_dir):
+    """Interpolated probability < 1 ⇒ every per-doc sum is negative;
+    n_bigrams = n_tokens − 1 for multi-token docs; mean logprob is
+    bounded below by ln of the rarest interpolated pair."""
+    out = q_bigram_logprob(spark, sf_dir).collect()
+    assert out
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    )
+    ntok = {r.doc_id: r.n for r in docs}
+    for r in out:
+        assert r.sum_lp_unat < 0
+        assert r.n_bigrams == ntok[r.doc_id] - 1
+
+
+def test_weighted_sample_aes_is_true_topk(spark, sf_dir):
+    """The k returned rows hold the k largest priorities over the WHOLE
+    population (TakeOrdered must not truncate per-partition), and the
+    boundary is deterministic under the (priority, doc_id) tie-break."""
+    from imperio_patitas_etl_spark.queries.corpus import (
+        AES_K,
+        q_weighted_sample_aes,
+    )
+
+    sample = q_weighted_sample_aes(spark, sf_dir).collect()
+    assert len(sample) == AES_K
+    assert all(r.w > 0 for r in sample)
+    # recompute every doc's priority and check the cut line
+    d = load_table(spark, sf_dir, "documents").filter("n_chars > 0")
+    h = _MD5INT.format(x="concat('aes_', CAST(doc_id AS STRING))")
+    allp = d.selectExpr(
+        "doc_id",
+        f"CAST(ROUND(ln((CAST({h} AS DOUBLE) + 1.0) / 1152921504606846976.0)"
+        " / CAST(n_chars AS DOUBLE) * 1000000000000) AS BIGINT)"
+        " AS priority_punits",
+    ).collect()
+    ordered = sorted(allp, key=lambda r: (-r.priority_punits, r.doc_id))
+    expect = {r.doc_id for r in ordered[:AES_K]}
+    assert {r.doc_id for r in sample} == expect
+
+
+def test_kmv_join_cardinality_sane(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.core import (
+        KMV_JC_K,
+        q_kmv_join_cardinality,
+    )
+
+    row = q_kmv_join_cardinality(spark, sf_dir).collect()[0]
+    assert 0 < row.n_both <= row.n_mins <= KMV_JC_K
+    if row.n_mins < KMV_JC_K:
+        # degenerate exact branch: estimate IS the sample intersection
+        assert row.est_inter == float(row.n_both) == float(row.exact_inter)
+        assert row.err_bp == 0
+    else:
+        # KMV union error ~1/sqrt(k) ≈ 6% at k=256; Jaccard sampling adds
+        # binomial noise — 40% is a loose 4-sigma-ish sanity bound that
+        # still catches an off-by-2^k scaling bug
+        assert abs(row.err_bp) < 4000
+
+
+def test_group_linear_fit_matches_exact_python(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        q_group_linear_fit,
+    )
+
+    got = {r.grp: r for r in q_group_linear_fit(spark, sf_dir).collect()}
+    o = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS x",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y",
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in o:
+        groups.setdefault(r.grp, []).append((r.x, r.y))
+    for grp, pts in groups.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num = (n * sxy - sx * sy) * 1_000_000
+        den = n * sxx - sx * sx
+        # Python // floors; Spark div truncates toward zero — normalize
+        q = abs(num) // abs(den)
+        slope = q if (num >= 0) == (den >= 0) else -q
+        r = got[grp]
+        assert r.n == n
+        assert r.slope_microcents_per_day == slope
+        assert r.mean_x_day == sx // n
+        assert r.mean_y_cents == sy // n
