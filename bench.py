@@ -122,6 +122,11 @@ HEADLINE = [
     "weighted_sample_aes",
     "kmv_join_cardinality",
     "group_linear_fit",
+    # r7f optimizer-diagnostics tier
+    "key_skew_audit",
+    "join_strategy_advisor",
+    "group_corr",
+    "funnel_time_bounded",
 ]
 
 

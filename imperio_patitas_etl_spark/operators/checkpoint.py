@@ -55,6 +55,20 @@ class CheckpointGenerations:
             ... every action reading `cur` ...
             gens.release_previous()   # cur's blocks are now dead
             cur = nxt
+
+    CONTRACT: every relation the loop body reads must be fully
+    materialized (checkpointed) BEFORE the first ``mark()``. ``mark()``
+    attributes ALL newly-persisted RDD ids to the current generation —
+    it cannot tell a checkpoint from a lazily-materialized
+    ``.persist()`` cache whose RDD first registers during the same job.
+    Such a cache would be unpersisted by ``release_previous()``
+    mid-loop, and because the CacheManager still routes
+    plan-equivalent frames through the now-empty InMemoryRelation,
+    every later read — in this call and in every later plan-matching
+    call in the session — silently recomputes the cached pipeline
+    (measured: 8 s → 23 s on the second dup_clusters run before
+    queries/text.py:connected_components switched its edge relation
+    from persist() to an up-front localCheckpoint).
     """
 
     def __init__(self, spark: SparkSession) -> None:

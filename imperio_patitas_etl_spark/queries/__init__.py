@@ -113,7 +113,24 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # r7e (newest wave): weighted sampling without replacement (A-ES),
+    # r7g (newest): the time-bounded windowFunnel — rule (a). Its slot
+    # displaces event_funnel: the UNBOUNDED funnel sibling, pinned by
+    # the dedicated tie-sensitivity pytest (day-truncated same-instant
+    # injection) and green in every full sweep this round; the bounded
+    # variant exercises the same window machinery plus the time gate.
+    "funnel_time_bounded",
+    # r7f: the pre-join hot-key skew report, the
+    # sketch-informed join-strategy decision rule, and exact-moment
+    # per-group Pearson correlation — rule (a). To hold the window at
+    # exactly 50 they displace pack_sequences, span_dedup and
+    # pii_redact past the boundary: the same corpus tier and rationale
+    # as chunk_sequences below (tests/test_corpus_ops.py +
+    # test_corpus_pipeline.py coverage, unchanged since early r7,
+    # green in every full local sweep this round).
+    "key_skew_audit",
+    "join_strategy_advisor",
+    "group_corr",
+    # r7e: weighted sampling without replacement (A-ES),
     # KMV-merge join-cardinality estimation, and exact-integer per-group
     # OLS — rule (a). To hold the window at exactly 50 they displace
     # chunk_sequences, bpe_pair_merge and intra_doc_dedup past the
@@ -183,12 +200,8 @@ _R7_FRONT = (
     "bm25_topk",
     # new this round: the corpus-assembly tier (queries/corpus.py) and
     # the §2.7 pivot/unpivot/histogram extensions (queries/core.py)
-    "pack_sequences",
-    "span_dedup",
-    "pii_redact",
     # new this round: warehouse-analytics tier (queries/analytics.py)
     "scd2_history",
-    "event_funnel",
     "retention_cohorts",
     "bloom_prefilter_join",
     "scd2_asof_lookup",
@@ -223,6 +236,10 @@ _R7_FRONT = (
 # (limit/sort_limit/count_star/count_by_flag/groupby_avg/
 # exists_any_agg) defer to r8 the same way.
 _R7_NEXT = (
+    "event_funnel",
+    "pack_sequences",
+    "span_dedup",
+    "pii_redact",
     "chunk_sequences",
     "bpe_pair_merge",
     "intra_doc_dedup",

@@ -1918,6 +1918,342 @@ ORACLE_GROUP_LINEAR_FIT = """
 """
 
 
+# --------------------------------------------------------------------------
+# key_skew_audit — pre-join hot-key diagnosis
+# --------------------------------------------------------------------------
+
+SKEW_TOP = 10
+
+
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report — the diagnostic you run BEFORE the big join
+    decides between plain shuffle, AQE skew splitting, and explicit
+    salting (``salted_join_skew``): per-key frequencies of the probe
+    key (events.user_id), the {SKEW_TOP} hottest keys with their exact
+    share and cumulative share of all rows in basis points. A key
+    carrying ≥5% of a 100 TB shuffle serializes one reducer; this query
+    names those keys and what they carry.
+
+    Exactness: shares are integral ``div`` on exact counts (bp), no
+    floats anywhere.
+
+    Scale shape: ONE map-side-combinable count per key (output bounded
+    by distinct keys), then a global top-{SKEW_TOP} via
+    TakeOrderedAndProject; the cumulative-share window runs over the
+    {SKEW_TOP} collected rows — a constant-size single partition BY
+    CONSTRUCTION (not a data-sized Window.orderBy)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = (
+        counts.orderBy(F.desc("cnt"), "user_id")
+        .limit(SKEW_TOP)
+        .crossJoin(F.broadcast(total))
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "user_id"))
+        .cast("long")
+        .alias("rank"),
+        "user_id",
+        "cnt",
+        F.expr("cnt * 10000 div total").alias("share_bp"),
+        F.expr("total").alias("total_rows"),
+    )
+    return ranked.withColumn(
+        "cum_share_bp",
+        F.sum("share_bp").over(
+            Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+ORACLE_KEY_SKEW = f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT SUM(cnt) AS total FROM counts
+    ), top AS (
+        SELECT user_id, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank
+        FROM counts ORDER BY cnt DESC, user_id LIMIT {SKEW_TOP}
+    )
+    SELECT rank, user_id, cnt,
+           CAST(cnt * 10000 // total AS BIGINT) AS share_bp,
+           CAST(total AS BIGINT) AS total_rows,
+           CAST(SUM(cnt * 10000 // total) OVER (
+               ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_share_bp
+    FROM top CROSS JOIN tot
+"""
+
+
+# --------------------------------------------------------------------------
+# join_strategy_advisor — sketch-informed physical-join recommendation
+# --------------------------------------------------------------------------
+
+ADVISOR_BROADCAST_MAX_ROWS = 1_000_000
+ADVISOR_SKEW_BP = 500  # one key holding >= 5% of probe rows
+
+
+def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a cost-based optimizer does before every join, exposed as a
+    query: measure the customer⋈orders join's inputs — build-side rows,
+    probe-side rows, probe distinct keys, hottest-key share — and apply
+    the standard decision rule (broadcast if the build side fits an
+    executor, salt if one key exceeds the skew threshold, else
+    sort-merge). Deterministic by construction, so the recommendation
+    itself is oracle-checkable — the point is to pin the DECISION
+    PROCEDURE this repo's scale notes keep citing (broadcast under
+    ~{ADVISOR_BROADCAST_MAX_ROWS} rows, salt past {ADVISOR_SKEW_BP} bp)
+    as executable, tested logic instead of prose.
+
+    Scale shape: three combinable aggregates (count, distinct-count,
+    max-per-key count) over narrow single-column projections; at 100 TB
+    the distinct count swaps to ``hll_distinct_sketch`` and the max-key
+    share to ``cm_sketch_topk`` — both already in the registry — with
+    the same decision rule on top."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    build = c.agg(F.count("*").alias("n_build_rows"))
+    probe_counts = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    probe = probe_counts.agg(
+        F.sum("cnt").alias("n_probe_rows"),
+        F.count("*").alias("probe_distinct_keys"),
+        F.max("cnt").alias("max_key_rows"),
+    )
+    j = build.crossJoin(probe)
+    share = F.expr("max_key_rows * 10000 div n_probe_rows")
+    return j.select(
+        "n_build_rows",
+        F.col("n_probe_rows").cast("long").alias("n_probe_rows"),
+        "probe_distinct_keys",
+        "max_key_rows",
+        share.alias("max_key_share_bp"),
+        F.when(
+            F.col("n_build_rows") <= ADVISOR_BROADCAST_MAX_ROWS, "broadcast"
+        )
+        .when(share >= ADVISOR_SKEW_BP, "salted_shuffle")
+        .otherwise("sort_merge")
+        .alias("recommendation"),
+    )
+
+
+ORACLE_JOIN_ADVISOR = f"""
+    WITH build AS (
+        SELECT COUNT(*) AS n_build_rows FROM customer
+    ), pc AS (
+        SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ), probe AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_probe_rows,
+               COUNT(*) AS probe_distinct_keys,
+               MAX(cnt) AS max_key_rows
+        FROM pc
+    )
+    SELECT n_build_rows, n_probe_rows, probe_distinct_keys, max_key_rows,
+           CAST(max_key_rows * 10000 // n_probe_rows AS BIGINT)
+               AS max_key_share_bp,
+           CASE WHEN n_build_rows <= {ADVISOR_BROADCAST_MAX_ROWS}
+                     THEN 'broadcast'
+                WHEN max_key_rows * 10000 // n_probe_rows >= {ADVISOR_SKEW_BP}
+                     THEN 'salted_shuffle'
+                ELSE 'sort_merge' END AS recommendation
+    FROM build CROSS JOIN probe
+"""
+
+
+# --------------------------------------------------------------------------
+# group_corr — exact-moment Pearson correlation per group
+# --------------------------------------------------------------------------
+
+def q_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between order date and order value per
+    priority segment — the companion to ``group_linear_fit``: same five
+    algebraic moments plus Σy², one final float expression. corr =
+    (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²)), published in
+    micro-units.
+
+    Exactness: moments are DECIMAL(38,0)-exact; the final expression
+    casts each exact integer to double and applies √ and ÷ in a fixed
+    tree — IEEE sqrt/div are correctly-rounded, so identical inputs
+    give identical bits in both engines. The two sqrts multiply AS
+    DOUBLES deliberately: d₁·d₂ as integers can reach 10⁴⁶ and
+    overflow even decimal(38) — √ first keeps every intermediate in
+    range (documented trade, same answer both engines).
+
+    Scale shape: identical to ``group_linear_fit`` — one combinable
+    groupBy, no window, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    m = pts.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    return m.select(
+        "grp",
+        "n",
+        F.expr(
+            "CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+            " * 1000000) AS BIGINT)"
+        ).alias("corr_micro"),
+    )
+
+
+ORACLE_GROUP_CORR = """
+    WITH pts AS (
+        SELECT o_orderpriority AS grp,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS x,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ), m AS (
+        SELECT grp, COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x * y AS HUGEINT)) AS sxy,
+               SUM(CAST(x * x AS HUGEINT)) AS sxx,
+               SUM(CAST(y * y AS HUGEINT)) AS syy
+        FROM pts GROUP BY grp
+    )
+    SELECT grp, n,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS corr_micro
+    FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# funnel_time_bounded — windowFunnel-style time-constrained conversion
+# --------------------------------------------------------------------------
+
+FUNNEL_WINDOW_US = 30 * 60 * 1_000_000  # each step within 30 min of the last
+
+
+def q_funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel (the ClickHouse
+    ``windowFunnel`` semantic): view → click within 30 min of the most
+    recent view → purchase within 30 min of a qualified click. The
+    unbounded funnel (``event_funnel``) answers "did they ever
+    convert?"; this answers "did they convert IN SESSION?" — the number
+    product analytics actually reports, because a purchase three weeks
+    after a click is not that click's conversion.
+
+    Mechanics: one pass per user in time order. A running conditional
+    max over a RANGE window (unbounded-preceding to −1 µs) carries the
+    latest strictly-earlier view instant; a click qualifies iff that
+    carry is within the window. A second identical carry over qualified
+    clicks gates purchases. "Exists a qualified step-k−1 event in
+    [t−W, t)" ⟺ "latest strictly-earlier qualified instant ≥ t−W", so
+    each stage is ONE windowed max, not an inequality join. The RANGE
+    frame (not ROWS) makes same-instant events invisible to each other,
+    so strict ordering holds under timestamp ties by construction.
+
+    Exactness: all comparisons on integer microseconds.
+
+    Scale shape: ONE user_id shuffle; both carries and the final
+    per-user rollup share the same window partitioning (single sort, no
+    re-exchange) — the same one-pass discipline as ``event_funnel``,
+    with the time bound folded into the carried expression instead of a
+    per-stage join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", epoch_us(F.col("ts")).alias("t_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("t_us"))
+    ).over(w)
+    is_qclick = (
+        (F.col("event_type") == "click")
+        & last_view.isNotNull()
+        & (F.col("t_us") - last_view <= FUNNEL_WINDOW_US)
+    )
+    staged = e.select(
+        "user_id",
+        "event_type",
+        "t_us",
+        F.when(is_qclick, F.col("t_us")).alias("qclick_us"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    last_qclick = F.max("qclick_us").over(w2)
+    is_qpurchase = (
+        (F.col("event_type") == "purchase")
+        & last_qclick.isNotNull()
+        & (F.col("t_us") - last_qclick <= FUNNEL_WINDOW_US)
+    )
+    flagged = staged.select(
+        "user_id",
+        "event_type",
+        "qclick_us",
+        F.when(is_qpurchase, F.col("t_us")).alias("qpurchase_us"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n_views"
+        ),
+        F.count("qclick_us").alias("n_qclicks"),
+        F.min("qpurchase_us").alias("first_conv_us"),
+        F.max(
+            F.when(F.col("qpurchase_us").isNotNull(), 1).otherwise(0)
+        ).alias("converted"),
+    )
+
+
+ORACLE_FUNNEL_TIME_BOUNDED = f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events
+    ), staged AS (
+        SELECT user_id, event_type, t_us,
+               CASE WHEN event_type = 'click'
+                         AND MAX(CASE WHEN event_type = 'view' THEN t_us END)
+                             OVER w IS NOT NULL
+                         AND t_us - MAX(CASE WHEN event_type = 'view' THEN t_us END)
+                             OVER w <= {FUNNEL_WINDOW_US}
+                    THEN t_us END AS qclick_us
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), flagged AS (
+        SELECT user_id, event_type, qclick_us,
+               CASE WHEN event_type = 'purchase'
+                         AND MAX(qclick_us) OVER w2 IS NOT NULL
+                         AND t_us - MAX(qclick_us) OVER w2 <= {FUNNEL_WINDOW_US}
+                    THEN t_us END AS qpurchase_us
+        FROM staged
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY t_us
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_views,
+           COUNT(qclick_us) AS n_qclicks,
+           MIN(qpurchase_us) AS first_conv_us,
+           CAST(MAX(CASE WHEN qpurchase_us IS NOT NULL THEN 1 ELSE 0 END)
+                AS INTEGER) AS converted
+    FROM flagged GROUP BY user_id
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -1942,6 +2278,10 @@ QUERIES = {
     "cdc_apply": q_cdc_apply,
     "table_checksum_blocks": q_table_checksum_blocks,
     "group_linear_fit": q_group_linear_fit,
+    "key_skew_audit": q_key_skew_audit,
+    "join_strategy_advisor": q_join_strategy_advisor,
+    "group_corr": q_group_corr,
+    "funnel_time_bounded": q_funnel_time_bounded,
 }
 
 ORACLE = {
@@ -1968,4 +2308,8 @@ ORACLE = {
     "cdc_apply": ORACLE_CDC_APPLY,
     "table_checksum_blocks": ORACLE_TABLE_CHECKSUM,
     "group_linear_fit": ORACLE_GROUP_LINEAR_FIT,
+    "key_skew_audit": ORACLE_KEY_SKEW,
+    "join_strategy_advisor": ORACLE_JOIN_ADVISOR,
+    "group_corr": ORACLE_GROUP_CORR,
+    "funnel_time_bounded": ORACLE_FUNNEL_TIME_BOUNDED,
 }

@@ -29,6 +29,8 @@ from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.operators.checkpoint import (
     CheckpointGenerations,
+    persistent_rdd_ids,
+    release_rdds,
 )
 from imperio_patitas_etl_spark.sources.parquet import load_table
 
@@ -1074,8 +1076,21 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    sym = sym.persist()
-    gens = CheckpointGenerations(docs.sparkSession)
+    # The edge relation is read EVERY round, so it must be materialized
+    # BEFORE generation tracking starts — as a localCheckpoint, not a
+    # persist(): a lazy .persist() cache first registers its RDD during
+    # round 1's checkpoint job, gets attributed to that generation by
+    # CheckpointGenerations.mark(), and is unpersisted mid-loop by
+    # release_previous() — after which every later round (and, via
+    # CacheManager plan-matching, every later CALL in the session)
+    # recomputes the full edge pipeline per round. Measured: the second
+    # dup_clusters run in one session degraded 8 s → 23 s under the
+    # persist() variant; checkpointing first holds both runs at ~8 s.
+    spark = docs.sparkSession
+    _before_sym = persistent_rdd_ids(spark)
+    sym = sym.localCheckpoint()
+    _sym_ids = persistent_rdd_ids(spark) - _before_sym
+    gens = CheckpointGenerations(spark)
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     gens.mark()
     prev_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
@@ -1104,7 +1119,10 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
         prev_sum = cur_sum
     else:
         raise RuntimeError(f"connected_components did not converge in {CC_MAX_ITERS} rounds")
-    sym.unpersist()
+    # the returned plan reads only the final labels checkpoint — the edge
+    # blocks are dead here (df.unpersist() is a no-op on a checkpointed
+    # frame; the block-id release is the real free)
+    release_rdds(spark, _sym_ids)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

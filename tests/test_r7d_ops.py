@@ -244,3 +244,103 @@ def test_group_linear_fit_matches_exact_python(spark, sf_dir):
         assert r.slope_microcents_per_day == slope
         assert r.mean_x_day == sx // n
         assert r.mean_y_cents == sy // n
+
+
+def test_key_skew_audit_ranks_and_shares(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        SKEW_TOP,
+        q_key_skew_audit,
+    )
+
+    rows = sorted(q_key_skew_audit(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, min(SKEW_TOP, len(rows)) + 1))
+    # counts descend, cumulative share is the running sum and monotone
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    run = 0
+    for r in rows:
+        assert r.share_bp == r.cnt * 10000 // r.total_rows
+        run += r.share_bp
+        assert r.cum_share_bp == run
+    # the rank-1 key really is the hottest key in the raw relation
+    e = load_table(spark, sf_dir, "events")
+    true_top = (
+        e.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()
+    )
+    assert rows[0].user_id == true_top.user_id
+    assert rows[0].cnt == true_top["count"]
+
+
+def test_join_strategy_advisor_rule_consistency(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        ADVISOR_BROADCAST_MAX_ROWS,
+        ADVISOR_SKEW_BP,
+        q_join_strategy_advisor,
+    )
+
+    r = q_join_strategy_advisor(spark, sf_dir).collect()[0]
+    assert r.max_key_share_bp == r.max_key_rows * 10000 // r.n_probe_rows
+    if r.n_build_rows <= ADVISOR_BROADCAST_MAX_ROWS:
+        expect = "broadcast"
+    elif r.max_key_share_bp >= ADVISOR_SKEW_BP:
+        expect = "salted_shuffle"
+    else:
+        expect = "sort_merge"
+    assert r.recommendation == expect
+
+
+def test_group_corr_bounded_and_sign_matches_slope(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        q_group_corr,
+        q_group_linear_fit,
+    )
+
+    corr = {r.grp: r for r in q_group_corr(spark, sf_dir).collect()}
+    fit = {r.grp: r for r in q_group_linear_fit(spark, sf_dir).collect()}
+    assert set(corr) == set(fit)
+    for grp, r in corr.items():
+        assert -1_000_000 <= r.corr_micro <= 1_000_000
+        s = fit[grp].slope_microcents_per_day
+        # same numerator => same sign (zero slope can round either way)
+        if abs(r.corr_micro) > 5 and abs(s) > 5:
+            assert (r.corr_micro > 0) == (s > 0)
+
+
+def test_funnel_time_bounded_matches_bruteforce(spark, sf_dir):
+    """Per-user brute-force replay of the windowFunnel semantic:
+    a click qualifies iff some strictly-earlier view is within W; a
+    purchase converts iff some strictly-earlier qualified click is
+    within W. Same-instant events must NOT see each other."""
+    from imperio_patitas_etl_spark.functions.cleaning import epoch_us
+    from imperio_patitas_etl_spark.queries.analytics import (
+        FUNNEL_WINDOW_US,
+        q_funnel_time_bounded,
+    )
+
+    got = {r.user_id: r for r in q_funnel_time_bounded(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", epoch_us(F.col("ts")).alias("t"))
+        .collect()
+    )
+    byu: dict[int, list] = {}
+    for r in ev:
+        byu.setdefault(r.user_id, []).append((r.t, r.event_type))
+    for uid, evs in byu.items():
+        evs.sort()
+        views = [t for t, k in evs if k == "view"]
+        qclicks = []
+        for t, k in evs:
+            if k == "click" and any(v < t <= v + FUNNEL_WINDOW_US for v in views):
+                qclicks.append(t)
+        convs = [
+            t
+            for t, k in evs
+            if k == "purchase"
+            and any(c < t <= c + FUNNEL_WINDOW_US for c in qclicks)
+        ]
+        r = got[uid]
+        assert r.n_views == len(views)
+        assert r.n_qclicks == len(qclicks)
+        assert r.converted == (1 if convs else 0)
+        assert r.first_conv_us == (min(convs) if convs else None)
