@@ -127,6 +127,9 @@ HEADLINE = [
     "join_strategy_advisor",
     "group_corr",
     "funnel_time_bounded",
+    # r7h robust-stats/experimentation tier
+    "trimmed_mean",
+    "ab_test_summary",
 ]
 
 

@@ -113,7 +113,15 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # r7g (newest): the time-bounded windowFunnel — rule (a). Its slot
+    # r7h (newest): the rank-based trimmed mean and the hash-split A/B
+    # readout — rule (a). Their slots displace scd2_incremental and
+    # scd2_asof_lookup: both pinned by dedicated property tests
+    # (tests/test_analytics_ops.py: incremental-equals-rebuild against
+    # the in-window scd2_history anchor; asof-covers-every-fact),
+    # unchanged since early r7, green in every full sweep this round.
+    "trimmed_mean",
+    "ab_test_summary",
+    # r7g: the time-bounded windowFunnel — rule (a). Its slot
     # displaces event_funnel: the UNBOUNDED funnel sibling, pinned by
     # the dedicated tie-sensitivity pytest (day-truncated same-instant
     # injection) and green in every full sweep this round; the bounded
@@ -204,9 +212,7 @@ _R7_FRONT = (
     "scd2_history",
     "retention_cohorts",
     "bloom_prefilter_join",
-    "scd2_asof_lookup",
     "cm_sketch_topk",
-    "scd2_incremental",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -236,6 +242,8 @@ _R7_FRONT = (
 # (limit/sort_limit/count_star/count_by_flag/groupby_avg/
 # exists_any_agg) defer to r8 the same way.
 _R7_NEXT = (
+    "scd2_incremental",
+    "scd2_asof_lookup",
     "event_funnel",
     "pack_sequences",
     "span_dedup",

@@ -2254,6 +2254,199 @@ ORACLE_FUNNEL_TIME_BOUNDED = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# trimmed_mean — robust per-group aggregate (5% two-sided trim)
+# --------------------------------------------------------------------------
+
+TRIM_PCT = 5
+
+
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{TRIM_PCT}%-trimmed mean of order value per priority — the robust
+    location metric dashboards switch to when a few whale orders drag
+    the plain mean: drop the lowest and highest {TRIM_PCT}% of rows per
+    group BY RANK, average the rest. Rank-based trim (type-1, floor) is
+    exactly reproducible, unlike quantile-threshold trims whose
+    interpolation differs per engine.
+
+    Exactness: ranks are integers from a unique total order (cents,
+    orderkey tie-break); the trim bounds are integral ``div`` on exact
+    counts; the mean publishes as micro-cents via one integral
+    division. No floats.
+
+    Scale shape: one groupBy-count joined back (broadcast — group count
+    is tiny), one rank window per group, one combinable sum — the same
+    single-shuffle discipline as ``group_quantiles_exact``; at extreme
+    group sizes the rank window swaps to the prefix-sum scan exactly as
+    that query documents."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        "o_orderkey",
+    )
+    sizes = pts.groupBy("grp").agg(F.count("*").alias("n_total"))
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    ranked = (
+        pts.withColumn("rnk", F.row_number().over(w))
+        .join(F.broadcast(sizes), "grp")
+        .withColumn("k", F.expr(f"n_total * {TRIM_PCT} div 100"))
+    )
+    kept = ranked.filter(
+        (F.col("rnk") > F.col("k")) & (F.col("rnk") <= F.col("n_total") - F.col("k"))
+    )
+    return kept.groupBy("grp").agg(
+        F.max("n_total").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        # Σcents·10⁶ passes 2⁶³ near 10⁷ rows/group — widen before scaling
+        F.expr(
+            "CAST(CAST(SUM(cents) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("trimmed_mean_microcents"),
+    )
+
+
+ORACLE_TRIMMED_MEAN = f"""
+    WITH pts AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), ranked AS (
+        SELECT grp, cents,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY cents, o_orderkey) AS rnk,
+               COUNT(*) OVER (PARTITION BY grp) AS n_total
+        FROM pts
+    ), kept AS (
+        SELECT grp, cents, n_total,
+               n_total * {TRIM_PCT} // 100 AS k
+        FROM ranked
+        WHERE rnk > n_total * {TRIM_PCT} // 100
+          AND rnk <= n_total - n_total * {TRIM_PCT} // 100
+    )
+    SELECT grp, CAST(MAX(n_total) AS BIGINT) AS n_total,
+           COUNT(*) AS n_kept,
+           CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT)
+               AS trimmed_mean_microcents
+    FROM kept GROUP BY grp
+"""
+
+
+# --------------------------------------------------------------------------
+# ab_test_summary — deterministic experiment split + welch-style SE
+# --------------------------------------------------------------------------
+
+AB_SALT = "exp1_"
+
+
+def q_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B-test readout over the events stream: users split 50/50 by
+    the shared md5 hash (salted, so re-salting reruns the experiment),
+    the metric is total event value per user, and the output is one row
+    per variant with n, mean, variance — plus the treatment-control
+    mean difference and its Welch standard error on the variant-1 row,
+    everything a z-test needs. Hash-based assignment is THE way to
+    randomize at 100 TB: no assignment table, no join — membership
+    recomputes anywhere from the user id.
+
+    Exactness: per-user metric sums in integer micro-value-units; n,
+    Σx, Σx² per variant in DECIMAL(38,0); mean publishes by integral
+    div; the sample variance and Welch SE are fixed-tree doubles over
+    exact integers (÷ and √ are correctly-rounded IEEE ops, identical
+    both engines).
+
+    Scale shape: one user-level combinable aggregate (the metric), one
+    two-row variant aggregate, one broadcast self-join to place the
+    difference column — nothing data-sized after the first groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr("CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)").alias(
+                "metric_units"
+            )
+        )
+        .select(
+            F.expr(
+                f"{_MD5INT.format(x=repr(AB_SALT) + ' || CAST(user_id AS STRING)')} % 2"
+            ).alias("variant"),
+            "metric_units",
+        )
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("metric_units").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("metric_units").cast("decimal(38,0)") * F.col("metric_units")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+    )
+    stats = per_variant.select(
+        "variant",
+        "n_users",
+        F.expr("CAST(sx div n_users AS BIGINT)").alias("mean_units"),
+        # sample variance: (n·Σx² − (Σx)²) / (n·(n−1)), exact ints → double
+        F.expr(
+            "CAST(n_users * sxx - sx * sx AS DOUBLE)"
+            " / CAST(n_users AS DOUBLE) / CAST(n_users - 1 AS DOUBLE)"
+        ).alias("var_units2"),
+    )
+    a = stats.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"),
+        F.col("mean_units").alias("mean0"),
+        F.col("var_units2").alias("var0"),
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n1"),
+        F.col("mean_units").alias("mean1"),
+        F.col("var_units2").alias("var1"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n0",
+        "n1",
+        "mean0",
+        "mean1",
+        (F.col("mean1") - F.col("mean0")).alias("diff_units"),
+        F.expr(
+            "CAST(ROUND(sqrt(var0 / CAST(n0 AS DOUBLE)"
+            " + var1 / CAST(n1 AS DOUBLE))) AS BIGINT)"
+        ).alias("welch_se_units"),
+    )
+
+
+ORACLE_AB_TEST = f"""
+    WITH per_user AS (
+        SELECT {_sql_md5int(repr(AB_SALT) + " || CAST(user_id AS VARCHAR)")} % 2
+                   AS variant,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS metric_units
+        FROM events GROUP BY user_id
+    ), per_variant AS (
+        SELECT variant, COUNT(*) AS n_users,
+               SUM(CAST(metric_units AS HUGEINT)) AS sx,
+               SUM(CAST(metric_units AS HUGEINT) * metric_units) AS sxx
+        FROM per_user GROUP BY variant
+    ), stats AS (
+        SELECT variant, n_users,
+               CAST(sx // n_users AS BIGINT) AS mean_units,
+               CAST(n_users * sxx - sx * sx AS DOUBLE)
+                   / CAST(n_users AS DOUBLE) / CAST(n_users - 1 AS DOUBLE)
+                   AS var_units2
+        FROM per_variant
+    )
+    SELECT a.n_users AS n0, b.n_users AS n1,
+           a.mean_units AS mean0, b.mean_units AS mean1,
+           b.mean_units - a.mean_units AS diff_units,
+           CAST(ROUND(sqrt(b.var_units2 / CAST(b.n_users AS DOUBLE)
+                           + a.var_units2 / CAST(a.n_users AS DOUBLE)))
+                AS BIGINT) AS welch_se_units
+    FROM (SELECT * FROM stats WHERE variant = 0) a
+    CROSS JOIN (SELECT * FROM stats WHERE variant = 1) b
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -2282,6 +2475,8 @@ QUERIES = {
     "join_strategy_advisor": q_join_strategy_advisor,
     "group_corr": q_group_corr,
     "funnel_time_bounded": q_funnel_time_bounded,
+    "trimmed_mean": q_trimmed_mean,
+    "ab_test_summary": q_ab_test_summary,
 }
 
 ORACLE = {
@@ -2312,4 +2507,6 @@ ORACLE = {
     "join_strategy_advisor": ORACLE_JOIN_ADVISOR,
     "group_corr": ORACLE_GROUP_CORR,
     "funnel_time_bounded": ORACLE_FUNNEL_TIME_BOUNDED,
+    "trimmed_mean": ORACLE_TRIMMED_MEAN,
+    "ab_test_summary": ORACLE_AB_TEST,
 }

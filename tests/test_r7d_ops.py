@@ -344,3 +344,69 @@ def test_funnel_time_bounded_matches_bruteforce(spark, sf_dir):
         assert r.n_qclicks == len(qclicks)
         assert r.converted == (1 if convs else 0)
         assert r.first_conv_us == (min(convs) if convs else None)
+
+
+def test_trimmed_mean_matches_python(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        TRIM_PCT,
+        q_trimmed_mean,
+    )
+
+    got = {r.grp: r for r in q_trimmed_mean(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
+        "o_orderkey",
+    ).collect()
+    groups: dict[str, list] = {}
+    for r in rows:
+        groups.setdefault(r.grp, []).append((r.cents, r.o_orderkey))
+    for grp, pts in groups.items():
+        pts.sort()
+        n = len(pts)
+        k = n * TRIM_PCT // 100
+        kept = [c for c, _ in pts[k : n - k]]
+        r = got[grp]
+        assert r.n_total == n
+        assert r.n_kept == n - 2 * k
+        assert r.trimmed_mean_microcents == sum(kept) * 1_000_000 // len(kept)
+        # robustness direction: the trim removes tail mass symmetrically
+        assert min(kept) >= pts[0][0] and max(kept) <= pts[-1][0]
+
+
+def test_ab_test_summary_exact_moments(spark, sf_dir):
+    import math
+
+    from imperio_patitas_etl_spark.queries.analytics import (
+        AB_SALT,
+        q_ab_test_summary,
+    )
+
+    row = q_ab_test_summary(spark, sf_dir).collect()[0]
+    # recompute assignment + moments in Python
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.expr("CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)").alias("m"))
+        .selectExpr(
+            f"{_MD5INT.format(x=repr(AB_SALT) + ' || CAST(user_id AS STRING)')} % 2"
+            " AS variant",
+            "m",
+        )
+        .collect()
+    )
+    for v, (n_k, mean_k) in {0: ("n0", "mean0"), 1: ("n1", "mean1")}.items():
+        xs = [r.m for r in ev if r.variant == v]
+        assert row[n_k] == len(xs)
+        assert row[mean_k] == sum(xs) // len(xs)
+    assert row.diff_units == row.mean1 - row.mean0
+    # Welch SE from exact moments
+    def var(xs):
+        n, sx = len(xs), sum(xs)
+        sxx = sum(x * x for x in xs)
+        return (n * sxx - sx * sx) / n / (n - 1)
+
+    xs0 = [r.m for r in ev if r.variant == 0]
+    xs1 = [r.m for r in ev if r.variant == 1]
+    se = math.sqrt(var(xs0) / len(xs0) + var(xs1) / len(xs1))
+    assert abs(row.welch_se_units - se) <= 1
