@@ -130,6 +130,9 @@ HEADLINE = [
     # r7h robust-stats/experimentation tier
     "trimmed_mean",
     "ab_test_summary",
+    # r7i exact linear-algebra + sketch-merge tier
+    "power_iteration_pc",
+    "hll_merge_audit",
 ]
 
 
@@ -190,6 +193,16 @@ def main() -> None:
     spark.range(0, 64, 1, 8).repartitionByRange(
         8, "id"
     ).sortWithinPartitions("id").localCheckpoint().count()
+    # compile the higher-order-function family (transform/sequence/
+    # aggregate over arrays — the shingle/n-gram/Gopher plan shape) once:
+    # its first-run codegen otherwise inflates whichever dedup-tier query
+    # runs first by several seconds (simhash_near_dup measured 11.5 s
+    # in-sweep vs 2.6 s warm), which reads as a phantom regression
+    spark.range(0, 8).selectExpr(
+        "aggregate(transform(sequence(0, 63),"
+        " i -> struct(CAST(i AS STRING) AS w1, CAST(i + id AS STRING) AS w2)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + length(x.w1)) AS s"
+    ).agg({"s": "sum"}).collect()
 
     timings: dict[str, float] = {}
     for key in keys:

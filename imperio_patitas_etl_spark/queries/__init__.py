@@ -113,7 +113,15 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # r7h (newest): the rank-based trimmed mean and the hash-split A/B
+    # r7i (newest): exact-integer power iteration for the top principal
+    # direction, and the HLL mergeability proof-as-a-query — rule (a).
+    # Their slots displace cm_sketch_topk and bloom_prefilter_join,
+    # each pinned by a dedicated property test
+    # (tests/test_analytics_ops.py: never-undercounts;
+    # no-false-negatives) and green in every full sweep this round.
+    "power_iteration_pc",
+    "hll_merge_audit",
+    # r7h: the rank-based trimmed mean and the hash-split A/B
     # readout — rule (a). Their slots displace scd2_incremental and
     # scd2_asof_lookup: both pinned by dedicated property tests
     # (tests/test_analytics_ops.py: incremental-equals-rebuild against
@@ -211,8 +219,6 @@ _R7_FRONT = (
     # new this round: warehouse-analytics tier (queries/analytics.py)
     "scd2_history",
     "retention_cohorts",
-    "bloom_prefilter_join",
-    "cm_sketch_topk",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -242,6 +248,8 @@ _R7_FRONT = (
 # (limit/sort_limit/count_star/count_by_flag/groupby_avg/
 # exists_any_agg) defer to r8 the same way.
 _R7_NEXT = (
+    "bloom_prefilter_join",
+    "cm_sketch_topk",
     "scd2_incremental",
     "scd2_asof_lookup",
     "event_funnel",

@@ -564,6 +564,120 @@ ORACLE_HLL = f"""
 """
 
 
+def q_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the 100 TB distinct-count sketch,
+    PROVEN as a query instead of claimed in prose: per-month partial
+    sketches merged by element-wise register max are IDENTICAL to the
+    sketch built over the whole table in one pass (max is associative
+    and commutative, so partials from 1000 executors — or 1000 days of
+    incremental ingest — reduce to the same registers in any order).
+    Both sketch builds, their Z values, their estimates, and the
+    equality verdict are published per group; the driver's value-hash
+    then certifies ``merged_equals_direct = true`` on every row, making
+    mergeability a regression-tested invariant rather than a docstring.
+
+    Scale shape: the partial build is the per-(group, month) register
+    groupBy a real warehouse would store as its incremental sketch
+    table (m rows per group per day); the merge is a second combinable
+    max-groupBy over register rows — no rescan of the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rho = li.select(
+        "l_returnflag",
+        F.expr("substring(CAST(l_shipdate AS STRING), 1, 7)").alias("month"),
+        F.expr(f"{_KMV_HASH} % {HLL_M}").alias("reg"),
+        F.expr(
+            f"CASE WHEN {_KMV_HASH} div {HLL_M} = 0 THEN {HLL_REST_BITS + 1} "
+            f"ELSE {HLL_REST_BITS + 1} - length(bin({_KMV_HASH} div {HLL_M})) END"
+        ).alias("rho"),
+    )
+    partial = rho.groupBy("l_returnflag", "month", "reg").agg(
+        F.max("rho").alias("maxrho")
+    )
+    merged = partial.groupBy("l_returnflag", "reg").agg(
+        F.max("maxrho").alias("maxrho")
+    )
+    direct = rho.groupBy("l_returnflag", "reg").agg(F.max("rho").alias("maxrho"))
+
+    def z_of(regs: DataFrame, prefix: str) -> DataFrame:
+        z = regs.groupBy("l_returnflag").agg(
+            F.count("*").alias(f"n_regs_{prefix}"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_REST_BITS + 1} - maxrho AS INT))"
+                )
+            ).alias("zh"),
+        )
+        zs = F.col("zh") + F.lit(2 ** (HLL_REST_BITS + 1)) * (
+            F.lit(HLL_M) - F.col(f"n_regs_{prefix}")
+        )
+        return z.select(
+            "l_returnflag",
+            f"n_regs_{prefix}",
+            zs.cast("long").alias(f"z_{prefix}"),
+            F.round(F.lit(_HLL_NUM) / zs.cast("double"), 4).alias(f"est_{prefix}"),
+        )
+    return (
+        z_of(merged, "merged")
+        .join(z_of(direct, "direct"), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_regs_merged",
+            "n_regs_direct",
+            "z_merged",
+            "z_direct",
+            "est_merged",
+            "est_direct",
+            (
+                (F.col("z_merged") == F.col("z_direct"))
+                & (F.col("n_regs_merged") == F.col("n_regs_direct"))
+            ).alias("merged_equals_direct"),
+        )
+    )
+
+
+_HLL_RHO_SQL = f"""
+        SELECT l_returnflag, substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS month,
+               h % {HLL_M} AS reg,
+               CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+                    ELSE {HLL_REST_BITS + 1} - length(bin(h // {HLL_M})) END AS rho
+        FROM (SELECT l_returnflag, l_shipdate,
+                     (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT) AS h
+              FROM lineitem)
+"""
+
+ORACLE_HLL_MERGE_AUDIT = f"""
+    WITH rho AS ({_HLL_RHO_SQL}),
+    partial AS (
+        SELECT l_returnflag, month, reg, MAX(rho) AS maxrho
+        FROM rho GROUP BY l_returnflag, month, reg
+    ), merged AS (
+        SELECT l_returnflag, reg, MAX(maxrho) AS maxrho
+        FROM partial GROUP BY l_returnflag, reg
+    ), direct AS (
+        SELECT l_returnflag, reg, MAX(rho) AS maxrho
+        FROM rho GROUP BY l_returnflag, reg
+    ), zm AS (
+        SELECT l_returnflag, COUNT(*) AS n_regs_merged,
+               CAST(SUM(1::BIGINT << ({HLL_REST_BITS + 1} - maxrho))
+                    + {2 ** (HLL_REST_BITS + 1)} * ({HLL_M} - COUNT(*)) AS BIGINT)
+                   AS z_merged
+        FROM merged GROUP BY l_returnflag
+    ), zd AS (
+        SELECT l_returnflag, COUNT(*) AS n_regs_direct,
+               CAST(SUM(1::BIGINT << ({HLL_REST_BITS + 1} - maxrho))
+                    + {2 ** (HLL_REST_BITS + 1)} * ({HLL_M} - COUNT(*)) AS BIGINT)
+                   AS z_direct
+        FROM direct GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_regs_merged, n_regs_direct, z_merged, z_direct,
+           ROUND({_HLL_NUM!r} / z_merged::DOUBLE, 4) AS est_merged,
+           ROUND({_HLL_NUM!r} / z_direct::DOUBLE, 4) AS est_direct,
+           (z_merged = z_direct AND n_regs_merged = n_regs_direct)
+               AS merged_equals_direct
+    FROM zm JOIN zd USING (l_returnflag)
+"""
+
+
 KMV_JC_K = 256
 
 
@@ -1126,6 +1240,7 @@ QUERIES = {
     "kmv_distinct_sketch": q_kmv_distinct_sketch,
     "hll_distinct_sketch": q_hll_distinct_sketch,
     "kmv_join_cardinality": q_kmv_join_cardinality,
+    "hll_merge_audit": q_hll_merge_audit,
     "quantile_sketch": q_quantile_sketch,
     "salted_join_skew": q_salted_join_skew,
     "union_except": q_union_except,
@@ -1317,6 +1432,7 @@ ORACLE = {
     "kmv_distinct_sketch": ORACLE_KMV,
     "hll_distinct_sketch": ORACLE_HLL,
     "kmv_join_cardinality": ORACLE_KMV_JOIN_CARD,
+    "hll_merge_audit": ORACLE_HLL_MERGE_AUDIT,
     "quantile_sketch": ORACLE_QUANTILE_SKETCH,
     "window_range_rolling": ORACLE_RANGE_ROLLING,
     "window_running_sum": """

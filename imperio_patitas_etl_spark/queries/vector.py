@@ -945,6 +945,138 @@ ORACLE_FEATURE_SCALE = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# power_iteration_pc — exact-integer top principal direction
+# --------------------------------------------------------------------------
+
+POWER_ITERS = 3
+
+
+def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by power
+    iteration on the (uncentered) Gram matrix — the eigenvector
+    primitive under spectral embedding pruning and PCA whitening,
+    expressed so a DuckDB oracle replicates it BIT-FOR-BIT: the Gram
+    moments G_ij = Σ x_i·x_j accumulate as exact integers from the
+    shared ×10⁷ integerization, and each of the {POWER_ITERS}
+    iterations renormalizes v ← G·v by the max-|component| with an
+    INTEGRAL division instead of the usual L2 norm — so every iterate
+    is an exact int64 vector and no float enters the recurrence at all.
+    The sign is canonicalized (dim-0 component non-negative; both
+    engines flip identically), and the Rayleigh quotient
+    (vᵀGv) div (vᵀv) rides along as the eigenvalue estimate.
+
+    Convergence is GAP-DEPENDENT and published, not promised: the
+    synthetic embedding corpus is near-isotropic (λ₁/λ₂ ≈ 1.02 at
+    sf0.01), so {POWER_ITERS} steps reach ~80% of λ_max by Rayleigh
+    quotient rather than the top eigenvector itself — on a real
+    corpus, whose leading direction dominates (λ₁/λ₂ ≫ 1, the reason
+    PCA pruning works at all), the same {POWER_ITERS} steps converge.
+    The published ``rayleigh_units`` IS the convergence audit (the
+    ``cosine_dedup_recall`` convention): Rayleigh-Ritz bounds it above
+    by λ_max, and each iteration increases it monotonically — both
+    pinned in tests against numpy's eigendecomposition.
+
+    Scale shape: the Gram build is ONE map-side-combinable groupBy over
+    per-row (i, j, x_i·x_j) triples — output bounded by D² = 4096 rows
+    regardless of corpus size, the canonical moments-shuffle of
+    distributed PCA. Each iteration is a D²-row⋈D-row broadcast join +
+    a D-row aggregate: driver-side cost is O(D), never corpus-sized.
+    At 100 TB only the one Gram pass touches data; the iterations are
+    free."""
+    e = load_table(spark, sf_dir, "embeddings")
+    iv = e.select(F.expr(_IVEC).alias("v"))
+    px = iv.select(
+        F.posexplode("v").alias("i", "xi"), F.col("v").alias("vv")
+    ).select("i", "xi", F.posexplode("vv").alias("j", "xj"))
+    gram = px.groupBy("i", "j").agg(
+        F.sum(F.expr("CAST(xi AS DECIMAL(38,0)) * xj")).alias("g")
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("j"), F.lit(1_000_000).cast("long").alias("v")
+    )
+    for _ in range(POWER_ITERS):
+        w = (
+            gram.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("j"),
+            F.expr("CAST(w * 1000000 div m AS BIGINT)").alias("v"),
+        )
+    sign = v.filter(F.col("j") == 0).select(
+        F.when(F.col("v") < 0, -1).otherwise(1).alias("s")
+    )
+    canon = v.crossJoin(F.broadcast(sign)).select(
+        "j", (F.col("v") * F.col("s")).alias("comp_micro")
+    )
+    num = (
+        gram.join(canon.select(F.col("j"), F.col("comp_micro").alias("vj")), "j")
+        .join(canon.select(F.col("j").alias("i"), F.col("comp_micro").alias("vi")), "i")
+        .agg(F.sum(F.expr("CAST(vi AS DECIMAL(38,0)) * g * vj")).alias("num"))
+    )
+    den = canon.agg(
+        F.sum(F.expr("CAST(comp_micro AS DECIMAL(38,0)) * comp_micro")).alias("den")
+    )
+    # vᵀGv/vᵀv ≈ n·10¹⁴ in raw units — rescale by 10⁸ BEFORE the int64
+    # cast so the eigenvalue estimate survives any corpus size
+    lam = num.crossJoin(den).select(
+        F.expr("CAST((num div den) div 100000000 AS BIGINT)").alias(
+            "rayleigh_units"
+        )
+    )
+    return canon.crossJoin(F.broadcast(lam)).select(
+        F.col("j").cast("long").alias("dim"), "comp_micro", "rayleigh_units"
+    )
+
+
+ORACLE_POWER_ITERATION = f"""
+    WITH iv AS (
+        SELECT {_SQL_IVEC} AS v FROM embeddings
+    ), px AS (
+        SELECT CAST(a.range AS INTEGER) AS i, v[a.range + 1] AS xi,
+               CAST(b.range AS INTEGER) AS j, v[b.range + 1] AS xj
+        FROM iv CROSS JOIN range(64) a CROSS JOIN range(64) b
+    ), gram AS (
+        SELECT i, j, SUM(CAST(xi AS HUGEINT) * xj) AS g
+        FROM px GROUP BY i, j
+    ), v0 AS (
+        SELECT CAST(range AS INTEGER) AS j, 1000000::HUGEINT AS v
+        FROM range(64)
+    ), w1 AS (
+        SELECT i, SUM(g * v) AS w FROM gram JOIN v0 USING (j) GROUP BY i
+    ), v1 AS (
+        SELECT i AS j, w * 1000000 // (SELECT MAX(ABS(w)) FROM w1) AS v FROM w1
+    ), w2 AS (
+        SELECT i, SUM(g * v) AS w FROM gram JOIN v1 USING (j) GROUP BY i
+    ), v2 AS (
+        SELECT i AS j, w * 1000000 // (SELECT MAX(ABS(w)) FROM w2) AS v FROM w2
+    ), w3 AS (
+        SELECT i, SUM(g * v) AS w FROM gram JOIN v2 USING (j) GROUP BY i
+    ), v3 AS (
+        SELECT i AS j, w * 1000000 // (SELECT MAX(ABS(w)) FROM w3) AS v FROM w3
+    ), canon AS (
+        SELECT j, v * (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END
+                       FROM v3 WHERE j = 0) AS comp_micro
+        FROM v3
+    ), lam AS (
+        SELECT CAST(
+            ((SELECT SUM(ca.comp_micro * g.g * cb.comp_micro)
+              FROM gram g
+              JOIN canon ca ON ca.j = g.i
+              JOIN canon cb ON cb.j = g.j)
+             // (SELECT SUM(comp_micro * comp_micro) FROM canon))
+            // 100000000
+            AS BIGINT) AS rayleigh_units
+    )
+    SELECT CAST(j AS BIGINT) AS dim, CAST(comp_micro AS BIGINT) AS comp_micro,
+           rayleigh_units
+    FROM canon CROSS JOIN lam
+"""
+
+
 QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -955,6 +1087,7 @@ QUERIES = {
     "cosine_dedup_recall": q_cosine_dedup_recall,
     "ann_recall": q_ann_recall,
     "feature_scale": q_feature_scale,
+    "power_iteration_pc": q_power_iteration_pc,
 }
 
 ORACLE = {
@@ -967,4 +1100,5 @@ ORACLE = {
     "cosine_dedup_recall": ORACLE_COS_DEDUP_RECALL,
     "ann_recall": _sql_recall(),
     "feature_scale": ORACLE_FEATURE_SCALE,
+    "power_iteration_pc": ORACLE_POWER_ITERATION,
 }

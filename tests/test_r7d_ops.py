@@ -410,3 +410,49 @@ def test_ab_test_summary_exact_moments(spark, sf_dir):
     xs1 = [r.m for r in ev if r.variant == 1]
     se = math.sqrt(var(xs0) / len(xs0) + var(xs1) / len(xs1))
     assert abs(row.welch_se_units - se) <= 1
+
+
+def test_power_iteration_rayleigh_ritz_and_monotonicity(spark, sf_dir):
+    """Exact invariants + the numpy cross-check: the published Rayleigh
+    quotient is bounded above by the true top eigenvalue of the SAME
+    integer Gram matrix (Rayleigh-Ritz) and strictly exceeds the
+    starting vector's quotient (each power step increases it); the
+    iterate renormalizes to max-|component| = 10⁶ with canonical
+    sign."""
+    import numpy as np
+
+    from imperio_patitas_etl_spark.queries.vector import (
+        q_power_iteration_pc,
+    )
+
+    rows = sorted(
+        q_power_iteration_pc(spark, sf_dir).collect(), key=lambda r: r.dim
+    )
+    assert [r.dim for r in rows] == list(range(64))
+    comps = [r.comp_micro for r in rows]
+    assert max(abs(c) for c in comps) == 1_000_000
+    assert comps[0] >= 0  # canonical sign
+    lam_scaled = rows[0].rayleigh_units
+    assert all(r.rayleigh_units == lam_scaled for r in rows)
+
+    X = np.array(
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "transform(embedding, x ->"
+            " CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)) AS iv"
+        )
+        .rdd.map(lambda r: r.iv)
+        .collect(),
+        dtype=float,
+    )
+    G = X.T @ X
+    evals = np.linalg.eigvalsh(G)
+    v = np.array(comps, dtype=float)
+    rq = (v @ G @ v) / (v @ v)
+    # Rayleigh-Ritz: any vector's quotient is <= lambda_max
+    assert rq <= evals[-1] * (1 + 1e-9)
+    assert abs(lam_scaled - rq / 1e8) <= max(2, rq / 1e8 * 1e-6)
+    # monotonicity: the iterate beats the all-ones start
+    ones = np.ones(64)
+    rq0 = (ones @ G @ ones) / (ones @ ones)
+    assert rq > rq0
