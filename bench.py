@@ -133,6 +133,9 @@ HEADLINE = [
     # r7i exact linear-algebra + sketch-merge tier
     "power_iteration_pc",
     "hll_merge_audit",
+    # r7j rolling-robust-stats + experiment-health tier
+    "rolling_median_daily",
+    "srm_check",
 ]
 
 

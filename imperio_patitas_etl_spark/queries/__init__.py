@@ -113,7 +113,16 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # r7i (newest): exact-integer power iteration for the top principal
+    # r7j (newest): the exact trailing-30-day rolling median and the
+    # sample-ratio-mismatch χ² health check — rule (a). Their slots
+    # displace retention_cohorts (triangle property test,
+    # tests/test_analytics_ops.py) and bm25_topk (invariants +
+    # controlled-corpus tf test, tests/test_affinity.py), both
+    # unchanged since their waves and green in every full sweep this
+    # round.
+    "rolling_median_daily",
+    "srm_check",
+    # r7i: exact-integer power iteration for the top principal
     # direction, and the HLL mergeability proof-as-a-query — rule (a).
     # Their slots displace cm_sketch_topk and bloom_prefilter_join,
     # each pinned by a dedicated property test
@@ -213,12 +222,10 @@ _R7_FRONT = (
     "item_cooccurrence",
     "pagerank_copurchase",
     "snapshot_diff",
-    "bm25_topk",
     # new this round: the corpus-assembly tier (queries/corpus.py) and
     # the §2.7 pivot/unpivot/histogram extensions (queries/core.py)
     # new this round: warehouse-analytics tier (queries/analytics.py)
     "scd2_history",
-    "retention_cohorts",
     # new or changed this round
     "tpch_q2",
     "tpch_q11",
@@ -248,6 +255,8 @@ _R7_FRONT = (
 # (limit/sort_limit/count_star/count_by_flag/groupby_avg/
 # exists_any_agg) defer to r8 the same way.
 _R7_NEXT = (
+    "retention_cohorts",
+    "bm25_topk",
     "bloom_prefilter_join",
     "cm_sketch_topk",
     "scd2_incremental",

@@ -2447,6 +2447,145 @@ ORACLE_AB_TEST = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# rolling_median_daily — exact trailing-window median per group
+# --------------------------------------------------------------------------
+
+ROLL_MED_DAYS = 30
+
+
+def q_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLL_MED_DAYS}-day median of daily revenue per priority
+    — the robust rolling location metric (rolling MEAN is one whale
+    away from useless). Median is not an algebraic aggregate, so no
+    partial-merge trick exists; the exact rolling form collects the
+    window's values per row. That is affordable HERE because the
+    windowed relation is the DAILY rollup (≤{ROLL_MED_DAYS} values per
+    frame by construction), not the raw fact table — the pre-aggregate
+    is what makes exact rolling medians feasible at any scale, and the
+    frame bound is the documented memory contract.
+
+    Exactness: type-1 (low) median — element (n+1) div 2 of the sorted
+    int64 window, no interpolation, no floats.
+
+    Scale shape: one combinable daily rollup (grp × day rows), then a
+    per-group RANGE window over day numbers — partitions are groups, so
+    the sort is bounded by days-per-group; the collected frame is
+    ≤{ROLL_MED_DAYS} int64s. At 100 TB the daily rollup is the only
+    data-sized pass."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("grp"),
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("day_no"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("grp", "day_no")
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day_no")
+        .rangeBetween(-(ROLL_MED_DAYS - 1), 0)
+    )
+    vals = F.sort_array(F.collect_list("day_cents").over(w))
+    n = F.size(vals)
+    return daily.select(
+        "grp",
+        "day_no",
+        "day_cents",
+        n.cast("long").alias("n_days_in_window"),
+        F.element_at(vals, ((n + 1) / 2).cast("int")).alias(
+            "rolling_median_cents"
+        ),
+    )
+
+
+ORACLE_ROLLING_MEDIAN = f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS grp,
+               CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+                   AS day_no,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM orders GROUP BY 1, 2
+    ), win AS (
+        SELECT grp, day_no, day_cents,
+               list_sort(list(day_cents) OVER (
+                   PARTITION BY grp ORDER BY day_no
+                   RANGE BETWEEN {ROLL_MED_DAYS - 1} PRECEDING AND CURRENT ROW
+               )) AS vals
+        FROM daily
+    )
+    SELECT grp, day_no, day_cents,
+           CAST(len(vals) AS BIGINT) AS n_days_in_window,
+           vals[CAST((len(vals) + 1) // 2 AS INTEGER)] AS rolling_median_cents
+    FROM win
+"""
+
+
+# --------------------------------------------------------------------------
+# srm_check — sample-ratio-mismatch health check for the A/B split
+# --------------------------------------------------------------------------
+
+SRM_CHI2_CRIT_MICRO = 3_841_459  # χ²(1, 0.05) = 3.841459 in micro units
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch — the first thing to check before trusting
+    any A/B readout (``ab_test_summary``): under a 50/50 split the unit
+    counts must be binomially close; χ² = (n₀−n₁)²/(n₀+n₁) against
+    χ²(1) flags a broken assignment (bot filtering, logging loss,
+    redirect bias) before it masquerades as a treatment effect.
+
+    Exactness: the statistic is exact integer arithmetic published in
+    micro units — (n₀−n₁)²·10⁶ div (n₀+n₁) — compared against the
+    hard-coded critical value, so the pass verdict is deterministic.
+
+    Scale shape: one combinable distinct-user count per variant; two
+    rows reduced to one."""
+    e = load_table(spark, sf_dir, "events")
+    pu = e.select(
+        F.expr(
+            f"{_MD5INT.format(x=repr(AB_SALT) + ' || CAST(user_id AS STRING)')} % 2"
+        ).alias("variant"),
+        "user_id",
+    ).distinct()
+    counts = pu.groupBy("variant").agg(F.count("*").alias("n"))
+    a = counts.filter(F.col("variant") == 0).select(F.col("n").alias("n0"))
+    b = counts.filter(F.col("variant") == 1).select(F.col("n").alias("n1"))
+    j = a.crossJoin(b)
+    chi2 = F.expr("(n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1)")
+    return j.select(
+        "n0",
+        "n1",
+        chi2.alias("chi2_micro"),
+        (chi2 < SRM_CHI2_CRIT_MICRO).alias("split_healthy"),
+    )
+
+
+ORACLE_SRM_CHECK = f"""
+    WITH pu AS (
+        SELECT DISTINCT
+               {_sql_md5int(repr(AB_SALT) + " || CAST(user_id AS VARCHAR)")} % 2
+                   AS variant,
+               user_id
+        FROM events
+    ), counts AS (
+        SELECT variant, COUNT(*) AS n FROM pu GROUP BY variant
+    )
+    SELECT a.n AS n0, b.n AS n1,
+           CAST((a.n - b.n) * (a.n - b.n) * 1000000 // (a.n + b.n) AS BIGINT)
+               AS chi2_micro,
+           ((a.n - b.n) * (a.n - b.n) * 1000000 // (a.n + b.n))
+               < {SRM_CHI2_CRIT_MICRO} AS split_healthy
+    FROM (SELECT n FROM counts WHERE variant = 0) a
+    CROSS JOIN (SELECT n FROM counts WHERE variant = 1) b
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -2477,6 +2616,8 @@ QUERIES = {
     "funnel_time_bounded": q_funnel_time_bounded,
     "trimmed_mean": q_trimmed_mean,
     "ab_test_summary": q_ab_test_summary,
+    "rolling_median_daily": q_rolling_median_daily,
+    "srm_check": q_srm_check,
 }
 
 ORACLE = {
@@ -2509,4 +2650,6 @@ ORACLE = {
     "funnel_time_bounded": ORACLE_FUNNEL_TIME_BOUNDED,
     "trimmed_mean": ORACLE_TRIMMED_MEAN,
     "ab_test_summary": ORACLE_AB_TEST,
+    "rolling_median_daily": ORACLE_ROLLING_MEDIAN,
+    "srm_check": ORACLE_SRM_CHECK,
 }

@@ -456,3 +456,68 @@ def test_power_iteration_rayleigh_ritz_and_monotonicity(spark, sf_dir):
     ones = np.ones(64)
     rq0 = (ones @ G @ ones) / (ones @ ones)
     assert rq > rq0
+
+
+def test_rolling_median_daily_matches_python(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        ROLL_MED_DAYS,
+        q_rolling_median_daily,
+    )
+
+    got = {
+        (r.grp, r.day_no): r
+        for r in q_rolling_median_daily(spark, sf_dir).collect()
+    }
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS grp",
+            "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT) AS d",
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("grp", "d")
+        .agg(F.sum("cents").alias("c"))
+        .collect()
+    )
+    byg: dict[str, dict[int, int]] = {}
+    for r in daily:
+        byg.setdefault(r.grp, {})[r.d] = r.c
+    for grp, days in byg.items():
+        for d, c in days.items():
+            window = sorted(
+                v for dd, v in days.items() if d - (ROLL_MED_DAYS - 1) <= dd <= d
+            )
+            r = got[(grp, d)]
+            assert r.day_cents == c
+            assert r.n_days_in_window == len(window)
+            assert r.rolling_median_cents == window[(len(window) + 1) // 2 - 1]
+
+
+def test_srm_check_matches_counts_and_rule(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import (
+        AB_SALT,
+        SRM_CHI2_CRIT_MICRO,
+        q_srm_check,
+    )
+
+    row = q_srm_check(spark, sf_dir).collect()[0]
+    users = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(
+            f"{_MD5INT.format(x=repr(AB_SALT) + ' || CAST(user_id AS STRING)')} % 2"
+            " AS variant",
+            "user_id",
+        )
+        .distinct()
+        .collect()
+    )
+    n0 = sum(1 for r in users if r.variant == 0)
+    n1 = sum(1 for r in users if r.variant == 1)
+    assert (row.n0, row.n1) == (n0, n1)
+    chi2 = (n0 - n1) ** 2 * 1_000_000 // (n0 + n1)
+    assert row.chi2_micro == chi2
+    assert row.split_healthy == (chi2 < SRM_CHI2_CRIT_MICRO)
+    # the deterministic md5 split on this corpus must itself be healthy —
+    # if this fires, the hash is biased, which would invalidate
+    # ab_test_summary too
+    assert row.split_healthy
