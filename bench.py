@@ -136,6 +136,7 @@ HEADLINE = [
     # r7j rolling-robust-stats + experiment-health tier
     "rolling_median_daily",
     "srm_check",
+    "cusum_changepoint",
 ]
 
 

@@ -113,7 +113,17 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # r7j (newest): the exact trailing-30-day rolling median and the
+    # r7k (newest): CUSUM drift detection via the prefix-scan identity
+    # s_t = S_t − min(0, min S_j) — rule (a); the recurrence-replay
+    # pytest is the load-bearing check here (it caught the missing
+    # empty-prefix term that BOTH engines computed identically, which
+    # the oracle hash therefore could not catch). Its slot displaces
+    # pagerank_copurchase: three dedicated pytest cases
+    # (tests/test_affinity.py: integer-reference path, hub dominance +
+    # mass bound, lineage truncation), unchanged since r7b, green in
+    # every full sweep this round.
+    "cusum_changepoint",
+    # r7j: the exact trailing-30-day rolling median and the
     # sample-ratio-mismatch χ² health check — rule (a). Their slots
     # displace retention_cohorts (triangle property test,
     # tests/test_analytics_ops.py) and bm25_topk (invariants +
@@ -220,7 +230,6 @@ _R7_FRONT = (
     # ann_lsh_bucketed, ann_recall — all r5-driver-green, code unchanged,
     # locally re-verified this round) past the 50-key window to r8
     "item_cooccurrence",
-    "pagerank_copurchase",
     "snapshot_diff",
     # new this round: the corpus-assembly tier (queries/corpus.py) and
     # the §2.7 pivot/unpivot/histogram extensions (queries/core.py)
@@ -255,6 +264,7 @@ _R7_FRONT = (
 # (limit/sort_limit/count_star/count_by_flag/groupby_avg/
 # exists_any_agg) defer to r8 the same way.
 _R7_NEXT = (
+    "pagerank_copurchase",
     "retention_cohorts",
     "bm25_topk",
     "bloom_prefilter_join",

@@ -2586,6 +2586,94 @@ ORACLE_SRM_CHECK = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# cusum_changepoint — drift detection via the prefix-scan identity
+# --------------------------------------------------------------------------
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection over daily event volumes per
+    type — the classic statistical-process-control monitor (Page 1954):
+    s_t = max(0, s_{t−1} + (x_t − μ − k)) accumulates sustained
+    upward drift and ignores isolated spikes. The recurrence looks
+    inherently sequential (a nonlinear per-row max), but it has a
+    closed form as PURE window aggregates: with S_t the running sum of
+    deviations, s_t = S_t − min(0, min_{j≤t} S_j) (the 0 is the empty
+    prefix S₀) — so two frames over ONE sort (running sum + running
+    min) compute it exactly, no UDF, no iteration, no state. That identity is what makes CUSUM runnable
+    over a 100 TB event log as a plain window query.
+
+    Parameters are derived from the data deterministically: μ = mean
+    daily count per type (integral div), slack k = μ div 20 (5%),
+    alert threshold h = μ (one full average day of cumulated excess).
+    All arithmetic is exact integers; the day series is the observed
+    days (densify with ``resample_ffill`` upstream if gap days must
+    count as zero).
+
+    Scale shape: one combinable daily rollup, a broadcast of the
+    per-type μ table (types-sized), then both window functions share
+    one (type, day) sort — a single shuffle end to end."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", epoch_us(F.col("ts")).alias("t_us"))
+        .select("event_type", F.expr(f"t_us div {_US_PER_DAY}").alias("day_no"))
+        .groupBy("event_type", "day_no")
+        .agg(F.count("*").alias("x"))
+    )
+    mu = daily.groupBy("event_type").agg(
+        F.expr("CAST(SUM(x) div COUNT(*) AS BIGINT)").alias("mu")
+    )
+    d = daily.join(F.broadcast(mu), "event_type").withColumn(
+        "dev", F.expr("x - mu - (mu div 20)")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = d.withColumn("s_run", F.sum("dev").over(w))
+    # the prefix min must include the EMPTY prefix (S_0 = 0), else a
+    # series that never dips below zero loses its first deviations —
+    # pinned by the recurrence-replay test
+    floor0 = F.least(F.lit(0).cast("long"), F.min("s_run").over(w))
+    out = run.select(
+        "event_type",
+        "day_no",
+        "x",
+        "mu",
+        (F.col("s_run") - floor0).alias("cusum"),
+        ((F.col("s_run") - floor0) > F.col("mu")).alias("drift_alert"),
+    )
+    return out
+
+
+ORACLE_CUSUM = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), mu AS (
+        SELECT event_type, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu
+        FROM daily GROUP BY event_type
+    ), d AS (
+        SELECT daily.event_type, day_no, CAST(x AS BIGINT) AS x, mu,
+               x - mu - (mu // 20) AS dev
+        FROM daily JOIN mu USING (event_type)
+    ), run AS (
+        SELECT *, SUM(dev) OVER w AS s_run
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_no
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, day_no, x, mu,
+           CAST(s_run - LEAST(0, MIN(s_run) OVER w) AS BIGINT) AS cusum,
+           (s_run - LEAST(0, MIN(s_run) OVER w)) > mu AS drift_alert
+    FROM run
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_no
+                 ROWS UNBOUNDED PRECEDING)
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -2618,6 +2706,7 @@ QUERIES = {
     "ab_test_summary": q_ab_test_summary,
     "rolling_median_daily": q_rolling_median_daily,
     "srm_check": q_srm_check,
+    "cusum_changepoint": q_cusum_changepoint,
 }
 
 ORACLE = {
@@ -2652,4 +2741,5 @@ ORACLE = {
     "ab_test_summary": ORACLE_AB_TEST,
     "rolling_median_daily": ORACLE_ROLLING_MEDIAN,
     "srm_check": ORACLE_SRM_CHECK,
+    "cusum_changepoint": ORACLE_CUSUM,
 }

@@ -521,3 +521,27 @@ def test_srm_check_matches_counts_and_rule(spark, sf_dir):
     # if this fires, the hash is biased, which would invalidate
     # ab_test_summary too
     assert row.split_healthy
+
+
+def test_cusum_window_identity_equals_recurrence(spark, sf_dir):
+    """The load-bearing claim: S_t − min_{j≤t} S_j equals the sequential
+    recurrence s_t = max(0, s_{t−1} + dev_t) on every series — replayed
+    per event type in Python over the same daily counts."""
+    from imperio_patitas_etl_spark.queries.analytics import (
+        q_cusum_changepoint,
+    )
+
+    rows = q_cusum_changepoint(spark, sf_dir).collect()
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append(r)
+    assert series
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r.day_no)
+        mu = rs[0].mu
+        assert all(r.mu == mu for r in rs)
+        s = 0
+        for r in rs:
+            s = max(0, s + (r.x - mu - mu // 20))
+            assert r.cusum == s, (et, r.day_no)
+            assert r.drift_alert == (s > mu)
