@@ -137,6 +137,8 @@ HEADLINE = [
     "rolling_median_daily",
     "srm_check",
     "cusum_changepoint",
+    "dow_seasonal_residual",
+    "lag_features",
 ]
 
 

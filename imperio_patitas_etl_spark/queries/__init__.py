@@ -113,7 +113,16 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # r7k (newest): CUSUM drift detection via the prefix-scan identity
+    # r7l (newest): the day-of-week seasonal baseline/residual and the
+    # forecasting lag-feature matrix — rule (a). Their slots displace
+    # event_transition_matrix and attribution_last_touch, each pinned
+    # by a dedicated property test (tests/test_scan_stats_ops.py:
+    # conservation + bp-normalization; brute-force inequality-join
+    # equality), r7c-wave code unchanged since, green in every full
+    # sweep this round.
+    "dow_seasonal_residual",
+    "lag_features",
+    # r7k: CUSUM drift detection via the prefix-scan identity
     # s_t = S_t − min(0, min S_j) — rule (a); the recurrence-replay
     # pytest is the load-bearing check here (it caught the missing
     # empty-prefix term that BOTH engines computed identically, which
@@ -207,8 +216,6 @@ _R7_FRONT = (
     "stream_rolling_distinct",
     "session_path_trigrams",
     "dq_anomaly_mad",
-    "event_transition_matrix",
-    "attribution_last_touch",
     "node_jaccard_linkpred",
     # r7c first wave: the scan/statistics tier — the two-phase
     # prefix-sum scan (operators/prefix_sum.py) and its consumers, plus
@@ -264,6 +271,8 @@ _R7_FRONT = (
 # (limit/sort_limit/count_star/count_by_flag/groupby_avg/
 # exists_any_agg) defer to r8 the same way.
 _R7_NEXT = (
+    "event_transition_matrix",
+    "attribution_last_touch",
     "pagerank_copurchase",
     "retention_cohorts",
     "bm25_topk",

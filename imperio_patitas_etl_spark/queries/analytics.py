@@ -2674,6 +2674,136 @@ ORACLE_CUSUM = """
 """
 
 
+# --------------------------------------------------------------------------
+# dow_seasonal_residual — day-of-week baseline and deseasonalized series
+# --------------------------------------------------------------------------
+
+def q_dow_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily event volume per
+    type — the deseasonalizer in front of any volume monitor: weekday
+    patterns (quiet weekends, Monday spikes) trip naive thresholds and
+    mask real drift, so ``cusum_changepoint``/``dq_anomaly_mad`` want
+    the RESIDUAL x_t − baseline(dow(t)), not the raw series. The
+    baseline is the per-(type, day-of-week) mean daily count; both the
+    baseline and residual publish per day.
+
+    Exactness: day-of-week from integer day number ((day_no + 3) % 7 —
+    1970-01-01 was a Thursday, weekday 3; 0 = Monday both engines), baselines by
+    integral div. No date functions whose week conventions could
+    disagree across engines.
+
+    Scale shape: one combinable daily rollup, one 7·types-row baseline
+    aggregate broadcast back — two tiny aggregates past the rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", epoch_us(F.col("ts")).alias("t_us"))
+        .select("event_type", F.expr(f"t_us div {_US_PER_DAY}").alias("day_no"))
+        .groupBy("event_type", "day_no")
+        .agg(F.count("*").alias("x"))
+        .withColumn("dow", F.expr("(day_no + 3) % 7"))
+    )
+    base = daily.groupBy("event_type", "dow").agg(
+        F.expr("CAST(SUM(x) div COUNT(*) AS BIGINT)").alias("dow_mean"),
+        F.count("*").alias("n_weeks"),
+    )
+    return daily.join(F.broadcast(base), ["event_type", "dow"]).select(
+        "event_type",
+        "day_no",
+        "dow",
+        "x",
+        "dow_mean",
+        (F.col("x") - F.col("dow_mean")).alias("residual"),
+    )
+
+
+ORACLE_DOW_SEASONAL = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ), d2 AS (
+        SELECT event_type, day_no, CAST(x AS BIGINT) AS x,
+               (day_no + 3) % 7 AS dow
+        FROM daily
+    ), base AS (
+        SELECT event_type, dow,
+               CAST(SUM(x) // COUNT(*) AS BIGINT) AS dow_mean
+        FROM d2 GROUP BY event_type, dow
+    )
+    SELECT event_type, day_no, dow, x, dow_mean,
+           x - dow_mean AS residual
+    FROM d2 JOIN base USING (event_type, dow)
+"""
+
+
+# --------------------------------------------------------------------------
+# lag_features — supervised-learning feature matrix from the event series
+# --------------------------------------------------------------------------
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecasting feature matrix — what a training-data pipeline
+    emits for a demand model: per (type, day) the target x plus lag-1,
+    lag-7, trailing-7-day sum and count, and the day-of-week — each an
+    exact window over the daily rollup, assembled in ONE pass. Rows
+    missing a full history keep NULL lags (the model's imputation
+    decision, not the pipeline's).
+
+    Exactness: integer counts, integral day arithmetic; RANGE frames on
+    the day number so calendar gaps hold the lag semantics (lag-7 =
+    the value exactly 7 days earlier, NOT 7 rows earlier — a ROWS
+    frame silently lies on sparse series).
+
+    Scale shape: one combinable rollup, then every feature shares one
+    (type, day) sort — windows with the same partitioning and ordering
+    compile into a single Window exchange."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", epoch_us(F.col("ts")).alias("t_us"))
+        .select("event_type", F.expr(f"t_us div {_US_PER_DAY}").alias("day_no"))
+        .groupBy("event_type", "day_no")
+        .agg(F.count("*").alias("x"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("day_no")
+    lag1 = F.max(F.col("x")).over(wr.rangeBetween(-1, -1))
+    lag7 = F.max(F.col("x")).over(wr.rangeBetween(-7, -7))
+    trail7_sum = F.sum("x").over(wr.rangeBetween(-7, -1))
+    trail7_n = F.count("x").over(wr.rangeBetween(-7, -1))
+    return daily.select(
+        "event_type",
+        "day_no",
+        "x",
+        lag1.alias("lag1"),
+        lag7.alias("lag7"),
+        trail7_sum.alias("trail7_sum"),
+        trail7_n.alias("trail7_days"),
+        F.expr("(day_no + 3) % 7").alias("dow"),
+    )
+
+
+ORACLE_LAG_FEATURES = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_no, x,
+           MAX(x) OVER (PARTITION BY event_type ORDER BY day_no
+                        RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS lag1,
+           MAX(x) OVER (PARTITION BY event_type ORDER BY day_no
+                        RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS lag7,
+           CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day_no
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS trail7_sum,
+           COUNT(x) OVER (PARTITION BY event_type ORDER BY day_no
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               AS trail7_days,
+           (day_no + 3) % 7 AS dow
+    FROM daily
+"""
+
+
 QUERIES = {
     "scd2_history": q_scd2_history,
     "event_funnel": q_event_funnel,
@@ -2707,6 +2837,8 @@ QUERIES = {
     "rolling_median_daily": q_rolling_median_daily,
     "srm_check": q_srm_check,
     "cusum_changepoint": q_cusum_changepoint,
+    "dow_seasonal_residual": q_dow_seasonal_residual,
+    "lag_features": q_lag_features,
 }
 
 ORACLE = {
@@ -2742,4 +2874,6 @@ ORACLE = {
     "rolling_median_daily": ORACLE_ROLLING_MEDIAN,
     "srm_check": ORACLE_SRM_CHECK,
     "cusum_changepoint": ORACLE_CUSUM,
+    "dow_seasonal_residual": ORACLE_DOW_SEASONAL,
+    "lag_features": ORACLE_LAG_FEATURES,
 }

@@ -545,3 +545,55 @@ def test_cusum_window_identity_equals_recurrence(spark, sf_dir):
             s = max(0, s + (r.x - mu - mu // 20))
             assert r.cusum == s, (et, r.day_no)
             assert r.drift_alert == (s > mu)
+
+
+def _daily_counts(spark, sf_dir):
+    from imperio_patitas_etl_spark.functions.cleaning import epoch_us
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", epoch_us(F.col("ts")).alias("t"))
+        .selectExpr("event_type", "t div 86400000000 AS d")
+        .groupBy("event_type", "d")
+        .count()
+        .collect()
+    )
+    byt: dict[str, dict[int, int]] = {}
+    for r in rows:
+        byt.setdefault(r.event_type, {})[r.d] = r["count"]
+    return byt
+
+
+def test_dow_seasonal_residual_reconstructs(spark, sf_dir):
+    import datetime
+
+    from imperio_patitas_etl_spark.queries.analytics import (
+        q_dow_seasonal_residual,
+    )
+
+    out = q_dow_seasonal_residual(spark, sf_dir).collect()
+    byt = _daily_counts(spark, sf_dir)
+    for r in out:
+        assert r.x == byt[r.event_type][r.day_no]
+        assert r.x - r.dow_mean == r.residual
+        # dow convention: 0 = Monday, verified against the calendar
+        date = datetime.date(1970, 1, 1) + datetime.timedelta(days=r.day_no)
+        assert r.dow == date.weekday()
+        # baseline is the integral mean of same-dow days for this type
+        same = [x for d, x in byt[r.event_type].items() if (d + 3) % 7 == r.dow]
+        assert r.dow_mean == sum(same) // len(same)
+
+
+def test_lag_features_exact_day_semantics(spark, sf_dir):
+    from imperio_patitas_etl_spark.queries.analytics import q_lag_features
+
+    out = q_lag_features(spark, sf_dir).collect()
+    byt = _daily_counts(spark, sf_dir)
+    for r in out:
+        days = byt[r.event_type]
+        assert r.x == days[r.day_no]
+        assert r.lag1 == days.get(r.day_no - 1)
+        assert r.lag7 == days.get(r.day_no - 7)
+        window = [days[d] for d in range(r.day_no - 7, r.day_no) if d in days]
+        assert r.trail7_days == len(window)
+        assert r.trail7_sum == (sum(window) if window else None)
