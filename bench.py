@@ -139,6 +139,9 @@ HEADLINE = [
     "cusum_changepoint",
     "dow_seasonal_residual",
     "lag_features",
+    # r7m multimodal plumbing completion
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
 ]
 
 

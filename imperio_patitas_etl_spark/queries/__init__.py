@@ -113,7 +113,17 @@ _MODULES = (
 # since, and the whole registry is locally green at sf0.01
 # (tools/check.py).
 _R7_FRONT = (
-    # r7l (newest): the day-of-week seasonal baseline/residual and the
+    # r7m (newest): the frame-sampling and resize multimodal probes —
+    # rule (a); they complete the decode/feature/resize/frame-sample
+    # plumbing set the scale brief names, each running the REAL
+    # operators/multimodal.py pass with byte-level oracle evidence.
+    # Their slots displace node_jaccard_linkpred and dq_anomaly_mad,
+    # each pinned by dedicated property tests
+    # (tests/test_scan_stats_ops.py: nonedge-validity; MAD brute-force
+    # ×2), r7c code unchanged since, green in every full sweep.
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    # r7l: the day-of-week seasonal baseline/residual and the
     # forecasting lag-feature matrix — rule (a). Their slots displace
     # event_transition_matrix and attribution_last_touch, each pinned
     # by a dedicated property test (tests/test_scan_stats_ops.py:
@@ -215,8 +225,6 @@ _R7_FRONT = (
     "entity_resolution_blocked",
     "stream_rolling_distinct",
     "session_path_trigrams",
-    "dq_anomaly_mad",
-    "node_jaccard_linkpred",
     # r7c first wave: the scan/statistics tier — the two-phase
     # prefix-sum scan (operators/prefix_sum.py) and its consumers, plus
     # time-series / IVM / graph / collocation / scaling analytics; per
@@ -271,6 +279,8 @@ _R7_FRONT = (
 # (limit/sort_limit/count_star/count_by_flag/groupby_avg/
 # exists_any_agg) defer to r8 the same way.
 _R7_NEXT = (
+    "node_jaccard_linkpred",
+    "dq_anomaly_mad",
     "event_transition_matrix",
     "attribution_last_touch",
     "pagerank_copurchase",

@@ -99,11 +99,107 @@ ORACLE_FEATURES = r"""
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing over a real table (operators/
+    multimodal.py:sample_frames): synthetic video assets derive their
+    frame count from documents (n_frames = n_chars % 40 + 5), the
+    operator explodes the frame index space FROM METADATA — pure JVM,
+    no UDF, no content decode — and keeps every 10th frame with a
+    stable frame reference. This is the real shape of frame sampling
+    at scale: the index explode is metadata-only; only the KEPT frames
+    would ever chain into the decode ``mapInPandas``."""
+    from imperio_patitas_etl_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.expr("CAST(n_chars % 40 + 5 AS INT)").alias("n_frames"),
+            F.lit("synt").alias("format"),
+        ).alias("meta"),
+    )
+    return sample_frames(d, every_n=10).select(
+        F.col("asset_id").alias("doc_id"), "frame_idx", "frame_ref"
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           doc_id || ':' || f AS frame_ref
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(0, n_chars % 40 + 4)) AS f)
+    WHERE f % 10 = 0
+"""
+
+
+def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over a real table (operators/multimodal.py:
+    resize_media): text→binary media rows run the REAL Arrow-batched
+    resize pass (header rewrite + body resample to the 32×24 target —
+    the pixel work is the documented deterministic fake; schema, batch
+    iteration and meta update are production-shaped), then publish
+    byte-level evidence DuckDB can recompute: output size collapses to
+    the fixed target for non-empty bodies, the body head byte is the
+    source's 9th byte, and meta carries the new dimensions."""
+    from imperio_patitas_etl_spark.operators.multimodal import resize_media
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit("image").alias("kind"),
+            F.encode(F.col("text"), "UTF-8").alias("content"),
+            F.struct(
+                F.lit(0).cast("int").alias("width"),
+                F.lit(0).cast("int").alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+                F.lit("synt").alias("format"),
+            ).alias("meta"),
+        )
+        .coalesce(4)
+    )
+    out = resize_media(d, out_w=32, out_h=24)
+    return out.select(
+        F.col("asset_id").alias("doc_id"),
+        F.expr("CAST(octet_length(content) AS BIGINT)").alias("n_bytes_out"),
+        # byte 9 of the binary = hex chars 17-18 (binary-safe extraction)
+        F.expr(
+            "CAST(conv(substr(hex(content), 17, 2), 16, 10) AS INT)"
+        ).alias("body_head_byte"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+#: 32·24 % 97 + 32 = target body bytes; + 8 header. Empty source body
+#: (len(text) ≤ 8) resizes to header only.
+_RESIZE_OUT_BYTES = 32 * 24 % 97 + 32 + 8
+
+ORACLE_RESIZE = f"""
+    SELECT doc_id,
+           CASE WHEN length(text) > 8 THEN {_RESIZE_OUT_BYTES}
+                ELSE 8 END::BIGINT AS n_bytes_out,
+           CASE WHEN length(text) > 8 THEN ascii(substr(text, 9, 1))
+                ELSE NULL END AS body_head_byte,
+           32 AS width, 24 AS height
+    FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_feature_extract": q_multimodal_feature_extract,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize_stub": q_multimodal_resize_stub,
 }
 ORACLE = {
     "multimodal_decode_stub": ORACLE_MULTIMODAL,
     "multimodal_feature_extract": ORACLE_FEATURES,
+    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+    "multimodal_resize_stub": ORACLE_RESIZE,
 }
