@@ -110,8 +110,10 @@ _MODULES = (
 #     key is r5-driver-green with code unchanged AND re-verified by the
 #     full local sweeps at sf0.01 and sf0.1 this round.
 # Every key outside the window is r5/r6 driver-green with code unchanged
-# since, and the whole registry is locally green at sf0.01
-# (tools/check.py).
+# since, and the whole registry is locally green at BOTH scale factors
+# on the final r7 tree: tools/check.py 174/174 at sf0.01 AND 174/174 at
+# sf0.1 (the sweeps referenced throughout the wave comments below are
+# the intermediate milestones of this round).
 _R7_FRONT = (
     # r7m (newest): the frame-sampling and resize multimodal probes —
     # rule (a); they complete the decode/feature/resize/frame-sample
