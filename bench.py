@@ -142,6 +142,8 @@ HEADLINE = [
     # r7m multimodal plumbing completion
     "multimodal_frame_sample",
     "multimodal_resize_stub",
+    # r7n retrieval evaluation
+    "ndcg_eval",
 ]
 
 

@@ -111,11 +111,20 @@ _MODULES = (
 #     full local sweeps at sf0.01 and sf0.1 this round.
 # Every key outside the window is r5/r6 driver-green with code unchanged
 # since, and the whole registry is locally green at BOTH scale factors
-# on the final r7 tree: tools/check.py 174/174 at sf0.01 AND 174/174 at
-# sf0.1 (the sweeps referenced throughout the wave comments below are
-# the intermediate milestones of this round).
+# on the final r7 tree: tools/check.py 175/175 at sf0.01; at sf0.1 the
+# 174-key sweep passed in full and the one key added after it
+# (ndcg_eval) was verified there individually (the sweeps referenced
+# throughout the wave comments below are the intermediate milestones
+# of this round).
 _R7_FRONT = (
-    # r7m (newest): the frame-sampling and resize multimodal probes —
+    # r7n (newest): exact-integer NDCG@20 evaluation of the BM25 run —
+    # rule (a); position discounts precomputed as shared integer
+    # literals, relevance independent of the judged score, Python
+    # replay test. Its slot displaces item_cooccurrence (plan-shape
+    # pytest, tests/test_affinity.py), r7b code unchanged since, green
+    # in every full sweep this round including 174/174 at both SFs.
+    "ndcg_eval",
+    # r7m: the frame-sampling and resize multimodal probes —
     # rule (a); they complete the decode/feature/resize/frame-sample
     # plumbing set the scale brief names, each running the REAL
     # operators/multimodal.py pass with byte-level oracle evidence.
@@ -246,7 +255,6 @@ _R7_FRONT = (
     # last four r5-refresh keys (ann_ivf, ann_ivf_trained,
     # ann_lsh_bucketed, ann_recall — all r5-driver-green, code unchanged,
     # locally re-verified this round) past the 50-key window to r8
-    "item_cooccurrence",
     "snapshot_diff",
     # new this round: the corpus-assembly tier (queries/corpus.py) and
     # the §2.7 pivot/unpivot/histogram extensions (queries/core.py)
@@ -281,6 +289,7 @@ _R7_FRONT = (
 # (limit/sort_limit/count_star/count_by_flag/groupby_avg/
 # exists_any_agg) defer to r8 the same way.
 _R7_NEXT = (
+    "item_cooccurrence",
     "node_jaccard_linkpred",
     "dq_anomaly_mad",
     "event_transition_matrix",

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.operators.graph import pagerank_fixed
 from imperio_patitas_etl_spark.operators.reconcile import classify_snapshot_diff
@@ -821,6 +822,115 @@ ORACLE_KHOP = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# ndcg_eval — exact-integer ranking-quality evaluation of the BM25 run
+# --------------------------------------------------------------------------
+
+#: position-discount weights round(10⁶ / log2(i+1)), i = 1..k —
+#: precomputed in Python so BOTH engines consume identical integer
+#: literals and the whole DCG fold is exact integer arithmetic
+_NDCG_W = tuple(
+    round(1_000_000 / __import__("math").log2(i + 1))
+    for i in range(1, BM25_TOPK + 1)
+)
+NDCG_REL_CAP = 3
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{BM25_TOPK} of the BM25 ranking — the evaluation-harness
+    convention (``ann_recall``, ``cosine_dedup_recall``): retrieval
+    quality is a measured, oracle-checked number, not a claim. Graded
+    relevance is INDEPENDENT of the score being judged — rel(doc) =
+    min(total query-term occurrences, {NDCG_REL_CAP}) — so the metric
+    can actually fall if the ranker misorders.
+
+    Exactness: the position discounts 1/log2(i+1) are the ONLY
+    irrational inputs, and they depend on nothing but the rank — so
+    they are precomputed in Python as micro-unit INTEGER literals
+    shared verbatim by both engines; DCG and ideal-DCG are then exact
+    integer dot products over deterministic (score desc, doc_id) /
+    (rel desc, doc_id) orders, and NDCG publishes as one integral
+    basis-point division.
+
+    Scale shape: relevance is one combinable groupBy over the filtered
+    token stream; both the run and the ideal ranking are
+    TakeOrdered-{BM25_TOPK} heads; the final fold is {BM25_TOPK} rows."""
+    d = load_table(spark, sf_dir, "documents")
+    rel = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.least(F.count("*"), F.lit(NDCG_REL_CAP)).alias("rel"))
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    run = (
+        q_bm25_topk(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_unat"), "doc_id"))
+            .alias("rank"),
+        )
+        .join(rel, "doc_id", "left")
+        .select(
+            (F.coalesce("rel", F.lit(0)) * F.element_at(w_arr, F.col("rank")))
+            .alias("gain")
+        )
+    )
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(BM25_TOPK)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("rel"), "doc_id"))
+            .alias("rank"),
+            "rel",
+        )
+        .select((F.col("rel") * F.element_at(w_arr, F.col("rank"))).alias("gain"))
+    )
+    dcg = run.agg(F.sum("gain").alias("dcg_micro"))
+    idcg = ideal.agg(F.sum("gain").alias("idcg_micro"))
+    return dcg.crossJoin(idcg).select(
+        "dcg_micro",
+        "idcg_micro",
+        F.expr("CAST(dcg_micro * 10000 div idcg_micro AS BIGINT)").alias(
+            "ndcg_bp"
+        ),
+    )
+
+
+_NDCG_W_VALUES = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+
+ORACLE_NDCG = f"""
+    WITH rel AS (
+        SELECT doc_id, LEAST(COUNT(*), {NDCG_REL_CAP}) AS rel
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN ({_BM25_IN})
+        GROUP BY doc_id
+    ), w(rank, wt) AS (VALUES {_NDCG_W_VALUES}),
+    run AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_unat DESC, doc_id) AS rank
+        FROM ({ORACLE_BM25})
+    ), dcg AS (
+        SELECT CAST(SUM(COALESCE(rel.rel, 0) * w.wt) AS BIGINT) AS dcg_micro
+        FROM run
+        JOIN w USING (rank)
+        LEFT JOIN rel USING (doc_id)
+    ), ideal AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rank, rel
+        FROM rel ORDER BY rel DESC, doc_id LIMIT {BM25_TOPK}
+    ), idcg AS (
+        SELECT CAST(SUM(ideal.rel * w.wt) AS BIGINT) AS idcg_micro
+        FROM ideal JOIN w USING (rank)
+    )
+    SELECT dcg_micro, idcg_micro,
+           CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp
+    FROM dcg CROSS JOIN idcg
+"""
+
+
 QUERIES = {
     "item_cooccurrence": q_item_cooccurrence,
     "pagerank_copurchase": q_pagerank_copurchase,
@@ -830,6 +940,7 @@ QUERIES = {
     "node_jaccard_linkpred": q_node_jaccard_linkpred,
     "entity_resolution_blocked": q_entity_resolution_blocked,
     "khop_reach": q_khop_reach,
+    "ndcg_eval": q_ndcg_eval,
 }
 
 ORACLE = {
@@ -841,4 +952,5 @@ ORACLE = {
     "node_jaccard_linkpred": ORACLE_NODE_JACCARD,
     "entity_resolution_blocked": ORACLE_ENTITY_RESOLUTION,
     "khop_reach": ORACLE_KHOP,
+    "ndcg_eval": ORACLE_NDCG,
 }

@@ -547,6 +547,37 @@ def test_cusum_window_identity_equals_recurrence(spark, sf_dir):
             assert r.drift_alert == (s > mu)
 
 
+def test_ndcg_eval_matches_python_replay(spark, sf_dir):
+    """NDCG bounds + full Python replay: rank the BM25 run, apply the
+    same integer discount weights, and reproduce dcg/idcg/ndcg_bp."""
+    from imperio_patitas_etl_spark.queries.affinity import (
+        _NDCG_W,
+        BM25_TERMS,
+        NDCG_REL_CAP,
+        q_bm25_topk,
+        q_ndcg_eval,
+    )
+
+    row = q_ndcg_eval(spark, sf_dir).collect()[0]
+    assert 0 < row.ndcg_bp <= 10000
+    docs = load_table(spark, sf_dir, "documents").collect()
+    rel = {}
+    for d in docs:
+        n = sum(1 for t in d.text.split(" ") if t in BM25_TERMS)
+        if n:
+            rel[d.doc_id] = min(n, NDCG_REL_CAP)
+    run = sorted(
+        q_bm25_topk(spark, sf_dir).collect(),
+        key=lambda r: (-r.score_unat, r.doc_id),
+    )
+    dcg = sum(rel.get(r.doc_id, 0) * w for r, w in zip(run, _NDCG_W))
+    ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[: len(_NDCG_W)]
+    idcg = sum(v * w for (_, v), w in zip(ideal, _NDCG_W))
+    assert row.dcg_micro == dcg
+    assert row.idcg_micro == idcg
+    assert row.ndcg_bp == dcg * 10000 // idcg
+
+
 def _daily_counts(spark, sf_dir):
     from imperio_patitas_etl_spark.functions.cleaning import epoch_us
 
