@@ -890,7 +890,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dcg = run.agg(F.sum("gain").alias("dcg_micro"))
     idcg = ideal.agg(F.sum("gain").alias("idcg_micro"))
-    return dcg.crossJoin(idcg).select(
+    return dcg.crossJoin(F.broadcast(idcg)).select(
         "dcg_micro",
         "idcg_micro",
         F.expr("CAST(dcg_micro * 10000 div idcg_micro AS BIGINT)").alias(

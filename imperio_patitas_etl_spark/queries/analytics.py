@@ -2022,7 +2022,7 @@ def q_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("probe_distinct_keys"),
         F.max("cnt").alias("max_key_rows"),
     )
-    j = build.crossJoin(probe)
+    j = build.crossJoin(F.broadcast(probe))
     share = F.expr("max_key_rows * 10000 div n_probe_rows")
     return j.select(
         "n_build_rows",
@@ -2556,7 +2556,7 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pu.groupBy("variant").agg(F.count("*").alias("n"))
     a = counts.filter(F.col("variant") == 0).select(F.col("n").alias("n0"))
     b = counts.filter(F.col("variant") == 1).select(F.col("n").alias("n1"))
-    j = a.crossJoin(b)
+    j = a.crossJoin(F.broadcast(b))
     chi2 = F.expr("(n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1)")
     return j.select(
         "n0",

@@ -748,7 +748,7 @@ def q_kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(
         (F.col("n_both").cast("double") / KMV_JC_K) * est_union
     )
-    return g.crossJoin(exact).select(
+    return g.crossJoin(F.broadcast(exact)).select(
         "n_mins",
         "kth_hash",
         "n_both",

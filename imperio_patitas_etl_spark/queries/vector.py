@@ -732,7 +732,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         denom = bf.agg(F.count("*").cast("long").alias("denom"))
         num = F.col("hits") * 10000 * 2 + F.col("denom")
         den = F.col("denom") * 2
-        return hits.crossJoin(denom).select(
+        return hits.crossJoin(F.broadcast(denom)).select(
             F.lit(method).alias("method"),
             "hits",
             "denom",
@@ -850,7 +850,7 @@ def q_cosine_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("hits") * 10000 * 2 + F.col("denom")
     den = F.col("denom") * 2
-    return hits.crossJoin(denom).select(
+    return hits.crossJoin(F.broadcast(denom)).select(
         F.lit("lsh").alias("method"),
         "hits",
         "denom",
@@ -1051,7 +1051,7 @@ def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # vᵀGv/vᵀv ≈ n·10¹⁴ in raw units — rescale by 10⁸ BEFORE the int64
     # cast so the eigenvalue estimate survives any corpus size
-    lam = num.crossJoin(den).select(
+    lam = num.crossJoin(F.broadcast(den)).select(
         F.expr("CAST((num div den) div 100000000 AS BIGINT)").alias(
             "rayleigh_units"
         )

@@ -12,6 +12,7 @@ from imperio_patitas_etl_spark.sources.parquet import load_table
 from imperio_patitas_etl_spark.streaming.events import (
     dedup_counts,
     foreach_batch_upsert,
+    read_events_batch,
     read_events_stream,
     run_stream_to_memory,
     session_counts,
@@ -23,10 +24,26 @@ def _as_set(df):
     return set(map(tuple, df.collect()))
 
 
+def test_stream_batch_schema_identity(spark, sf_dir):
+    """Stream and batch twins emit IDENTICAL schemas end-to-end: the two
+    readers normalize ``ts`` to one event-time type at the source, so no
+    NTZ/LTZ divergence is left for comparisons to compensate
+    (VERDICT r7 item 5)."""
+    stream_in = read_events_stream(spark, sf_dir)
+    batch_in = read_events_batch(spark, sf_dir)
+    assert stream_in.schema == batch_in.schema
+    for fn in (tumbling_counts, session_counts):
+        assert fn(stream_in).schema == fn(batch_in).schema
+    assert (
+        dedup_counts(stream_in, streaming=True).schema
+        == dedup_counts(batch_in, streaming=False).schema
+    )
+
+
 def test_stream_tumbling_equals_batch(spark, sf_dir):
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
     got = run_stream_to_memory(stream, "t_tumbling")
-    want = tumbling_counts(load_table(spark, sf_dir, "events"))
+    want = tumbling_counts(read_events_batch(spark, sf_dir))
     assert _as_set(got) == _as_set(want)
     assert got.count() > 0
 
@@ -34,7 +51,7 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
 def test_stream_session_equals_batch(spark, sf_dir):
     stream = session_counts(read_events_stream(spark, sf_dir))
     got = run_stream_to_memory(stream, "t_session")
-    want = session_counts(load_table(spark, sf_dir, "events"))
+    want = session_counts(read_events_batch(spark, sf_dir))
     assert _as_set(got) == _as_set(want)
 
 
@@ -44,7 +61,7 @@ def test_stream_dedup_equals_batch(spark, sf_dir):
     counts distinct keys, so it can't depend on which duplicate survived."""
     stream = dedup_counts(read_events_stream(spark, sf_dir), streaming=True)
     got = run_stream_to_memory(stream, "t_dedup")
-    want = dedup_counts(load_table(spark, sf_dir, "events"), streaming=False)
+    want = dedup_counts(read_events_batch(spark, sf_dir), streaming=False)
     assert _as_set(got) == _as_set(want)
     assert got.count() > 0
 
@@ -101,12 +118,7 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
         "t_ss_join",
         mode="append",
     )
-    want = clicks_after_errors(
-        load_table(spark, sf_dir, "events").withColumn(
-            "ts", F.col("ts").cast("timestamp")
-        ),
-        streaming=False,
-    )
+    want = clicks_after_errors(read_events_batch(spark, sf_dir), streaming=False)
     assert _as_set(got) == _as_set(want)
     assert got.count() > 0
 
@@ -124,7 +136,7 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir):
     dim = user_tier_dim(spark)
     stream = tier_enriched_counts(read_events_stream(spark, sf_dir), dim)
     got = run_stream_to_memory(stream, "t_tier")
-    want = tier_enriched_counts(load_table(spark, sf_dir, "events"), dim)
+    want = tier_enriched_counts(read_events_batch(spark, sf_dir), dim)
     assert _as_set(got) == _as_set(want)
     assert got.count() > 0
 
@@ -143,8 +155,6 @@ def test_stream_rolling_distinct_equals_batch(spark, sf_dir):
         read_events_stream(spark, sf_dir), streaming=True
     )
     got = run_stream_to_memory(stream, "t_rolling_distinct")
-    want = rolling_distinct_daily(
-        load_table(spark, sf_dir, "events"), streaming=False
-    )
+    want = rolling_distinct_daily(read_events_batch(spark, sf_dir), streaming=False)
     assert _as_set(got) == _as_set(want)
     assert got.count() > 0
