@@ -7,12 +7,20 @@ operations over DataFrames — one shuffle by key, no batching, idempotent:
 
 - ``upsert_latest_wins``    — pure-DataFrame MERGE equivalent.
 - ``delete_insert``         — the fallback, as anti-join + union.
-- ``merge_into_delta``      — real ``MERGE INTO`` when Delta is available
-                              (gated import; plain parquet works without it).
-- ``merge_into_parquet``    — transactional MERGE on a plain-parquet path:
-                              write-temp + atomic directory swap, so readers
-                              see the old or the new complete table, never a
-                              partial write.
+- ``merge_into_parquet``    — THE SUPPORTED MERGE SINK (decision recorded
+                              r8, closing the r4-r7 carry-over): transactional
+                              MERGE on a plain-parquet path via write-temp +
+                              atomic directory swap, so readers see the old or
+                              the new complete table, never a partial write.
+- ``merge_into_delta``      — optional integration: real ``MERGE INTO`` when
+                              delta-spark is installed and the target is a
+                              Delta table (gated import). delta-spark is not
+                              installable in this environment, so the branch
+                              is pinned by a contract-mock test
+                              (tests/test_delta_merge.py) that executes every
+                              line against a recorded DeltaTable API double —
+                              the call shape is verified; the integration
+                              itself runs only in a Delta deployment.
 - ``merge_into``            — the unified entry point: Delta branch when the
                               target is a Delta table, transactional parquet
                               branch otherwise. One MERGE contract that
@@ -105,8 +113,11 @@ def merge_into_delta(
     delta-spark is absent (this test container ships plain parquet only) or
     ``target_path`` is not a Delta table (a parquet warehouse dir must not
     be handed to ``DeltaTable.forPath``, which would throw instead of
-    falling back). On decline the caller runs ``upsert_latest_wins`` +
-    overwrite.
+    falling back). On decline the caller runs ``merge_into_parquet`` — the
+    SUPPORTED sink; this branch is the optional Delta integration, its call
+    shape pinned by the contract-mock test in tests/test_delta_merge.py
+    (delta-spark cannot be installed here, so a live Delta commit runs only
+    in a Delta deployment).
 
     ``update_cols`` restricts the matched-UPDATE to a column subset, same
     contract as ``upsert_latest_wins`` (the documento MERGE updates only

@@ -32,6 +32,110 @@ except Exception:
     _HAS_DELTA = False
 
 
+class _MergeRecorder:
+    """Records the DeltaTable merge-builder call chain."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def merge(self, source, cond):
+        self.log.append(("merge", cond))
+        return self
+
+    def whenMatchedUpdateAll(self):
+        self.log.append(("whenMatchedUpdateAll",))
+        return self
+
+    def whenMatchedUpdate(self, set):
+        self.log.append(("whenMatchedUpdate", dict(set)))
+        return self
+
+    def whenNotMatchedInsertAll(self):
+        self.log.append(("whenNotMatchedInsertAll",))
+        return self
+
+    def execute(self):
+        self.log.append(("execute",))
+
+    def alias(self, name):
+        self.log.append(("alias", name))
+        return self
+
+
+def _install_fake_delta(monkeypatch, log, is_delta: bool):
+    """Inject a minimal ``delta.tables`` API double into sys.modules so the
+    gated ``from delta.tables import DeltaTable`` resolves and the Delta
+    branch EXECUTES — the decision record for the r4-r7 carry-over: the
+    supported sink is the transactional parquet MERGE; the Delta branch is
+    an optional integration whose call shape this double pins."""
+    import sys
+    import types
+
+    class DeltaTable:
+        @staticmethod
+        def isDeltaTable(spark, path):
+            log.append(("isDeltaTable", path))
+            return is_delta
+
+        @staticmethod
+        def forPath(spark, path):
+            log.append(("forPath", path))
+            return _MergeRecorder(log)
+
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = DeltaTable
+    delta_mod = types.ModuleType("delta")
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+
+@pytest.mark.skipif(_HAS_DELTA, reason="real delta present; mock would shadow it")
+def test_delta_branch_contract_update_all(spark, monkeypatch):
+    """With a Delta table target and no update_cols restriction, the branch
+    must issue merge(t.key = s.key) → whenMatchedUpdateAll →
+    whenNotMatchedInsertAll → execute and report True."""
+    log: list = []
+    _install_fake_delta(monkeypatch, log, is_delta=True)
+    src = spark.createDataFrame([(1, 9.0)], "id long, v double")
+    assert merge_into_delta(spark, "/delta/tbl", src, "id") is True
+    assert log == [
+        ("isDeltaTable", "/delta/tbl"),
+        ("forPath", "/delta/tbl"),
+        ("alias", "t"),
+        ("merge", "t.id = s.id"),
+        ("whenMatchedUpdateAll",),
+        ("whenNotMatchedInsertAll",),
+        ("execute",),
+    ]
+
+
+@pytest.mark.skipif(_HAS_DELTA, reason="real delta present; mock would shadow it")
+def test_delta_branch_contract_update_subset(spark, monkeypatch):
+    """update_cols must become a whenMatchedUpdate SET of exactly those
+    columns from the source alias — the documento-MERGE column-subset
+    contract (etl_service.py:452-457) carried onto the Delta branch."""
+    log: list = []
+    _install_fake_delta(monkeypatch, log, is_delta=True)
+    src = spark.createDataFrame([(1, "x", 9.0)], "id long, name string, v double")
+    assert merge_into_delta(spark, "/delta/tbl", src, "id", update_cols=["v"]) is True
+    assert ("whenMatchedUpdate", {"v": "s.v"}) in log
+    assert ("whenMatchedUpdateAll",) not in log
+    assert log[-1] == ("execute",)
+
+
+@pytest.mark.skipif(_HAS_DELTA, reason="real delta present; mock would shadow it")
+def test_delta_branch_declines_non_delta_table(spark, monkeypatch):
+    """With delta importable but the target NOT a Delta table, the branch
+    must decline before touching forPath — the caller then commits through
+    the supported parquet sink."""
+    log: list = []
+    _install_fake_delta(monkeypatch, log, is_delta=False)
+    src = spark.createDataFrame([(1, 9.0)], "id long, v double")
+    assert merge_into_delta(spark, "/plain/tbl", src, "id") is False
+    assert log == [("isDeltaTable", "/plain/tbl")]
+
+
 def test_declines_on_plain_parquet_target(spark, tmp_path):
     """A parquet warehouse dir must never be handed to DeltaTable.forPath:
     with delta absent the import gate declines; with delta present the
