@@ -158,10 +158,12 @@ def main() -> None:
     #                 is reported separately as `all_total`.
     #   --headline    HEADLINE keys only (the pre-r7 default).
     #   --sf1 [dir]   standing scale gate: build the replicated sf1 tree
-    #                 (tools/make_sf1.py) if absent, run HEADLINE there.
+    #                 (tools/make_sf1.py) if absent, run HEADLINE there;
+    #                 add --all to sweep the FULL registry at sf1 (the
+    #                 per-key 10x-data ratio record, VERDICT r7 item 6).
     args = [a for a in sys.argv[1:]]
     sf1_mode = "--sf1" in args
-    run_all = "--headline" not in args and not sf1_mode
+    run_all = "--headline" not in args and (not sf1_mode or "--all" in args)
     pos = [a for a in args if not a.startswith("--")]
 
     if sf1_mode:

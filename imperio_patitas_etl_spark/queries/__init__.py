@@ -5,6 +5,26 @@ Each query key from SURVEY.md §2 maps to a PySpark callable
 oracle string DuckDB runs on the same parquet tables. Column names are
 aliased identically on both sides — the driver sorts columns by name and
 hash-compares values.
+
+Rotation discipline (ADVICE r3; mechanized in r8 per VERDICT r7 item 8):
+the external driver certifies the FIRST 50 keys of this registry per
+round, so the order encodes the verification rotation:
+
+  (a) every key whose implementation or oracle changed — or that is
+      NEW — this round sits inside the sampled window;
+  (b) the rest of the window refreshes the keys whose most recent
+      driver row is oldest;
+  (c) keys green in recent rounds with unchanged code rotate out.
+
+The bookkeeping is GENERATED, not narrated: ``certification.py`` (written
+by ``python tools/rotation.py``) records each key's last green driver
+round,
+and tests/test_rotation.py enforces rule (a) against git — a static
+implementation fingerprint per key (transitive function/constant closure
++ oracle expression, docstrings stripped) is compared between the last
+round-boundary commit and the worktree; changed keys must sit in the
+window. Wave-by-wave displacement rationale lives in git history
+(the r1-r7 narrative was removed from this file in r8).
 """
 
 from __future__ import annotations
@@ -42,290 +62,81 @@ _MODULES = (
     core,
 )
 
-# Registry insertion order. External correctness tooling samples a PREFIX
-# of this registry, so the order follows the rotation discipline
-# (ADVICE.md r3, documented each round). The AUTHORITATIVE window is the
-# _R7_FRONT tuple below (exactly the sampled 50, wave comments inline);
-# _R7_NEXT pins the deliberate just-past-window overflow. The narrative
-# that follows records each wave's displacement rationale historically.
-# Rules: (a) every key whose
-# implementation or oracle changed — or that is NEW — this round sits
-# inside the sampled window; (b) the rest of the window refreshes the
-# keys whose most recent driver row is oldest; (c) keys verified green in
-# the latest rounds with unchanged code rotate out. Round 7 window
-# (first 50):
-#   - new this round: the six corpus-assembly keys (queries/corpus.py:
-#     chunk_sequences, pack_sequences, span_dedup, pii_redact,
-#     domain_mixture, domain_mixture_sample), pivot_wide / unpivot_long /
-#     histogram_fixed (queries/core.py), the four warehouse-analytics
-#     keys (queries/analytics.py: scd2_history, event_funnel,
-#     retention_cohorts, bloom_prefilter_join, scd2_asof_lookup,
-#     cm_sketch_topk, zorder_layout_audit, scd2_incremental),
-#     bpe_pair_merge / intra_doc_dedup (corpus.py), sql_interface
-#     (core.py), dq_profile / pareto_frontier_2d (analytics.py),
-#     tpch_q2 / tpch_q11 (derived partsupp) and stream_interval_join;
-#   - changed this round: tpch_q8 (exact integer bp division) and
-#     tfidf_weights (decimal-before-square norm);
-#   - re-verified per ADVICE r6 (high): tpch_q1 / tpch_q17 / tpch_q18 /
-#     grouping_sets — their floor-vs-cast quantity semantics changed in
-#     r6 commit 0a8fd36 but sat outside the r6 window; rule (a) demands
-#     a driver row on the current text, so they lead this window;
-#   - stale r3 rows: of the seven trivial core keys deferred from r6,
-#     four take their promised r7 slots (scan_parquet/count_by_flag/
-#     groupby_avg/exists_any_agg); limit/sort_limit/count_star defer
-#     once more to r8 — bare scan shapes, unchanged since r1, and
-#     re-verified by this round's full local sweeps at both SFs — to
-#     make room for the r7c second wave under rule (a);
-#   - r7c second wave: session_path_trigrams (queries/streaming_ops.py),
-#     dq_anomaly_mad / event_transition_matrix / attribution_last_touch
-#     (queries/analytics.py) and node_jaccard_linkpred
-#     (queries/affinity.py) lead the window per rule (a); their slots
-#     displace count_by_flag and groupby_avg to r8 (trivial aggregate
-#     shapes, r3-green, unchanged, locally re-verified this round);
-#   - r7c first wave: the eight scan/statistics keys (resample_ffill,
-#     incremental_agg_merge, rolling_distinct_users, triangle_count,
-#     pps_systematic_sample, pmi_collocations, equi_depth_histogram,
-#     feature_scale) lead the window per rule (a); to keep the window at
-#     exactly 50 they displace the eight r5-refresh TPC-H keys
-#     (tpch_q3/q4/q5/q6/q10/q12/q14/q21) to r8 — all r5-driver-green,
-#     code unchanged, re-verified by this round's full local sweeps;
-#   - r7b: the four affinity keys (queries/affinity.py:
-#     item_cooccurrence, pagerank_copurchase, snapshot_diff, bm25_topk)
-#     lead the window per rule (a); to keep the window at exactly 50
-#     they displace ann_ivf / ann_ivf_trained / ann_lsh_bucketed /
-#     ann_recall to r8 — all four r5-driver-green, code unchanged, and
-#     re-verified by the full local sweeps at both SFs this round;
-#   - the rest: r5-row keys (all driver-green, code unchanged). The
-#     r5-green unchanged tier that waits for r8: the eight scalar-layer
-#     keys (arith_derived, casts, coalesce_defaults, regex_email,
-#     regex_rut, string_cleanup, timestamp_from_unix, dq_flags), the
-#     four ann_* keys above, plus the
-#     twenty-two displaced by this round's new keys (stratified_sample,
-#     json_extract, stream_dedup, stream_session_window,
-#     stream_sliding_window, filter_project_client/detail/document/
-#     product, tf_vectorize, token_count, quality_score, lang_id,
-#     doc_fingerprint, dup_clusters, embedding_cosine_dedup,
-#     simhash_near_dup, ngram_jaccard_dedup, dedup_minhash_lsh,
-#     dedup_simhash, dedup_exact, ann_topk_bruteforce). Every displaced
-#     key is r5-driver-green with code unchanged AND re-verified by the
-#     full local sweeps at sf0.01 and sf0.1 this round.
-# Every key outside the window is r5/r6 driver-green with code unchanged
-# since, and the whole registry is locally green at BOTH scale factors
-# on the final r7 tree: tools/check.py 175/175 at sf0.01; at sf0.1 the
-# 174-key sweep passed in full and the one key added after it
-# (ndcg_eval) was verified there individually (the sweeps referenced
-# throughout the wave comments below are the intermediate milestones
-# of this round).
-_R7_FRONT = (
-    # r7n (newest): exact-integer NDCG@20 evaluation of the BM25 run —
-    # rule (a); position discounts precomputed as shared integer
-    # literals, relevance independent of the judged score, Python
-    # replay test. Its slot displaces item_cooccurrence (plan-shape
-    # pytest, tests/test_affinity.py), r7b code unchanged since, green
-    # in every full sweep this round including 174/174 at both SFs.
-    "ndcg_eval",
-    # r7m: the frame-sampling and resize multimodal probes —
-    # rule (a); they complete the decode/feature/resize/frame-sample
-    # plumbing set the scale brief names, each running the REAL
-    # operators/multimodal.py pass with byte-level oracle evidence.
-    # Their slots displace node_jaccard_linkpred and dq_anomaly_mad,
-    # each pinned by dedicated property tests
-    # (tests/test_scan_stats_ops.py: nonedge-validity; MAD brute-force
-    # ×2), r7c code unchanged since, green in every full sweep.
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    # r7l: the day-of-week seasonal baseline/residual and the
-    # forecasting lag-feature matrix — rule (a). Their slots displace
-    # event_transition_matrix and attribution_last_touch, each pinned
-    # by a dedicated property test (tests/test_scan_stats_ops.py:
-    # conservation + bp-normalization; brute-force inequality-join
-    # equality), r7c-wave code unchanged since, green in every full
-    # sweep this round.
-    "dow_seasonal_residual",
-    "lag_features",
-    # r7k: CUSUM drift detection via the prefix-scan identity
-    # s_t = S_t − min(0, min S_j) — rule (a); the recurrence-replay
-    # pytest is the load-bearing check here (it caught the missing
-    # empty-prefix term that BOTH engines computed identically, which
-    # the oracle hash therefore could not catch). Its slot displaces
-    # pagerank_copurchase: three dedicated pytest cases
-    # (tests/test_affinity.py: integer-reference path, hub dominance +
-    # mass bound, lineage truncation), unchanged since r7b, green in
-    # every full sweep this round.
-    "cusum_changepoint",
-    # r7j: the exact trailing-30-day rolling median and the
-    # sample-ratio-mismatch χ² health check — rule (a). Their slots
-    # displace retention_cohorts (triangle property test,
-    # tests/test_analytics_ops.py) and bm25_topk (invariants +
-    # controlled-corpus tf test, tests/test_affinity.py), both
-    # unchanged since their waves and green in every full sweep this
-    # round.
-    "rolling_median_daily",
-    "srm_check",
-    # r7i: exact-integer power iteration for the top principal
-    # direction, and the HLL mergeability proof-as-a-query — rule (a).
-    # Their slots displace cm_sketch_topk and bloom_prefilter_join,
-    # each pinned by a dedicated property test
-    # (tests/test_analytics_ops.py: never-undercounts;
-    # no-false-negatives) and green in every full sweep this round.
-    "power_iteration_pc",
-    "hll_merge_audit",
-    # r7h: the rank-based trimmed mean and the hash-split A/B
-    # readout — rule (a). Their slots displace scd2_incremental and
-    # scd2_asof_lookup: both pinned by dedicated property tests
-    # (tests/test_analytics_ops.py: incremental-equals-rebuild against
-    # the in-window scd2_history anchor; asof-covers-every-fact),
-    # unchanged since early r7, green in every full sweep this round.
-    "trimmed_mean",
-    "ab_test_summary",
-    # r7g: the time-bounded windowFunnel — rule (a). Its slot
-    # displaces event_funnel: the UNBOUNDED funnel sibling, pinned by
-    # the dedicated tie-sensitivity pytest (day-truncated same-instant
-    # injection) and green in every full sweep this round; the bounded
-    # variant exercises the same window machinery plus the time gate.
-    "funnel_time_bounded",
-    # r7f: the pre-join hot-key skew report, the
-    # sketch-informed join-strategy decision rule, and exact-moment
-    # per-group Pearson correlation — rule (a). To hold the window at
-    # exactly 50 they displace pack_sequences, span_dedup and
-    # pii_redact past the boundary: the same corpus tier and rationale
-    # as chunk_sequences below (tests/test_corpus_ops.py +
-    # test_corpus_pipeline.py coverage, unchanged since early r7,
-    # green in every full local sweep this round).
-    "key_skew_audit",
-    "join_strategy_advisor",
-    "group_corr",
-    # r7e: weighted sampling without replacement (A-ES),
-    # KMV-merge join-cardinality estimation, and exact-integer per-group
-    # OLS — rule (a). To hold the window at exactly 50 they displace
-    # chunk_sequences, bpe_pair_merge and intra_doc_dedup past the
-    # boundary: each is pytest-covered (tests/test_corpus_ops.py),
-    # unchanged since early r7, and green in every full local sweep
-    # this round including the post-r7d 156/156.
-    "weighted_sample_aes",
+# Round-8 window (exactly the 50 keys the driver samples). r8 is the
+# certification-consolidation round (VERDICT r7 items 1-2): the window is
+# spent burning verification debt to zero, not on new keys.
+_R8_FRONT = (
+    # -- rule (a), changed in r8: broadcast pins on the seven single-row
+    #    scalar crossJoins (VERDICT r7 item 7)
     "kmv_join_cardinality",
-    "group_linear_fit",
-    # r7d: the deterministic-HLL sketch, the sweep-line
-    # concurrency curve, CDC tombstone apply, merkle-style block
-    # checksums, and the interpolated bigram LM — rule (a), all five
-    # lead the window. To hold the window at exactly 50 they displace
-    # sql_interface (a thin spark.sql wrapper whose underlying plans
-    # are separately in-window), dq_profile, pareto_frontier_2d and
-    # zorder_layout_audit (each pytest-covered and green in every full
-    # local sweep this round, including the post-r7d 156/156) past the
-    # boundary to r8, alongside the six previously-documented overflow
-    # keys (domain_mixture, domain_mixture_sample, unpivot_long,
-    # pivot_wide, histogram_fixed, scan_parquet)
-    "hll_distinct_sketch",
-    "interval_concurrency",
-    "cdc_apply",
-    "table_checksum_blocks",
-    "bigram_logprob",
-    # r7c, second wave: behavioral analytics + link
-    # prediction (event_transition_matrix, attribution_last_touch,
-    # node_jaccard_linkpred) — rule (a). To hold the window at 50 they
-    # displace limit / sort_limit / count_star from the stale-r3 tier:
-    # the three most trivial keys in the registry (bare scan shapes,
-    # unchanged since r1, r3-driver-green, re-verified by this round's
-    # full local sweeps at sf0.01 AND sf0.1); the other four stale-r3
-    # keys keep their promised r7 refresh slots
-    "scd2_time_weighted",
-    "bom_rollup",
-    "khop_reach",
-    "group_quantiles_exact",
-    "entity_resolution_blocked",
-    "stream_rolling_distinct",
-    "session_path_trigrams",
-    # r7c first wave: the scan/statistics tier — the two-phase
-    # prefix-sum scan (operators/prefix_sum.py) and its consumers, plus
-    # time-series / IVM / graph / collocation / scaling analytics; per
-    # rule (a) they lead the window and displace the eight r5-refresh
-    # TPC-H keys (tpch_q3/q4/q5/q6/q10/q12/q14/q21 — all r5-driver-green,
-    # code unchanged, re-verified by this round's full local sweeps) to r8
-    "resample_ffill",
-    "incremental_agg_merge",
-    "rolling_distinct_users",
-    "triangle_count",
-    "pps_systematic_sample",
-    "pmi_collocations",
-    "equi_depth_histogram",
-    "feature_scale",
-    # r7b: the affinity/reconciliation/retrieval tier
-    # (queries/affinity.py) — prepended per rule (a); they displace the
-    # last four r5-refresh keys (ann_ivf, ann_ivf_trained,
-    # ann_lsh_bucketed, ann_recall — all r5-driver-green, code unchanged,
-    # locally re-verified this round) past the 50-key window to r8
-    "snapshot_diff",
-    # new this round: the corpus-assembly tier (queries/corpus.py) and
-    # the §2.7 pivot/unpivot/histogram extensions (queries/core.py)
-    # new this round: warehouse-analytics tier (queries/analytics.py)
-    "scd2_history",
-    # new or changed this round
-    "tpch_q2",
-    "tpch_q11",
-    "stream_interval_join",
-    "tpch_q8",
-    "tfidf_weights",
-    # changed in r6 (0a8fd36) but unsampled there — ADVICE r6 (high)
-    "tpch_q1",
-    "tpch_q17",
-    "tpch_q18",
-    "grouping_sets",
-)
-
-# --- window boundary: the driver samples the first 50 keys
-# (= _R7_FRONT exactly). This round added MORE new/changed keys than the
-# window holds, so the keys below sit just past position 50 BY DESIGN,
-# chosen as the least-risky overflow: domain_mixture /
-# domain_mixture_sample (exact quota arithmetic shared between them),
-# unpivot_long / pivot_wide / histogram_fixed (trivial single-shuffle
-# relational shapes with pytest plan pins), scan_parquet (the stale-r3
-# pushdown probe), and the four the r7d wave displaced (sql_interface —
-# a thin spark.sql wrapper over separately-in-window plans — plus
-# dq_profile, pareto_frontier_2d, zorder_layout_audit, each
-# pytest-covered). All verified by this round's full local sweeps at
-# sf0.01 (×3, 146/146 then 148/148, then 151/151 and the post-r7d
-# 156/156) and the r7c sf0.1 passes. The six stale-r3 keys
-# (limit/sort_limit/count_star/count_by_flag/groupby_avg/
-# exists_any_agg) defer to r8 the same way.
-_R7_NEXT = (
+    "ann_recall",
+    "cosine_dedup_recall",
+    "power_iteration_pc",
+    "ndcg_eval",
+    "join_strategy_advisor",
+    "srm_check",
+    # -- rule (a), carried from r7: the five keys whose shingle-path
+    #    helpers changed in r7 commit 01ffa76 AFTER their last driver
+    #    rows (VERDICT r7 item 2) — driver rows on the current text
+    "dedup_minhash_lsh",
+    "ngram_jaccard_dedup",
+    "dup_clusters",
+    "dup_clusters_star",
+    "minhash_incremental",
+    # -- never driver-sampled (28): the r7 overflow — corpus-assembly
+    #    tier, affinity remainder, analytics remainder, §2.7
+    #    pivot/unpivot/histogram, sql_interface (VERDICT r7 item 1)
+    "chunk_sequences",
+    "pack_sequences",
+    "span_dedup",
+    "pii_redact",
+    "domain_mixture",
+    "domain_mixture_sample",
+    "bpe_pair_merge",
+    "intra_doc_dedup",
     "item_cooccurrence",
     "node_jaccard_linkpred",
+    "pagerank_copurchase",
+    "bm25_topk",
     "dq_anomaly_mad",
     "event_transition_matrix",
     "attribution_last_touch",
-    "pagerank_copurchase",
     "retention_cohorts",
-    "bm25_topk",
     "bloom_prefilter_join",
     "cm_sketch_topk",
     "scd2_incremental",
     "scd2_asof_lookup",
     "event_funnel",
-    "pack_sequences",
-    "span_dedup",
-    "pii_redact",
-    "chunk_sequences",
-    "bpe_pair_merge",
-    "intra_doc_dedup",
-    "domain_mixture",
-    "domain_mixture_sample",
-    "unpivot_long",
-    "pivot_wide",
-    "histogram_fixed",
-    "scan_parquet",
-    "sql_interface",
     "dq_profile",
     "pareto_frontier_2d",
     "zorder_layout_audit",
+    "unpivot_long",
+    "pivot_wide",
+    "histogram_fixed",
+    "sql_interface",
+    # -- stale r3 rows (7): the trivial core keys deferred since r6/r7,
+    #    promised to r8 (VERDICT r7 item 1)
+    "scan_parquet",
+    "limit",
+    "sort_limit",
+    "count_star",
+    "count_by_flag",
+    "groupby_avg",
+    "exists_any_agg",
+    # -- rule (b) refresh (3): oldest remaining rows (r5 tier)
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
 )
+
+assert len(_R8_FRONT) == 50, len(_R8_FRONT)
 
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in (*_R7_FRONT, *_R7_NEXT)}
+    out = {k: merged[k] for k in _R8_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 
