@@ -23,7 +23,8 @@ Design notes:
 - The app is a FACTORY over an injected ``EtlPipeline`` — no globals, no
   session construction here; tests drive it with Flask's test client over
   a temp-dir warehouse, production wraps whatever session/warehouse it
-  runs (SURVEY.md §2.8).
+  runs (SURVEY.md §7 phase 2's "thin runner replacing FastAPI dispatch",
+  now with the actual HTTP layer on top).
 - Unknown entity → 404; pipeline errors → 500 with the error string —
   the reference's status mapping (endpoints.py:101-106).
 - The reference runs scheduler jobs on a thread-pool to keep the event
