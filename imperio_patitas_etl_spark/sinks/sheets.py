@@ -73,21 +73,23 @@ class SheetsMirror:
 def connect_gspread(credentials_file: str, sheet_id: str) -> SheetsMirror:
     """Live connection seam: service-account auth → spreadsheet handle
     (sheets_sync.py:13-23). Requires the ``gspread`` package — absent in
-    this environment, so this function's body is the ONLY untested code
-    in the module and says so loudly when invoked without the dep."""
+    this environment, so the seam is executed in tests against an
+    injected gspread API double (tests/test_sheets_sink.py) that pins
+    the auth/open sequence and the WorksheetNotFound → KeyError mapping;
+    only the real network hop runs exclusively in a deployment."""
     try:
         import gspread  # type: ignore
-    except ImportError as e:  # pragma: no cover — dep absent here
+    except ImportError as e:
         raise ImportError(
             "gspread is not installed; SheetsMirror works against any "
             "client matching the documented contract — connect one, or "
             "install gspread for the live path"
         ) from e
 
-    gc = gspread.service_account(filename=credentials_file)  # pragma: no cover
-    sh = gc.open_by_key(sheet_id)  # pragma: no cover
+    gc = gspread.service_account(filename=credentials_file)
+    sh = gc.open_by_key(sheet_id)
 
-    class _Wrapped:  # pragma: no cover — thin exception-mapping shim
+    class _Wrapped:
         def worksheet(self, title):
             try:
                 return sh.worksheet(title)

@@ -70,6 +70,79 @@ def test_empty_export_is_noop():
     assert sh.log == []
 
 
+def test_connect_gspread_without_dep_raises():
+    """In this environment gspread is absent: the seam must fail loudly
+    with the pointer to the duck-typed contract, not an AttributeError
+    later."""
+    import importlib.util
+
+    import pytest as _pytest
+
+    if importlib.util.find_spec("gspread") is not None:
+        _pytest.skip("gspread present; decline path not reachable")
+    from imperio_patitas_etl_spark.sinks.sheets import connect_gspread
+
+    with _pytest.raises(ImportError, match="documented contract"):
+        connect_gspread("/tmp/creds.json", "sheet-123")
+
+
+def test_connect_gspread_contract(monkeypatch):
+    """Execute the live-connection seam against an injected gspread API
+    double (the Delta-branch pattern): service-account auth, open by key,
+    and the WorksheetNotFound → KeyError mapping the adapter's duck-typed
+    contract requires."""
+    import sys
+    import types
+
+    log: list = []
+
+    class _WorksheetNotFound(Exception):
+        pass
+
+    class _Sheet:
+        def worksheet(self, title):
+            log.append(("worksheet", title))
+            if title == "missing":
+                raise _WorksheetNotFound(title)
+            return _FakeWorksheet(title, log)
+
+        def del_worksheet(self, ws):
+            log.append(("del_worksheet", ws.title))
+
+        def add_worksheet(self, title, rows, cols):
+            log.append(("add_worksheet", title, rows, cols))
+            return _FakeWorksheet(title, log)
+
+    class _Client:
+        def open_by_key(self, key):
+            log.append(("open_by_key", key))
+            return _Sheet()
+
+    fake = types.ModuleType("gspread")
+    fake.service_account = lambda filename: (
+        log.append(("service_account", filename)) or _Client()
+    )
+    fake.exceptions = types.SimpleNamespace(WorksheetNotFound=_WorksheetNotFound)
+    monkeypatch.setitem(sys.modules, "gspread", fake)
+
+    from imperio_patitas_etl_spark.sinks.sheets import connect_gspread
+
+    mirror = connect_gspread("/tmp/creds.json", "sheet-123")
+    assert log[:2] == [("service_account", "/tmp/creds.json"), ("open_by_key", "sheet-123")]
+    # absent worksheet → KeyError (contract mapping), so upsert creates it
+    mirror.upsert_table("missing", VALUES)
+    assert ("add_worksheet", "missing", len(VALUES) + 10, 2) in log
+    # present worksheet → deleted then recreated, wrapped del/add paths run
+    log.clear()
+    mirror.upsert_table("cliente", VALUES)
+    assert [e[0] for e in log] == [
+        "worksheet",
+        "del_worksheet",
+        "add_worksheet",
+        "update",
+    ]
+
+
 def test_exporter_plugs_into_pipeline_mirror(spark, tmp_path):
     """End-to-end: warehouse table → stringified export → mirror double,
     via the pipeline's exporter hook; one worksheet per table, and a
