@@ -387,7 +387,38 @@ def write_certification(path: str | None = None) -> str:
     return path
 
 
+def plan_next_window(size: int = 50) -> list[str]:
+    """Suggest the next round's sampled window under the rotation rules:
+    rule (a) keys first (changed since the round boundary — includes new
+    keys), then never-certified keys, then stalest rows (rule (b)).
+    Purely advisory — the authoritative window is the _R*_FRONT tuple in
+    queries/__init__.py; this exists so constructing it is mechanical."""
+    boundary = round_boundary_commit()
+    changed = sorted(changed_keys_since(boundary)) if boundary else []
+    table = last_certified()
+    never = [k for k, r in table.items() if r is None and k not in changed]
+    stale = sorted(
+        (k for k, r in table.items() if r is not None and k not in changed),
+        key=lambda k: (table[k], k),
+    )
+    window = [*changed, *never, *stale][:size]
+    overflow = len(changed) + len(never) - size
+    if overflow > 0:
+        print(
+            f"WARNING: {len(changed)} changed + {len(never)} never-certified "
+            f"keys exceed the {size}-key window by {overflow}; the overflow "
+            "spills to the following round — prefer freezing code churn "
+            "until the debt clears.",
+            file=sys.stderr,
+        )
+    return window
+
+
 def main() -> None:
+    if "--plan-next" in sys.argv:
+        for k in plan_next_window():
+            print(k)
+        return
     path = write_certification()
     table = last_certified()
     never = [k for k, r in table.items() if r is None]
