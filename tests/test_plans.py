@@ -359,3 +359,23 @@ def test_session_paths_single_user_shuffle(spark, sf_dir):
     n_exchanges = len(_re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges <= 2, plan[:2000]
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scalar_crossjoins_pinned_to_broadcast(spark, sf_dir):
+    """Every single-row scalar crossJoin in the package carries an
+    explicit F.broadcast hint (VERDICT r7 item 7), so the physical plan
+    is BroadcastNestedLoopJoin and can never degrade to a cartesian
+    product on a stats change. Pins the seven call sites fixed in r8."""
+    qs = all_queries()
+    for key in (
+        "kmv_join_cardinality",
+        "ann_recall",
+        "cosine_dedup_recall",
+        "power_iteration_pc",
+        "ndcg_eval",
+        "join_strategy_advisor",
+        "srm_check",
+    ):
+        plan = _plan(qs[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" in plan, key
