@@ -353,14 +353,23 @@ def driver_history() -> dict[str, list[tuple[int, bool]]]:
     return hist
 
 
-def last_certified() -> dict[str, int | None]:
+def last_certified(max_round: int | None = None) -> dict[str, int | None]:
+    """key → last green driver round. ``max_round`` restricts the scan to
+    artifacts from rounds ≤ that round — used by the sync test so a
+    freshly driver-written CORRECTNESS file does not read as a broken
+    build before the round ritual (``python tools/rotation.py``)
+    regenerates the table."""
     sys.path.insert(0, REPO)
     from imperio_patitas_etl_spark.queries import all_queries
 
     hist = driver_history()
     out: dict[str, int | None] = {}
     for key in all_queries():
-        greens = [r for r, ok in hist.get(key, []) if ok]
+        greens = [
+            r
+            for r, ok in hist.get(key, [])
+            if ok and (max_round is None or r <= max_round)
+        ]
         out[key] = max(greens) if greens else None
     return out
 
