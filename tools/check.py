@@ -129,13 +129,24 @@ def _normalize(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as m
-    from imperio_patitas_etl_spark.session import get_spark
 
-    spark = get_spark("check")
+    if vanilla:
+        # the DRIVER's condition: a bare session with none of get_spark's
+        # configs — any query that only passes under the tuned session is
+        # a bug this flag exists to catch (verify skill, r8)
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from imperio_patitas_etl_spark.session import get_spark
+
+        spark = get_spark("check")
     con = duckdb.connect()
     # pin the session TZ like the Spark side (session.py): DuckDB's
     # TIMESTAMPTZ→TIMESTAMP casts otherwise use the HOST timezone, shifting
