@@ -166,6 +166,18 @@ def main() -> None:
     run_all = "--headline" not in args and (not sf1_mode or "--all" in args)
     pos = [a for a in args if not a.startswith("--")]
 
+    # Lossless driver capture (VERDICT r8 item 4): BENCH_r07/r08.json both
+    # lost the result header to stdout-tail truncation because JVM startup
+    # noise (Ivy, log4j banner, SparkContext INFO lines before
+    # setLogLevel lands) shares fd 1 with the result line. Park the real
+    # stdout on a duplicate fd and point fd 1 at stderr for the WHOLE run
+    # — the JVM inherits the redirected fd — then write the single JSON
+    # result line to the saved fd at the end. stdout therefore carries
+    # exactly one line no matter what any child process prints.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     if sf1_mode:
         sf_dir = pos[0] if pos else "/tmp/sf1"
         if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
@@ -239,18 +251,21 @@ def main() -> None:
     }
     if run_all:
         out["all_total"] = round(sum(timings.values()), 3)
-    # Durable record (VERDICT r7 item 3): BENCH_r07.json lost its header
-    # and ~95 per-query rows to stdout-tail truncation. Write the complete
-    # result to a file FIRST, then print the same single JSON line to
-    # stdout for the driver — if the captured stdout is truncated, the
-    # file still carries the full {metric, value, all_total, queries{...}}.
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"
-    )
+    # Durable record (VERDICT r7 item 3; mode-suffixed per ADVICE r8):
+    # BENCH_out.json is the driver-comparable default sweep; other modes
+    # write their own file so a --sf1 run can't clobber the sf0.1 record.
+    if sf1_mode:
+        mode = "sf1_all" if run_all else "sf1"
+    else:
+        mode = "all" if run_all else "headline"
+    fname = "BENCH_out.json" if mode == "all" else f"BENCH_out_{mode}.json"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)
     with open(out_path, "w") as f:
         json.dump(out, f)
         f.write("\n")
-    print(json.dumps(out))
+    # the ONE stdout line, written to the fd saved before the redirect
+    os.write(real_stdout, (json.dumps(out) + "\n").encode())
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":
