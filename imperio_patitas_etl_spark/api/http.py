@@ -75,7 +75,10 @@ def create_app(pipeline: EtlPipeline) -> Flask:
     def run_sync(entity: str):
         """Sync one entity ('clients'|'products'|'documents'|'all');
         'documents'/'all' accept ?start_date=YYYY-MM-DD
-        (endpoints.py:50-106)."""
+        (endpoints.py:50-106). Every branch — not just 'all' — ends by
+        mirroring the synced tables to the Sheets exporter, matching the
+        reference's per-entity sync_all_to_sheets calls
+        (endpoints.py:84-100); ``EtlPipeline.sync`` owns that step."""
         if entity not in _ENTITIES:
             return (
                 jsonify({"status": "error", "detail": f"Entidad '{entity}' no encontrada."}),
@@ -137,8 +140,16 @@ def create_app(pipeline: EtlPipeline) -> Flask:
     def test_sample():
         """Smoke: first n raw rows per source, stringified, no load
         (scheduler_endpoints.py:140-182)."""
+        # validate BEFORE the pipeline try-block so a malformed or
+        # negative n is a client error (400), matching the days route,
+        # not a masked 500 (ADVICE r8)
         try:
             n = int(request.args.get("n", "5"))
+        except ValueError:
+            return jsonify({"status": "error", "detail": "n must be an int"}), 400
+        if n < 0:
+            return jsonify({"status": "error", "detail": "n must be >= 0"}), 400
+        try:
             sample = pipeline.test_sample(n)
         except Exception as e:  # noqa: BLE001
             return _fail(e)

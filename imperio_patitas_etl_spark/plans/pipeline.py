@@ -117,6 +117,16 @@ class EtlPipeline:
 
     # -- orchestration (endpoints.py:50-106, scheduler_endpoints.py) ------
 
+    #: tables each entity sync materializes — the reference mirrors
+    #: exactly this subset to Sheets after EVERY sync, not just 'all'
+    #: (endpoints.py:84-100: sync_all_to_sheets({'cliente': ...}) after
+    #: the clients branch, etc.)
+    _ENTITY_TABLES = {
+        "clients": ("cliente",),
+        "products": ("producto",),
+        "documents": ("documento_venta", "detalle_documento"),
+    }
+
     def sync(self, entity: str, start_date: str | None = None) -> None:
         if entity == "clients":
             self.sync_clients()
@@ -131,24 +141,33 @@ class EtlPipeline:
             self.sync_products()
             self.sync_documents(start_date)
             self.mirror_all()
+            return
         else:
             raise ValueError(f"unknown entity {entity!r}")
+        # per-entity mirror of just the synced tables (ADVICE r8: a
+        # deployment driving per-entity syncs must not leave the Sheets
+        # mirror silently stale)
+        self.mirror(self._ENTITY_TABLES[entity])
 
-    def mirror_all(self) -> bool:
-        """K5: full-refresh mirror of all 4 tables (sheets_sync.py:49-59).
+    def mirror(self, tables) -> bool:
+        """K5 mirror of the named warehouse tables (sheets_sync.py:49-59).
         Returns False (and keeps going) on any export error — the mirror
         must never fail the sync (etl_service.py:737-741)."""
         if self.exporter is None:
             return True
         ok = True
-        from imperio_patitas_etl_spark.sinks.warehouse import WAREHOUSE_SCHEMAS
-
-        for table in WAREHOUSE_SCHEMAS:
+        for table in tables:
             try:
                 self.exporter(table, self.warehouse.export_stringified(table))
             except Exception:
                 ok = False
         return ok
+
+    def mirror_all(self) -> bool:
+        """K5: full-refresh mirror of all 4 tables."""
+        from imperio_patitas_etl_spark.sinks.warehouse import WAREHOUSE_SCHEMAS
+
+        return self.mirror(tuple(WAREHOUSE_SCHEMAS))
 
     def clean_and_reload(self) -> None:
         """Truncate all 4 tables then full resync (endpoints.py:18-48)."""

@@ -123,3 +123,11 @@ def test_test_sample_stringified(client):
     assert set(body) == {"clients", "products", "price_list", "costs", "documents"}
     assert len(body["clients"]) == 2
     assert all(isinstance(v, str) for v in body["clients"][0].values())
+
+
+def test_test_sample_n_validation(client):
+    """Malformed/negative n is a client error, matching the days route
+    (ADVICE r8) — not a 500 from the generic pipeline handler."""
+    c, _ = client
+    assert c.get("/scheduler/test-sample?n=oops").status_code == 400
+    assert c.get("/scheduler/test-sample?n=-1").status_code == 400

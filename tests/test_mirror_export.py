@@ -52,6 +52,20 @@ def test_mirror_exports_all_tables_stringified(spark, tmp_path):
     assert "" in body[0]
 
 
+def test_per_entity_sync_mirrors_synced_tables(spark, tmp_path):
+    """The reference mirrors after EVERY entity sync, not only 'all'
+    (endpoints.py:84-100) — a per-entity deployment must not leave the
+    Sheets mirror stale (ADVICE r8)."""
+    got: dict[str, list] = {}
+    p = _mini_pipeline(spark, tmp_path, lambda name, rows: got.__setitem__(name, rows))
+    p.warehouse.ensure_all()
+    p.sync("clients")
+    assert set(got) == {"cliente"}
+    got.clear()
+    p.sync("documents")
+    assert set(got) == {"documento_venta", "detalle_documento"}
+
+
 def test_mirror_error_is_non_fatal(spark, tmp_path):
     def boom(name, rows):
         raise RuntimeError("sheets quota")
