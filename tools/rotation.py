@@ -227,6 +227,21 @@ def closure(
                 target = index.module(mod)
                 if target is not None and attr in target.defs:
                     out.update(closure(index, mod, attr, visited))
+                else:
+                    # package-internal reference the resolver cannot pin
+                    # to a symbol (deeper attribute chain into a
+                    # submodule, getattr table, re-export): hash the
+                    # WHOLE module it points through, so a change there
+                    # cannot escape rule (a). Symmetry only prevents
+                    # false diffs, not missed ones (ADVICE r8) — the
+                    # fallback over-includes rather than under-includes.
+                    submod = index.module(f"{mod}.{attr}")
+                    fb_mod, fb = (f"{mod}.{attr}", submod) if submod else (mod, target)
+                    if fb is not None:
+                        mkey = (fb_mod, "<module>")
+                        if mkey not in visited:
+                            visited.add(mkey)
+                            out[mkey] = _dump(fb.tree)
     return out
 
 
@@ -353,6 +368,28 @@ def driver_history() -> dict[str, list[tuple[int, bool]]]:
     return hist
 
 
+def latest_sampled(
+    max_round: int | None = None,
+) -> dict[str, tuple[int, bool] | None]:
+    """key → (round, ok) of the key's MOST RECENT driver row, regardless
+    of color. ``last_certified`` alone hides a driver-observed regression
+    on unchanged code (green r5, red r7 still reads 'certified r5');
+    window planning must see the red (ADVICE r8)."""
+    sys.path.insert(0, REPO)
+    from imperio_patitas_etl_spark.queries import all_queries
+
+    hist = driver_history()
+    out: dict[str, tuple[int, bool] | None] = {}
+    for key in all_queries():
+        rows = [
+            (r, ok)
+            for r, ok in hist.get(key, [])
+            if max_round is None or r <= max_round
+        ]
+        out[key] = max(rows, key=lambda t: t[0]) if rows else None
+    return out
+
+
 def last_certified(max_round: int | None = None) -> dict[str, int | None]:
     """key → last green driver round. ``max_round`` restricts the scan to
     artifacts from rounds ≤ that round — used by the sync test so a
@@ -405,19 +442,35 @@ def plan_next_window(size: int = 50) -> list[str]:
     boundary = round_boundary_commit()
     changed = sorted(changed_keys_since(boundary)) if boundary else []
     table = last_certified()
-    never = [k for k, r in table.items() if r is None and k not in changed]
+    latest = latest_sampled()
+    # a key whose MOST RECENT driver row is red is as urgent as a changed
+    # key — the regression escaped rule (a) (unchanged code) and must be
+    # re-sampled, not aged out by its older green row (ADVICE r8)
+    red = sorted(
+        k
+        for k, row in latest.items()
+        if row is not None and not row[1] and k not in changed
+    )
+    front = [*changed, *red]
+    never = [k for k, r in table.items() if r is None and k not in front]
     stale = sorted(
-        (k for k, r in table.items() if r is not None and k not in changed),
+        (k for k, r in table.items() if r is not None and k not in front),
         key=lambda k: (table[k], k),
     )
-    window = [*changed, *never, *stale][:size]
-    overflow = len(changed) + len(never) - size
+    window = [*front, *never, *stale][:size]
+    overflow = len(front) + len(never) - size
+    if red:
+        print(
+            f"NOTE: {len(red)} key(s) whose latest driver row is RED are "
+            f"front-loaded: {', '.join(red)}",
+            file=sys.stderr,
+        )
     if overflow > 0:
         print(
-            f"WARNING: {len(changed)} changed + {len(never)} never-certified "
-            f"keys exceed the {size}-key window by {overflow}; the overflow "
-            "spills to the following round — prefer freezing code churn "
-            "until the debt clears.",
+            f"WARNING: {len(changed)} changed + {len(red)} red + "
+            f"{len(never)} never-certified keys exceed the {size}-key "
+            f"window by {overflow}; the overflow spills to the following "
+            "round — prefer freezing code churn until the debt clears.",
             file=sys.stderr,
         )
     return window
