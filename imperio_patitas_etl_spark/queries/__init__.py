@@ -62,81 +62,78 @@ _MODULES = (
     core,
 )
 
-# Round-8 window (exactly the 50 keys the driver samples). r8 is the
-# certification-consolidation round (VERDICT r7 items 1-2): the window is
-# spent burning verification debt to zero, not on new keys.
-_R8_FRONT = (
-    # -- rule (a), changed in r8: broadcast pins on the seven single-row
-    #    scalar crossJoins (VERDICT r7 item 7)
-    "kmv_join_cardinality",
-    "ann_recall",
-    "cosine_dedup_recall",
-    "power_iteration_pc",
-    "ndcg_eval",
-    "join_strategy_advisor",
-    "srm_check",
-    # -- rule (a), carried from r7: the five keys whose shingle-path
-    #    helpers changed in r7 commit 01ffa76 AFTER their last driver
-    #    rows (VERDICT r7 item 2) — driver rows on the current text
-    "dedup_minhash_lsh",
-    "ngram_jaccard_dedup",
+# Round-9 window (exactly the 50 keys the driver samples). r9 is the
+# optimization round (VERDICT r8): rule (a) covers the ngram-family
+# restructure (shared shingle checkpoint + PPJoin positional bound),
+# then the whole r5-latest tier is refreshed, r6 rows as fill.
+_R9_FRONT = (
+    # -- rule (a), changed in r9: the ngram-Jaccard family restructure
+    #    (_ngram_pair_build shared stage, shingle localCheckpoint with
+    #    caller-owned release, positional prefix refinement)
+    "corpus_keep_list",
     "dup_clusters",
     "dup_clusters_star",
-    "minhash_incremental",
-    # -- never driver-sampled (28): the r7 overflow — corpus-assembly
-    #    tier, affinity remainder, analytics remainder, §2.7
-    #    pivot/unpivot/histogram, sql_interface (VERDICT r7 item 1)
-    "chunk_sequences",
-    "pack_sequences",
-    "span_dedup",
-    "pii_redact",
-    "domain_mixture",
-    "domain_mixture_sample",
-    "bpe_pair_merge",
-    "intra_doc_dedup",
-    "item_cooccurrence",
-    "node_jaccard_linkpred",
-    "pagerank_copurchase",
-    "bm25_topk",
-    "dq_anomaly_mad",
-    "event_transition_matrix",
-    "attribution_last_touch",
-    "retention_cohorts",
-    "bloom_prefilter_join",
-    "cm_sketch_topk",
-    "scd2_incremental",
-    "scd2_asof_lookup",
-    "event_funnel",
-    "dq_profile",
-    "pareto_frontier_2d",
-    "zorder_layout_audit",
-    "unpivot_long",
-    "pivot_wide",
-    "histogram_fixed",
-    "sql_interface",
-    # -- stale r3 rows (7): the trivial core keys deferred since r6/r7,
-    #    promised to r8 (VERDICT r7 item 1)
-    "scan_parquet",
-    "limit",
-    "sort_limit",
-    "count_star",
-    "count_by_flag",
-    "groupby_avg",
-    "exists_any_agg",
-    # -- rule (b) refresh (3): oldest remaining rows (r5 tier)
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
+    "ngram_jaccard_dedup",
+    # -- rule (b) refresh (35): the entire r5-latest tier — ann family,
+    #    entity filter/project + cleaning tier, text r5 keys, stream r5
+    #    keys, tpch stale-r5 remainder (VERDICT r8 item 2)
+    "ann_ivf",
+    "ann_ivf_trained",
+    "ann_lsh_bucketed",
+    "ann_topk_bruteforce",
+    "arith_derived",
+    "casts",
+    "coalesce_defaults",
+    "dedup_exact",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "dq_flags",
+    "embedding_cosine_dedup",
+    "filter_project_client",
+    "filter_project_detail",
+    "filter_project_document",
+    "filter_project_product",
+    "json_extract",
+    "lang_id",
+    "quality_score",
+    "regex_email",
+    "regex_rut",
+    "simhash_near_dup",
+    "stratified_sample",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_sliding_window",
+    "string_cleanup",
+    "tf_vectorize",
+    "timestamp_from_unix",
+    "token_count",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q21",
+    "tpch_q6",
+    # -- rule (b) fill (11): oldest r6 rows
+    "asof_join",
+    "cube_rollup",
+    "date_window",
+    "decontaminate_ngram",
+    "dedup_first",
+    "delete_insert_antijoin",
+    "derived_cost_coalesce",
+    "distinct_agg",
+    "embedding_dup_clusters",
+    "explode_details",
+    "explode_variants",
 )
 
-assert len(_R8_FRONT) == 50, len(_R8_FRONT)
+assert len(_R9_FRONT) == 50, len(_R9_FRONT)
 
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _R8_FRONT}
+    out = {k: merged[k] for k in _R9_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 
