@@ -106,6 +106,56 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
         UPDATE_COLS.pop("stream_events", None)
 
 
+def test_foreach_batch_upsert_equals_batch_upsert(spark, sf_dir, tmp_path):
+    """End-to-end pipeline equality (VERDICT r8 item 7): streaming the
+    events through ``foreachBatch`` → MERGE must leave the warehouse in
+    EXACTLY the state a single batch upsert of the same input produces —
+    value-level row-set equality, not just matching counts. The micro-
+    batch decomposition (N merges in source order) and the one-shot
+    merge agree because the MERGE is keyed latest-wins per batch and the
+    source carries one row per key."""
+    from imperio_patitas_etl_spark.sinks.warehouse import (
+        MERGE_KEYS,
+        UPDATE_COLS,
+        WAREHOUSE_SCHEMAS,
+        ParquetWarehouse,
+    )
+    import pyspark.sql.types as T
+
+    WAREHOUSE_SCHEMAS["stream_events"] = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), nullable=False),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    MERGE_KEYS["stream_events"] = "event_id"
+    UPDATE_COLS["stream_events"] = None
+    cols = ["event_id", "event_type", "value"]
+    try:
+        wh_s = ParquetWarehouse(spark, str(tmp_path / "wh_stream"))
+        q = foreach_batch_upsert(
+            read_events_stream(spark, sf_dir).select(*cols),
+            wh_s,
+            "stream_events",
+            str(tmp_path / "ck"),
+        )
+        q.awaitTermination()
+
+        wh_b = ParquetWarehouse(spark, str(tmp_path / "wh_batch"))
+        wh_b.ensure_table("stream_events")
+        wh_b.upsert("stream_events", read_events_batch(spark, sf_dir).select(*cols))
+
+        got = _as_set(wh_s.read("stream_events").select(*cols))
+        want = _as_set(wh_b.read("stream_events").select(*cols))
+        assert got == want
+        assert len(got) > 0
+    finally:
+        WAREHOUSE_SCHEMAS.pop("stream_events", None)
+        MERGE_KEYS.pop("stream_events", None)
+        UPDATE_COLS.pop("stream_events", None)
+
+
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     """Stream-stream event-time interval self-join (errors ⋈ clicks
     within 10 minutes) under availableNow must emit exactly the batch
