@@ -1,0 +1,75 @@
+"""Resumable batcher for long full-registry oracle sweeps.
+
+The full `tools/check.py` sweep at sf0.1 takes ~30-40 minutes — longer
+than this environment's shell command cap — so it must run as a series
+of fresh short-lived processes that append to a cumulative log. Each
+invocation reads the log, figures out which registry keys already passed
+(``ok   <key>:`` lines), and runs check.py on the next keys under a
+wall-clock budget, one batch-sized subprocess at a time. Re-invoke until
+it prints ``remaining=0``. A key that FAILED in a previous batch is
+retried (only ``ok`` lines mark completion) — a persistent failure shows
+up in the log every batch.
+
+Usage: python tools/sweep_batch.py <sf_dir> <log_file> [--vanilla]
+           [--budget SECONDS] [--batch N]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def done_keys(log_path: str) -> set[str]:
+    if not os.path.exists(log_path):
+        return set()
+    out: set[str] = set()
+    with open(log_path, errors="replace") as f:
+        # Spark progress bars embed \r — split on both line endings
+        for line in re.split(r"[\r\n]+", f.read()):
+            m = re.match(r"ok\s+(\S+):", line.strip())
+            if m:
+                out.add(m.group(1))
+    return out
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir, log_path = args[0], args[1]
+    vanilla = "--vanilla" in sys.argv
+    budget = 480.0
+    batch = 10
+    if "--budget" in sys.argv:
+        budget = float(sys.argv[sys.argv.index("--budget") + 1])
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+
+    from imperio_patitas_etl_spark.queries import all_queries
+
+    order = list(all_queries())
+    t0 = time.monotonic()
+    while True:
+        remaining = [k for k in order if k not in done_keys(log_path)]
+        if not remaining or time.monotonic() - t0 > budget:
+            break
+        chunk = remaining[:batch]
+        cmd = [sys.executable, os.path.join(REPO, "tools", "check.py"), sf_dir]
+        if vanilla:
+            cmd.append("--vanilla")
+        cmd += chunk
+        with open(log_path, "a") as log:
+            subprocess.run(cmd, stdout=log, stderr=subprocess.DEVNULL, cwd=REPO)
+    remaining = [k for k in order if k not in done_keys(log_path)]
+    print(f"remaining={len(remaining)}")
+    if remaining:
+        print("next:", " ".join(remaining[:batch]))
+
+
+if __name__ == "__main__":
+    main()
