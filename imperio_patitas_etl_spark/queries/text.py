@@ -797,8 +797,16 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Hamming-neighbor probing the exact-signature ``dedup_simhash``
     bucket lacks; candidate work is shuffle-bounded by band-bucket size,
     and the 15-bit band keyspace (32k values) keeps buckets small as the
-    corpus grows (see SIMHASH_NEAR_BITS note)."""
-    sigs = _simhash_sigs(spark, sf_dir, SIMHASH_NEAR_BITS)
+    corpus grows (see SIMHASH_NEAR_BITS note).
+
+    The signature relation is ``localCheckpoint``-ed once (r9): both
+    sides of the banded self-join read it and Catalyst does not CSE
+    across self-join subtrees, so un-checkpointed the word-explode +
+    60-bit-vote groupBy ran twice per query (the same lesson as
+    ``_ngram_pair_build``). One narrow row per doc — bounded; the
+    returned plan reads the blocks, same lifetime contract as the
+    standalone ngram key."""
+    sigs = _simhash_sigs(spark, sf_dir, SIMHASH_NEAR_BITS).localCheckpoint()
     band_width = SIMHASH_NEAR_BITS // 4
     bands = sigs.select(
         "doc_id",
