@@ -62,78 +62,75 @@ _MODULES = (
     core,
 )
 
-# Round-9 window (exactly the 50 keys the driver samples). r9 is the
-# optimization round (VERDICT r8): rule (a) covers the ngram-family
-# restructure (shared shingle checkpoint + PPJoin positional bound),
-# then the whole r5-latest tier is refreshed, r6 rows as fill.
-_R9_FRONT = (
-    # -- rule (a), changed in r9: the ngram-Jaccard family restructure
-    #    (_ngram_pair_build shared stage, shingle localCheckpoint with
-    #    caller-owned release, positional prefix refinement)
-    "corpus_keep_list",
-    "dup_clusters",
-    "dup_clusters_star",
-    "ngram_jaccard_dedup",
-    # -- rule (b) refresh (35): the entire r5-latest tier — ann family,
-    #    entity filter/project + cleaning tier, text r5 keys, stream r5
-    #    keys, tpch stale-r5 remainder (VERDICT r8 item 2)
-    "ann_ivf",
-    "ann_ivf_trained",
-    "ann_lsh_bucketed",
-    "ann_topk_bruteforce",
-    "arith_derived",
-    "casts",
-    "coalesce_defaults",
-    "dedup_exact",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "dq_flags",
-    "embedding_cosine_dedup",
-    "filter_project_client",
-    "filter_project_detail",
-    "filter_project_document",
-    "filter_project_product",
-    "json_extract",
-    "lang_id",
-    "quality_score",
-    "regex_email",
-    "regex_rut",
-    "simhash_near_dup",
-    "stratified_sample",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_sliding_window",
-    "string_cleanup",
-    "tf_vectorize",
-    "timestamp_from_unix",
-    "token_count",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q21",
-    "tpch_q6",
-    # -- rule (b) fill (11): oldest r6 rows
-    "asof_join",
-    "cube_rollup",
-    "date_window",
-    "decontaminate_ngram",
-    "dedup_first",
-    "delete_insert_antijoin",
-    "derived_cost_coalesce",
-    "distinct_agg",
-    "embedding_dup_clusters",
-    "explode_details",
-    "explode_variants",
+# Round-10 window (exactly the 50 keys the driver samples). r10 is the
+# certification-hygiene round (VERDICT r9 item 1): no implementation or
+# oracle changed since the r9 boundary (rotation.py fingerprint diff = 0),
+# so the whole window is rule (b) refresh — the 33 r6-latest keys plus the
+# 17 oldest r7 rows, exactly `tools/rotation.py --plan-next` after
+# regenerating certification.py from CORRECTNESS_r09.
+_R10_FRONT = (
+    # -- rule (b) refresh: all remaining r6-latest rows (33)
+    "fk_orphans_antijoin",
+    "gopher_filter",
+    "join_cost_left",
+    "join_price_broadcast",
+    "kmv_distinct_sketch",
+    "multi_join_star",
+    "multimodal_decode_stub",
+    "multimodal_feature_extract",
+    "percentile_agg",
+    "quality_gopher",
+    "quantile_sketch",
+    "range_join",
+    "salted_join_skew",
+    "semi_anti_membership",
+    "sessionize_events",
+    "sessionize_sharded",
+    "stream_tumbling_window",
+    "topk_per_group",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q7",
+    "tpch_q9",
+    "unigram_logprob",
+    "union_except",
+    "upsert_latest_wins",
+    "upsert_merge",
+    "window_lag_rank",
+    "window_range_rolling",
+    "window_running_sum",
+    # -- rule (b) fill: oldest r7 rows (17)
+    "ab_test_summary",
+    "bigram_logprob",
+    "bom_rollup",
+    "cdc_apply",
+    "cusum_changepoint",
+    "dow_seasonal_residual",
+    "entity_resolution_blocked",
+    "equi_depth_histogram",
+    "feature_scale",
+    "funnel_time_bounded",
+    "group_corr",
+    "group_linear_fit",
+    "group_quantiles_exact",
+    "grouping_sets",
+    "hll_distinct_sketch",
+    "hll_merge_audit",
+    "incremental_agg_merge",
 )
 
-assert len(_R9_FRONT) == 50, len(_R9_FRONT)
+assert len(_R10_FRONT) == 50, len(_R10_FRONT)
 
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _R9_FRONT}
+    out = {k: merged[k] for k in _R10_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 
