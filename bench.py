@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {key: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec for the 10 slowest keys}, "sf": ..., "n_keys": ...,
+"all_total": ..., "queries_full": "BENCH_out*.json"}. The FULL per-key
+timing map is written to BENCH_out*.json (mode-suffixed); stdout stays
+under 1.5 kB so the driver's stdout-tail capture always parses it
+(VERDICT r9 item 2 — the 6 kB full map got front-clipped three rounds
+running).
 
 Each query is executed to completion through a `noop`-format write: every
 result column is fully computed and materialized executor-side, so Catalyst
@@ -251,6 +256,17 @@ def main() -> None:
     }
     if run_all:
         out["all_total"] = round(sum(timings.values()), 3)
+    # Compact stdout variant (VERDICT r9 item 2): BENCH_r07-r09.json all
+    # came back `"parsed": null` because the full per-key map is ~6 kB and
+    # the driver's stdout-tail capture (~2 kB) clips its FRONT, so the line
+    # can never parse. stdout therefore carries a summary small enough to
+    # survive any tail window — same contract shape, but `queries` holds
+    # only the top-10 slowest keys; the full map lives in the committed
+    # BENCH_out*.json (`queries_full` names the file).
+    stdout_out = dict(out)
+    top10 = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    stdout_out["queries"] = dict(top10)
+    stdout_out["n_keys"] = len(timings)
     # Durable record (VERDICT r7 item 3; mode-suffixed per ADVICE r8):
     # BENCH_out.json is the driver-comparable default sweep; other modes
     # write their own file so a --sf1 run can't clobber the sf0.1 record.
@@ -263,8 +279,11 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(out, f)
         f.write("\n")
+    stdout_out["queries_full"] = fname
+    line = json.dumps(stdout_out) + "\n"
+    assert len(line) < 1500, len(line)  # must fit the driver's tail capture
     # the ONE stdout line, written to the fd saved before the redirect
-    os.write(real_stdout, (json.dumps(out) + "\n").encode())
+    os.write(real_stdout, line.encode())
     os.close(real_stdout)
 
 
