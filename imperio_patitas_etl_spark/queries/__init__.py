@@ -63,12 +63,21 @@ _MODULES = (
 )
 
 # Round-10 window (exactly the 50 keys the driver samples). r10 is the
-# certification-hygiene round (VERDICT r9 item 1): no implementation or
-# oracle changed since the r9 boundary (rotation.py fingerprint diff = 0),
-# so the whole window is rule (b) refresh — the 33 r6-latest keys plus the
-# 17 oldest r7 rows, exactly `tools/rotation.py --plan-next` after
-# regenerating certification.py from CORRECTNESS_r09.
+# certification-hygiene round (VERDICT r9 item 1). Rule (a) covers the
+# co-purchase family extraction (VERDICT r9 item 5: the five graph keys'
+# downstream logic moved into `_*_from_pairs` helpers shared with the new
+# `materialize_edge_table` / `copurchase_family_from_edges` pipeline API —
+# result-identical, asserted in tests/test_affinity_edge_table.py); the
+# rest is rule (b) refresh per `tools/rotation.py --plan-next` after
+# regenerating certification.py from CORRECTNESS_r09 — the 33 r6-latest
+# keys plus the 12 oldest r7 rows.
 _R10_FRONT = (
+    # -- rule (a), changed in r10: co-purchase family extraction
+    "item_cooccurrence",
+    "pagerank_copurchase",
+    "triangle_count",
+    "node_jaccard_linkpred",
+    "khop_reach",
     # -- rule (b) refresh: all remaining r6-latest rows (33)
     "fk_orphans_antijoin",
     "gopher_filter",
@@ -103,7 +112,7 @@ _R10_FRONT = (
     "window_lag_rank",
     "window_range_rolling",
     "window_running_sum",
-    # -- rule (b) fill: oldest r7 rows (17)
+    # -- rule (b) fill: oldest r7 rows (12)
     "ab_test_summary",
     "bigram_logprob",
     "bom_rollup",
@@ -116,11 +125,6 @@ _R10_FRONT = (
     "funnel_time_bounded",
     "group_corr",
     "group_linear_fit",
-    "group_quantiles_exact",
-    "grouping_sets",
-    "hll_distinct_sketch",
-    "hll_merge_audit",
-    "incremental_agg_merge",
 )
 
 assert len(_R10_FRONT) == 50, len(_R10_FRONT)

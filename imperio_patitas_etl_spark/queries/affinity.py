@@ -76,23 +76,17 @@ def _copurchase_pairs(li: DataFrame) -> DataFrame:
     )
 
 
-def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts bought together: pair support ≥ {MIN_PAIR_SUPPORT} plus lift
-    in basis points — lift = P(ab) / (P(a)·P(b)) = pair·N / (cnt_a·cnt_b)
-    with N = number of baskets.
-
-    lift_bp is exact integral arithmetic: operands widen to
-    DECIMAL(38,0) before the multiply (pair·N·10⁴ overflows int64 once
-    N > ~10⁹ baskets — the 100 TB case), then one ``div``; the quotient
-    itself always fits a long. Item counts are vocabulary-sized and
-    broadcast back onto the pair table."""
-    li = load_table(spark, sf_dir, "lineitem")
-    b = _baskets(li)
+def _cooccurrence_from_pairs(
+    copurchase: DataFrame, b: DataFrame
+) -> DataFrame:
+    """`item_cooccurrence` downstream of the support-counted pair
+    relation — shared by the self-contained registry key and the
+    materialized-edge pipeline path (``copurchase_family_from_edges``)."""
     item_cnt = b.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
     n_orders = b.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_orders")
     )
-    pairs = _copurchase_pairs(li).filter(
+    pairs = copurchase.filter(
         F.col("pair_cnt") >= MIN_PAIR_SUPPORT
     )
     cnt_a = item_cnt.select(
@@ -117,6 +111,20 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_bp"),
         )
     )
+
+
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts bought together: pair support ≥ {MIN_PAIR_SUPPORT} plus lift
+    in basis points — lift = P(ab) / (P(a)·P(b)) = pair·N / (cnt_a·cnt_b)
+    with N = number of baskets.
+
+    lift_bp is exact integral arithmetic: operands widen to
+    DECIMAL(38,0) before the multiply (pair·N·10⁴ overflows int64 once
+    N > ~10⁹ baskets — the 100 TB case), then one ``div``; the quotient
+    itself always fits a long. Item counts are vocabulary-sized and
+    broadcast back onto the pair table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _cooccurrence_from_pairs(_copurchase_pairs(li), _baskets(li))
 
 
 ORACLE_ITEM_COOCCURRENCE = f"""
@@ -170,7 +178,13 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally; the fixed iteration count keeps the lineage O(1)
     without checkpointing."""
     li = load_table(spark, sf_dir, "lineitem")
-    e = _copurchase_pairs(li).filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+    return _pagerank_from_pairs(_copurchase_pairs(li))
+
+
+def _pagerank_from_pairs(copurchase: DataFrame) -> DataFrame:
+    """`pagerank_copurchase` downstream of the pair relation (shared
+    with the materialized-edge pipeline path)."""
+    e = copurchase.filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
     return (
         pagerank_fixed(e, iterations=PR_ITERATIONS, unit=PR_UNIT)
         .orderBy(F.col("rank_units").desc(), F.col("part"))
@@ -455,8 +469,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins are equi-joins on ids; the degree table joins back onto the
     edge list at node cardinality."""
     li = load_table(spark, sf_dir, "lineitem")
+    return _triangle_from_pairs(_copurchase_pairs(li))
+
+
+def _triangle_from_pairs(copurchase: DataFrame) -> DataFrame:
+    """`triangle_count` downstream of the pair relation (shared with
+    the materialized-edge pipeline path)."""
     edges = (
-        _copurchase_pairs(li)
+        copurchase
         .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
         .select("part_a", "part_b")
     )
@@ -589,8 +609,14 @@ def q_node_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughout; the top-k order (jaccard_bp DESC, part_a, part_b) is
     unique."""
     li = load_table(spark, sf_dir, "lineitem")
+    return _jaccard_from_pairs(_copurchase_pairs(li))
+
+
+def _jaccard_from_pairs(copurchase: DataFrame) -> DataFrame:
+    """`node_jaccard_linkpred` downstream of the pair relation (shared
+    with the materialized-edge pipeline path)."""
     edges = (
-        _copurchase_pairs(li)
+        copurchase
         .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
         .select("part_a", "part_b")
     )
@@ -754,13 +780,19 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC loops. Hop count is bounded (not run-to-fixpoint), which is what
     keeps the traversal predictable on a 100 TB graph — unbounded reach
     on a connected component is the whole graph."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _khop_from_pairs(spark, _copurchase_pairs(li))
+
+
+def _khop_from_pairs(spark: SparkSession, copurchase: DataFrame) -> DataFrame:
+    """`khop_reach` downstream of the pair relation (shared with the
+    materialized-edge pipeline path)."""
     from imperio_patitas_etl_spark.operators.checkpoint import (
         CheckpointGenerations,
     )
 
-    li = load_table(spark, sf_dir, "lineitem")
     edges = (
-        _copurchase_pairs(li)
+        copurchase
         .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
         .select("part_a", "part_b")
     )
@@ -954,3 +986,49 @@ ORACLE = {
     "khop_reach": ORACLE_KHOP,
     "ndcg_eval": ORACLE_NDCG,
 }
+
+
+# --------------------------------------------------------------------------
+# materialized edge table — the pipeline shape for the co-purchase family
+# --------------------------------------------------------------------------
+
+
+def materialize_edge_table(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Write the support-counted co-purchase pair relation
+    (part_a, part_b, pair_cnt) to ``path`` — the storage-layout step for
+    the five graph-family consumers, mirroring the ANN tier's
+    ``materialize_cell_layout`` (queries/vector.py).
+
+    Every registry key stays self-contained (rebuilds the pairs from
+    lineitem — the benchmark shape, each key its own DuckDB oracle); a
+    real pipeline pays the basket explode + pair groupBy ONCE at write
+    time and the whole family reads the result as a table.
+    ``tools/shared_build_probe.py`` measured the family total 10.7 →
+    4.9 s at sf0.1 on this path (BASELINE.md §r9). At 100 TB this is the
+    difference between five full lineitem scans and one: the edge table
+    is orders of magnitude smaller than its source (bounded by
+    Σ |basket|² distinct pairs), so downstream reads are cheap scans of
+    an already-aggregated relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    _copurchase_pairs(li).write.mode("overwrite").parquet(path)
+
+
+def copurchase_family_from_edges(
+    spark: SparkSession, sf_dir: str, edge_path: str
+) -> dict[str, DataFrame]:
+    """The five co-purchase family results computed FROM a materialized
+    edge table (``materialize_edge_table``) instead of from lineitem —
+    identical downstream plans (asserted row-equal to the registry keys
+    in tests/test_affinity_edge_table.py); only the pair-build subtree
+    is replaced by a parquet scan. ``item_cooccurrence`` still reads
+    lineitem for its basket-count statistics (node-cardinality
+    aggregates, cheap next to the pair build)."""
+    pairs = spark.read.parquet(edge_path)
+    li = load_table(spark, sf_dir, "lineitem")
+    return {
+        "item_cooccurrence": _cooccurrence_from_pairs(pairs, _baskets(li)),
+        "pagerank_copurchase": _pagerank_from_pairs(pairs),
+        "triangle_count": _triangle_from_pairs(pairs),
+        "node_jaccard_linkpred": _jaccard_from_pairs(pairs),
+        "khop_reach": _khop_from_pairs(spark, pairs),
+    }
