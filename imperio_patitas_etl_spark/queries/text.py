@@ -805,7 +805,19 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit-vote groupBy ran twice per query (the same lesson as
     ``_ngram_pair_build``). One narrow row per doc — bounded; the
     returned plan reads the blocks, same lifetime contract as the
-    standalone ngram key."""
+    standalone ngram key.
+
+    Release contract (ADVICE r9): there is deliberately no in-function
+    release seam — the checkpoint must outlive the returned plan. A
+    composed caller owns release exactly as the ngram cluster family
+    does around ``_ngram_pair_build``: snapshot
+    ``operators.checkpoint.persistent_rdd_ids(spark)`` before the call,
+    diff after, and ``release_rdds`` the difference once every action
+    reading the result has run. Accumulation is bounded at ONE persisted
+    generation (one narrow row per doc) per invocation — pinned by
+    tests/test_plans.py::test_simhash_checkpoint_is_caller_releasable —
+    so the driver's repeated-invocation pattern grows linearly in calls
+    and is fully reclaimable."""
     sigs = _simhash_sigs(spark, sf_dir, SIMHASH_NEAR_BITS).localCheckpoint()
     band_width = SIMHASH_NEAR_BITS // 4
     bands = sigs.select(

@@ -85,6 +85,31 @@ def test_simhash_near_dup_is_banded_equijoin(spark, sf_dir):
     assert any("band_idx" in k and "band_bits" in k for k in _equijoin_key_sets(plan))
 
 
+def test_simhash_checkpoint_is_caller_releasable(spark, sf_dir):
+    """ADVICE r9: ``q_simhash_near_dup`` localCheckpoints its signature
+    relation with no in-function release seam (accepted — the RETURNED
+    plan reads the blocks, the standalone-key contract shared with
+    ``_ngram_pair_build``). This pins the two facts a composed caller
+    relies on: accumulation is bounded at exactly ONE new persisted
+    generation per invocation (the driver's repeated-invocation pattern
+    grows linearly in calls, never per-row), and the documented
+    capture-around-the-call pattern reclaims it once the result is
+    consumed."""
+    from imperio_patitas_etl_spark.operators.checkpoint import (
+        persistent_rdd_ids,
+        release_rdds,
+    )
+    from imperio_patitas_etl_spark.queries import all_queries
+
+    before = persistent_rdd_ids(spark)
+    df = all_queries()["simhash_near_dup"](spark, sf_dir)
+    new_ids = persistent_rdd_ids(spark) - before
+    assert len(new_ids) == 1, new_ids
+    df.count()  # consume while the checkpoint is alive
+    release_rdds(spark, new_ids)
+    assert not (persistent_rdd_ids(spark) & new_ids)
+
+
 def test_cosine_dedup_is_bucket_equijoin(spark, sf_dir):
     """Pair generation must be an equi-join on the LSH bucket id —
     never an all-pairs nested loop."""
