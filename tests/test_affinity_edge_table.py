@@ -47,3 +47,15 @@ def test_edge_table_schema_is_the_pair_relation(spark, sf_dir, tmp_path):
     assert pairs.groupBy("part_a", "part_b").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_materialize_edge_table_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-materializing over an existing path must CONVERGE (overwrite
+    semantics) — the repo-wide idempotent-writer contract. An accidental
+    switch to append mode would double every pair_cnt row here."""
+    edge_path = str(tmp_path / "copurchase_edges")
+    affinity.materialize_edge_table(spark, sf_dir, edge_path)
+    first = sorted(tuple(r) for r in spark.read.parquet(edge_path).collect())
+    affinity.materialize_edge_table(spark, sf_dir, edge_path)
+    second = sorted(tuple(r) for r in spark.read.parquet(edge_path).collect())
+    assert first == second and len(first) > 0
