@@ -62,79 +62,76 @@ _MODULES = (
     core,
 )
 
-# Round-10 window (exactly the 50 keys the driver samples). r10 is the
-# certification-hygiene round (VERDICT r9 item 1). Rule (a) covers the
-# co-purchase family extraction (VERDICT r9 item 5: the five graph keys'
-# downstream logic moved into `_*_from_pairs` helpers shared with the new
-# `materialize_edge_table` / `copurchase_family_from_edges` pipeline API —
-# result-identical, asserted in tests/test_affinity_edge_table.py); the
-# rest is rule (b) refresh per `tools/rotation.py --plan-next` after
-# regenerating certification.py from CORRECTNESS_r09 — the 33 r6-latest
-# keys plus the 12 oldest r7 rows.
-_R10_FRONT = (
-    # -- rule (a), changed in r10: co-purchase family extraction
-    "item_cooccurrence",
-    "pagerank_copurchase",
-    "triangle_count",
-    "node_jaccard_linkpred",
-    "khop_reach",
-    # -- rule (b) refresh: all remaining r6-latest rows (33)
-    "fk_orphans_antijoin",
-    "gopher_filter",
-    "join_cost_left",
-    "join_price_broadcast",
-    "kmv_distinct_sketch",
-    "multi_join_star",
-    "multimodal_decode_stub",
-    "multimodal_feature_extract",
-    "percentile_agg",
-    "quality_gopher",
-    "quantile_sketch",
-    "range_join",
-    "salted_join_skew",
-    "semi_anti_membership",
-    "sessionize_events",
-    "sessionize_sharded",
-    "stream_tumbling_window",
-    "topk_per_group",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    "tpch_q7",
-    "tpch_q9",
-    "unigram_logprob",
-    "union_except",
-    "upsert_latest_wins",
-    "upsert_merge",
-    "window_lag_rank",
-    "window_range_rolling",
-    "window_running_sum",
-    # -- rule (b) fill: oldest r7 rows (12)
-    "ab_test_summary",
-    "bigram_logprob",
-    "bom_rollup",
-    "cdc_apply",
-    "cusum_changepoint",
-    "dow_seasonal_residual",
-    "entity_resolution_blocked",
-    "equi_depth_histogram",
-    "feature_scale",
-    "funnel_time_bounded",
-    "group_corr",
-    "group_linear_fit",
+# Round-11 window (exactly the 50 keys the driver samples). r11 is a
+# maintenance round (VERDICT r10): no rule-(a) keys — `tools/rotation.py`
+# reports 0 fingerprint changes since the r10 boundary — so the whole
+# window is rule (b) refresh per `--plan-next` after regenerating
+# certification.py from CORRECTNESS_r10: the 31 r7-latest keys plus the
+# 19 oldest r8 rows. After this window lands, no key's latest driver row
+# is older than r8.
+_R11_FRONT = (
+    # -- rule (b) refresh: all remaining r7-latest rows (31)
+    "group_quantiles_exact",
+    "grouping_sets",
+    "hll_distinct_sketch",
+    "hll_merge_audit",
+    "incremental_agg_merge",
+    "interval_concurrency",
+    "key_skew_audit",
+    "lag_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "pmi_collocations",
+    "pps_systematic_sample",
+    "resample_ffill",
+    "rolling_distinct_users",
+    "rolling_median_daily",
+    "scd2_history",
+    "scd2_time_weighted",
+    "session_path_trigrams",
+    "snapshot_diff",
+    "stream_interval_join",
+    "stream_rolling_distinct",
+    "table_checksum_blocks",
+    "tfidf_weights",
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q2",
+    "tpch_q8",
+    "trimmed_mean",
+    "weighted_sample_aes",
+    # -- rule (b) fill: oldest r8 rows (19)
+    "ann_recall",
+    "attribution_last_touch",
+    "bloom_prefilter_join",
+    "bm25_topk",
+    "bpe_pair_merge",
+    "chunk_sequences",
+    "cm_sketch_topk",
+    "cosine_dedup_recall",
+    "count_by_flag",
+    "count_star",
+    "dedup_minhash_lsh",
+    "domain_mixture",
+    "domain_mixture_sample",
+    "dq_anomaly_mad",
+    "dq_profile",
+    "event_funnel",
+    "event_transition_matrix",
+    "exists_any_agg",
+    "groupby_avg",
 )
 
-assert len(_R10_FRONT) == 50, len(_R10_FRONT)
+assert len(_R11_FRONT) == 50, len(_R11_FRONT)
 
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _R10_FRONT}
+    out = {k: merged[k] for k in _R11_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 
