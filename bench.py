@@ -217,12 +217,36 @@ def main() -> None:
     spark.range(0, 64, 1, 32).mapInPandas(
         lambda it: it, "id long"
     ).count()  # fork the full pyspark worker pool, outside any timed query
-    # compile the range-shuffle + sortWithinPartitions + localCheckpoint
-    # plan family once (the prefix-sum scan's shape) — its first-run
-    # codegen otherwise lands on whichever scan query runs first
-    spark.range(0, 64, 1, 8).repartitionByRange(
-        8, "id"
-    ).sortWithinPartitions("id").localCheckpoint().count()
+    # compile the two-phase prefix-scan plan family once — the real
+    # `partitioned_prefix_sum` helper (range shuffle + sortWithinPartitions
+    # + localCheckpoint + mapInPandas scan) AND both of its consumers'
+    # downstream shapes (broadcast stratum-total join + integer-expr
+    # filter = pps_systematic_sample; crossJoin(broadcast(spec)) + join
+    # on (stratum, rank) = group_quantiles_exact / dq_anomaly_mad).
+    # Warming only the range-shuffle stage (the pre-r11 warmup) left the
+    # consumer stages cold, and their first-run codegen read as a 2-3x
+    # phantom regression on whichever of the two keys ran first in every
+    # driver sweep (VERDICT r10 item 3).
+    from imperio_patitas_etl_spark.operators.prefix_sum import (
+        partitioned_prefix_sum,
+    )
+    from pyspark.sql import functions as F
+
+    tiny = spark.range(0, 64, 1, 8).select(
+        (F.col("id") % 4).alias("s"), "id", F.lit(1).alias("w")
+    )
+    cum = partitioned_prefix_sum(tiny, "s", ["id"], "w", "cum", 8)
+    tot = cum.groupBy("s").agg(F.max("cum").alias("t"))
+    cum.join(F.broadcast(tot), "s").filter(
+        F.expr("(2*cum + t - 1) div (2*t) >= 1")
+    ).count()
+    spec = spark.range(1, 4).select(F.col("id").alias("q"))
+    cum.join(
+        F.broadcast(tot.crossJoin(F.broadcast(spec)).select(
+            "s", F.expr("(t * q + 3) div 4").alias("cum")
+        )),
+        ["s", "cum"],
+    ).count()
     # compile the higher-order-function family (transform/sequence/
     # aggregate over arrays — the shingle/n-gram/Gopher plan shape) once:
     # its first-run codegen otherwise inflates whichever dedup-tier query
@@ -280,8 +304,17 @@ def main() -> None:
         json.dump(out, f)
         f.write("\n")
     stdout_out["queries_full"] = fname
+    # The line MUST fit the driver's ~2 kB stdout-tail capture or it
+    # front-clips and parses as null (BENCH_r07-r09 lesson). An assert
+    # here would be stripped under `python -O` and, if it fired, would
+    # eat the round's stdout record AFTER the file write — so instead
+    # shrink the per-key map until the line fits (ADVICE r10).
     line = json.dumps(stdout_out) + "\n"
-    assert len(line) < 1500, len(line)  # must fit the driver's tail capture
+    for n_top in (5, 3, 0):
+        if len(line) < 1500:
+            break
+        stdout_out["queries"] = dict(top10[:n_top])
+        line = json.dumps(stdout_out) + "\n"
     # the ONE stdout line, written to the fd saved before the redirect
     os.write(real_stdout, line.encode())
     os.close(real_stdout)
