@@ -992,6 +992,9 @@ ORACLE = {
 # materialized edge table — the pipeline shape for the co-purchase family
 # --------------------------------------------------------------------------
 
+#: field-metadata key recording which sf_dir an edge table was built from
+_EDGE_SOURCE_KEY = "copurchase_edge_source_sf_dir"
+
 
 def materialize_edge_table(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Write the support-counted co-purchase pair relation
@@ -1008,9 +1011,19 @@ def materialize_edge_table(spark: SparkSession, sf_dir: str, path: str) -> None:
     difference between five full lineitem scans and one: the edge table
     is orders of magnitude smaller than its source (bounded by
     Σ |basket|² distinct pairs), so downstream reads are cheap scans of
-    an already-aggregated relation."""
+    an already-aggregated relation.
+
+    The table carries its source ``sf_dir`` as field metadata on
+    ``part_a`` (Spark round-trips field metadata through the parquet
+    footer schema) so ``copurchase_family_from_edges`` can refuse a
+    table materialized from a DIFFERENT source — ``item_cooccurrence``
+    mixes the edge relation with basket statistics rebuilt from
+    ``sf_dir``, and a silent source mismatch would corrupt lift_bp
+    (ADVICE r10)."""
     li = load_table(spark, sf_dir, "lineitem")
-    _copurchase_pairs(li).write.mode("overwrite").parquet(path)
+    _copurchase_pairs(li).withMetadata(
+        "part_a", {_EDGE_SOURCE_KEY: sf_dir.rstrip("/")}
+    ).write.mode("overwrite").parquet(path)
 
 
 def copurchase_family_from_edges(
@@ -1022,8 +1035,21 @@ def copurchase_family_from_edges(
     in tests/test_affinity_edge_table.py); only the pair-build subtree
     is replaced by a parquet scan. ``item_cooccurrence`` still reads
     lineitem for its basket-count statistics (node-cardinality
-    aggregates, cheap next to the pair build)."""
+    aggregates, cheap next to the pair build) — so the edge table MUST
+    have been materialized from the SAME ``sf_dir``, or lift_bp would
+    silently mix inconsistent inputs. The provenance tag
+    ``materialize_edge_table`` embeds in the table's field metadata is
+    validated here; a missing or mismatched tag raises (ADVICE r10)."""
     pairs = spark.read.parquet(edge_path)
+    tag = dict(pairs.schema["part_a"].metadata or {}).get(_EDGE_SOURCE_KEY)
+    if tag != sf_dir.rstrip("/"):
+        raise ValueError(
+            f"edge table at {edge_path} was materialized from "
+            f"{tag!r}, not from the requested source "
+            f"{sf_dir.rstrip('/')!r} — item_cooccurrence would mix "
+            "basket statistics from one source with edges from another; "
+            "re-materialize with materialize_edge_table(spark, sf_dir, path)"
+        )
     li = load_table(spark, sf_dir, "lineitem")
     return {
         "item_cooccurrence": _cooccurrence_from_pairs(pairs, _baskets(li)),

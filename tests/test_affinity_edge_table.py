@@ -9,6 +9,8 @@ pair-build subtree may differ between the two paths.
 
 from __future__ import annotations
 
+import pytest
+
 from imperio_patitas_etl_spark.queries import affinity
 
 
@@ -47,6 +49,42 @@ def test_edge_table_schema_is_the_pair_relation(spark, sf_dir, tmp_path):
     assert pairs.groupBy("part_a", "part_b").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_family_from_edges_rejects_mismatched_source(spark, sf_dir, tmp_path):
+    """item_cooccurrence mixes the edge relation with basket statistics
+    rebuilt from sf_dir; an edge table materialized from a DIFFERENT
+    source must be refused, not silently blended (ADVICE r10). The
+    provenance tag rides the parquet footer schema's field metadata, so
+    it survives the write/read round-trip with no sidecar file."""
+    edge_path = str(tmp_path / "copurchase_edges")
+    affinity.materialize_edge_table(spark, sf_dir, edge_path)
+
+    # same source, trailing slash: normalized, accepted
+    fam = affinity.copurchase_family_from_edges(spark, sf_dir + "/", edge_path)
+    assert set(fam) == {
+        "item_cooccurrence",
+        "pagerank_copurchase",
+        "triangle_count",
+        "node_jaccard_linkpred",
+        "khop_reach",
+    }
+
+    other = str(tmp_path / "definitely_not_the_source_sf_dir")
+    with pytest.raises(ValueError, match="materialized from"):
+        affinity.copurchase_family_from_edges(spark, other, edge_path)
+
+
+def test_family_from_edges_rejects_untagged_table(spark, sf_dir, tmp_path):
+    """A pair relation written outside materialize_edge_table carries no
+    provenance tag — refuse it rather than guess."""
+    edge_path = str(tmp_path / "plain_edges")
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    affinity._copurchase_pairs(li).write.mode("overwrite").parquet(edge_path)
+    with pytest.raises(ValueError, match="materialized from"):
+        affinity.copurchase_family_from_edges(spark, sf_dir, edge_path)
 
 
 def test_materialize_edge_table_is_idempotent(spark, sf_dir, tmp_path):
