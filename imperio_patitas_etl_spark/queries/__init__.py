@@ -63,13 +63,22 @@ _MODULES = (
 )
 
 # Round-11 window (exactly the 50 keys the driver samples). r11 is a
-# maintenance round (VERDICT r10): no rule-(a) keys — `tools/rotation.py`
-# reports 0 fingerprint changes since the r10 boundary — so the whole
-# window is rule (b) refresh per `--plan-next` after regenerating
-# certification.py from CORRECTNESS_r10: the 31 r7-latest keys plus the
-# 19 oldest r8 rows. After this window lands, no key's latest driver row
-# is older than r8.
+# maintenance round (VERDICT r10). Rule (a) covers the ngram-dedup family
+# extraction (VERDICT r10 item 4: the pair build and the keep-list mask
+# moved into `_pairs_from_shingled` / `_keep_list_from_clusters` helpers
+# shared with the new `materialize_shingle_table` /
+# `ngram_family_from_shingles` pipeline API — result-identical, asserted
+# in tests/test_shingle_table.py); the rest is rule (b) refresh per
+# `tools/rotation.py --plan-next` after regenerating certification.py
+# from CORRECTNESS_r10: the 31 r7-latest keys plus the 15 oldest r8 rows
+# (4 displaced to r12 by the rule-(a) front-load). After this window
+# lands, no key's latest driver row is older than r8.
 _R11_FRONT = (
+    # -- rule (a), changed in r11: ngram-dedup family extraction
+    "ngram_jaccard_dedup",
+    "dup_clusters",
+    "dup_clusters_star",
+    "corpus_keep_list",
     # -- rule (b) refresh: all remaining r7-latest rows (31)
     "group_quantiles_exact",
     "grouping_sets",
@@ -102,7 +111,7 @@ _R11_FRONT = (
     "tpch_q8",
     "trimmed_mean",
     "weighted_sample_aes",
-    # -- rule (b) fill: oldest r8 rows (19)
+    # -- rule (b) fill: oldest r8 rows (15)
     "ann_recall",
     "attribution_last_touch",
     "bloom_prefilter_join",
@@ -118,10 +127,6 @@ _R11_FRONT = (
     "domain_mixture_sample",
     "dq_anomaly_mad",
     "dq_profile",
-    "event_funnel",
-    "event_transition_matrix",
-    "exists_any_agg",
-    "groupby_avg",
 )
 
 assert len(_R11_FRONT) == 50, len(_R11_FRONT)

@@ -288,6 +288,20 @@ def _ngram_pair_build(
     _before = persistent_rdd_ids(spark)
     s = _shingled(spark, sf_dir).localCheckpoint()
     shingle_ids = persistent_rdd_ids(spark) - _before
+    return _pairs_from_shingled(s), shingle_ids
+
+
+def _pairs_from_shingled(s: DataFrame) -> DataFrame:
+    """Near-dup-pair plan (doc_a, doc_b, jaccard_bp) from an already-
+    materialized shingled relation (doc_id, lang, shingles) — the
+    AllPairs prefix index + PPJoin positional bound + exact
+    array_intersect verify, exactly as ``_ngram_pair_build`` documents.
+    Split out in r11 so ``ngram_family_from_shingles`` can read the
+    relation from a written shingle TABLE (``materialize_shingle_table``)
+    instead of an in-session checkpoint; the registry keys delegate here
+    through ``_ngram_pair_build``, so both paths share one plan by
+    construction (row-equality additionally pinned in
+    tests/test_shingle_table.py)."""
     docs = s.select("doc_id", "shingles")
     ex = s.select(
         "doc_id",
@@ -354,12 +368,11 @@ def _ngram_pair_build(
     n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     num = F.col("n_inter") * 10000 * 2 + n_union
     den = n_union * 2
-    out = pairs.select(
+    return pairs.select(
         "doc_a",
         "doc_b",
         ((num - num % den) / den).cast("long").alias("jaccard_bp"),
     )
-    return out, shingle_ids
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1583,7 +1596,19 @@ def q_corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame plan — Catalyst sees the whole pipeline, so common scans
     dedupe and the three stages' doc_id-keyed outputs join on aligned
     partitioning."""
-    clusters = q_dup_clusters(spark, sf_dir)
+    return _keep_list_from_clusters(
+        spark, sf_dir, q_dup_clusters(spark, sf_dir)
+    )
+
+
+def _keep_list_from_clusters(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame
+) -> DataFrame:
+    """``corpus_keep_list``'s quality + decontamination + mask stage,
+    parameterized over the near-dup cluster relation so
+    ``ngram_family_from_shingles`` can feed it the clusters computed
+    ONCE from a materialized shingle table (one CC run serving both the
+    dup_clusters output and the keep list)."""
     quality = q_gopher_filter(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("keep_q")
     )
@@ -1895,3 +1920,86 @@ ORACLE = {
     "pmi_collocations": ORACLE_PMI,
     "bigram_logprob": ORACLE_BIGRAM_LOGPROB,
 }
+
+
+# --------------------------------------------------------------------------
+# materialized shingle table — the pipeline shape for the ngram-dedup family
+# --------------------------------------------------------------------------
+
+#: field-metadata key recording which sf_dir a shingle table was built from
+_SHINGLE_SOURCE_KEY = "ngram_shingle_source_sf_dir"
+
+
+def materialize_shingle_table(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """Write the shingled relation (doc_id, lang, shingles) to ``path`` —
+    the storage-layout step for the ngram-Jaccard dedup family, mirroring
+    the co-purchase tier's ``materialize_edge_table`` (queries/affinity.py)
+    and the ANN tier's cell layout (queries/vector.py).
+
+    Every registry key stays self-contained (shingles + localCheckpoint
+    per call — the benchmark shape, each key its own DuckDB oracle); a
+    real pipeline pays the split + transform + array_distinct shingle
+    pipeline ONCE at write time and the whole family —
+    ``ngram_jaccard_dedup`` / ``dup_clusters`` / ``dup_clusters_star`` /
+    ``corpus_keep_list`` — reads the result as a table. This is exactly
+    the write-once AllPairs index table SCALE.md describes: at 100 TB the
+    shingle build is a full-corpus text scan, and materializing it turns
+    four scans (plus four in-session checkpoints) into one write and four
+    cheap column-pruned parquet reads.
+
+    The table carries its source ``sf_dir`` as field metadata on
+    ``doc_id`` (Spark round-trips field metadata through the parquet
+    footer schema) so ``ngram_family_from_shingles`` can refuse a table
+    materialized from a DIFFERENT source — the cluster and keep-list
+    consumers mix the shingle relation with the document universe,
+    Gopher-quality, and decontamination relations rebuilt from
+    ``sf_dir``, and a silent source mismatch would corrupt every
+    downstream mask (same contract as the co-purchase edge table,
+    ADVICE r10)."""
+    _shingled(spark, sf_dir).withMetadata(
+        "doc_id", {_SHINGLE_SOURCE_KEY: sf_dir.rstrip("/")}
+    ).write.mode("overwrite").parquet(path)
+
+
+def ngram_family_from_shingles(
+    spark: SparkSession, sf_dir: str, shingle_path: str
+) -> dict[str, DataFrame]:
+    """The four ngram-dedup family results computed FROM a materialized
+    shingle table (``materialize_shingle_table``) instead of an
+    in-session shingle checkpoint — identical downstream plans (asserted
+    row-equal to the registry keys in tests/test_shingle_table.py); only
+    the shingle-build subtree is replaced by a parquet scan, and the
+    min-label connected-components run is shared between ``dup_clusters``
+    and ``corpus_keep_list`` (the registry keys, each self-contained,
+    run CC once each). The quality / decontamination / document-universe
+    relations are rebuilt from ``sf_dir``, so the shingle table MUST have
+    been materialized from the SAME source; the provenance tag
+    ``materialize_shingle_table`` embeds in the table's field metadata is
+    validated here — a missing or mismatched tag raises."""
+    from imperio_patitas_etl_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    s = spark.read.parquet(shingle_path)
+    tag = dict(s.schema["doc_id"].metadata or {}).get(_SHINGLE_SOURCE_KEY)
+    if tag != sf_dir.rstrip("/"):
+        raise ValueError(
+            f"shingle table at {shingle_path} was materialized from "
+            f"{tag!r}, not from the requested source "
+            f"{sf_dir.rstrip('/')!r} — the cluster/keep-list consumers "
+            "would mix shingles from one source with document, quality, "
+            "and decontamination relations from another; re-materialize "
+            "with materialize_shingle_table(spark, sf_dir, path)"
+        )
+    pairs = _pairs_from_shingled(s)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = pairs.select("doc_a", "doc_b")
+    clusters = connected_components(docs, edges)
+    return {
+        "ngram_jaccard_dedup": pairs,
+        "dup_clusters": clusters,
+        "dup_clusters_star": connected_components_star(docs, edges),
+        "corpus_keep_list": _keep_list_from_clusters(spark, sf_dir, clusters),
+    }
