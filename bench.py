@@ -304,20 +304,30 @@ def main() -> None:
         json.dump(out, f)
         f.write("\n")
     stdout_out["queries_full"] = fname
-    # The line MUST fit the driver's ~2 kB stdout-tail capture or it
-    # front-clips and parses as null (BENCH_r07-r09 lesson). An assert
-    # here would be stripped under `python -O` and, if it fired, would
-    # eat the round's stdout record AFTER the file write — so instead
-    # shrink the per-key map until the line fits (ADVICE r10).
-    line = json.dumps(stdout_out) + "\n"
-    for n_top in (5, 3, 0):
-        if len(line) < 1500:
-            break
-        stdout_out["queries"] = dict(top10[:n_top])
-        line = json.dumps(stdout_out) + "\n"
+    line = fit_stdout_line(stdout_out, top10)
     # the ONE stdout line, written to the fd saved before the redirect
     os.write(real_stdout, line.encode())
     os.close(real_stdout)
+
+
+def fit_stdout_line(
+    stdout_out: dict, top_slowest: list[tuple[str, float]], limit: int = 1500
+) -> str:
+    """Serialize the stdout summary, shrinking the per-key map (top-10 →
+    top-5 → top-3 → none) until the line fits ``limit`` bytes.
+
+    The line MUST fit the driver's ~2 kB stdout-tail capture or it
+    front-clips and parses as null (BENCH_r07-r09 lesson). The previous
+    guard was a bare assert — stripped under ``python -O``, and when it
+    fired it ate the round's stdout record AFTER the durable-file write —
+    so this always returns an emittable line instead (ADVICE r10)."""
+    line = json.dumps(stdout_out) + "\n"
+    for n_top in (5, 3, 0):
+        if len(line) < limit:
+            break
+        stdout_out["queries"] = dict(top_slowest[:n_top])
+        line = json.dumps(stdout_out) + "\n"
+    return line
 
 
 if __name__ == "__main__":
