@@ -374,18 +374,31 @@ ORACLE_ANN_IVF = f"""
 """
 
 
+#: field-metadata key recording which sf_dir a cell layout was built from
+_LAYOUT_SOURCE_KEY = "ann_cell_layout_source_sf_dir"
+
+
 def materialize_cell_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Write the IVF-assigned corpus partitioned by ``cell=`` — the
     storage-layout step SCALE.md names: pay the assignment pass once at
     write time, and every later probe becomes a PARTITION-PRUNED read of
     its nprobe cells instead of a full-corpus scan. The layout carries
-    (vec_id, ivec, norm2) so probing needs nothing else."""
+    (vec_id, ivec, norm2) so probing needs nothing else.
+
+    The layout embeds its source ``sf_dir`` as field metadata on
+    ``vec_id`` (round-trips through the parquet footer schema) so
+    ``ann_ivf_from_layout`` can refuse a layout built from a DIFFERENT
+    corpus — the probe side re-derives the coarse quantizer from
+    ``sf_dir``, and probing one corpus's cells with another corpus's
+    centroids is silently wrong (same contract as the co-purchase edge
+    and shingle tables, ADVICE r10)."""
     v = _with_ivec(spark, sf_dir)
     cent_ids, cent_mat, cent_norms = _collect_centroids(v)
     _assign = _assign_fn(cent_ids, cent_mat, cent_norms, min(N_PROBE, len(cent_ids)))
     (
         v.mapInPandas(_assign, ASSIGN_SCHEMA)
         .select("vec_id", "ivec", "norm2", "cell")
+        .withMetadata("vec_id", {_LAYOUT_SOURCE_KEY: sf_dir.rstrip("/")})
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -399,7 +412,22 @@ def ann_ivf_from_layout(
     in the scan's PartitionFilters, so only nprobe×nq cell directories
     are listed and read (q_ann_ivf re-assigns and filters in-plan; this
     is its at-scale twin, asserted equal in tests). The probe-cell list
-    is nq·nprobe values — bounded by the query batch, never the corpus."""
+    is nq·nprobe values — bounded by the query batch, never the corpus.
+
+    The quantizer is re-derived from ``sf_dir``, so the layout MUST have
+    been materialized from the SAME source; the provenance tag
+    ``materialize_cell_layout`` embeds in the layout's field metadata is
+    validated here — a missing or mismatched tag raises."""
+    layout = spark.read.parquet(layout_path)
+    tag = dict(layout.schema["vec_id"].metadata or {}).get(_LAYOUT_SOURCE_KEY)
+    if tag != sf_dir.rstrip("/"):
+        raise ValueError(
+            f"cell layout at {layout_path} was materialized from "
+            f"{tag!r}, not from the requested source "
+            f"{sf_dir.rstrip('/')!r} — probing one corpus's cells with "
+            "another corpus's centroids is silently wrong; "
+            "re-materialize with materialize_cell_layout(spark, sf_dir, path)"
+        )
     v = _with_ivec(spark, sf_dir)
     cent_ids, cent_mat, cent_norms = _collect_centroids(v)
     _assign = _assign_fn(cent_ids, cent_mat, cent_norms, min(N_PROBE, len(cent_ids)))
@@ -416,9 +444,7 @@ def ann_ivf_from_layout(
     probe_cells = sorted(
         {r["probe_cell"] for r in probes.select("probe_cell").distinct().collect()}
     )
-    corpus = spark.read.parquet(layout_path).filter(
-        F.col("cell").isin(probe_cells)
-    )
+    corpus = layout.filter(F.col("cell").isin(probe_cells))
     scored = (
         corpus.join(
             F.broadcast(probes),

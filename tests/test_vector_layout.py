@@ -31,6 +31,33 @@ def test_cell_layout_prunes_partitions_and_matches_inplan(spark, sf_dir, tmp_pat
     assert a == b and len(a) > 0
 
 
+def test_layout_rejects_mismatched_or_untagged_source(spark, sf_dir, tmp_path):
+    """ann_ivf_from_layout re-derives the coarse quantizer from sf_dir;
+    a layout materialized from a different corpus must be refused, not
+    silently probed with foreign centroids (same provenance contract as
+    the co-purchase edge table and the shingle table)."""
+    import pytest
+
+    layout = str(tmp_path / "ivf_layout")
+    materialize_cell_layout(spark, sf_dir, layout)
+
+    # same source, trailing slash: normalized, accepted
+    assert ann_ivf_from_layout(spark, sf_dir + "/", layout).count() > 0
+
+    other = str(tmp_path / "definitely_not_the_source_sf_dir")
+    with pytest.raises(ValueError, match="materialized from"):
+        ann_ivf_from_layout(spark, other, layout)
+
+    # an untagged layout (written outside materialize_cell_layout) —
+    # metadata survives read->write round-trips, so clear it explicitly
+    plain = str(tmp_path / "plain_layout")
+    spark.read.parquet(layout).withMetadata("vec_id", {}).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(plain)
+    with pytest.raises(ValueError, match="materialized from"):
+        ann_ivf_from_layout(spark, sf_dir, plain)
+
+
 def test_allpairs_count_blocked_matches_naive(spark):
     """The blocked numpy ground-truth counter equals a naive python count
     on a corpus that straddles blocks (n > RECALL_BLOCKS), including
