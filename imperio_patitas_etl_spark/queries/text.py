@@ -1993,7 +1993,14 @@ def ngram_family_from_shingles(
             "and decontamination relations from another; re-materialize "
             "with materialize_shingle_table(spark, sf_dir, path)"
         )
-    pairs = _pairs_from_shingled(s)
+    # One AllPairs candidate+verify pass total: the pair relation is
+    # localCheckpoint-ed once and feeds the returned pair plan AND both
+    # CC variants — without this, each CC run re-evaluates the
+    # prefix-index/verify pipeline (a full extra index pass at 100 TB).
+    # The blocks live for the session, same lifetime contract as the
+    # standalone ngram_jaccard_dedup registry key's shingle checkpoint
+    # (bounded: one near-dup pair table per call).
+    pairs = _pairs_from_shingled(s).localCheckpoint()
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select("doc_a", "doc_b")
     clusters = connected_components(docs, edges)

@@ -19,8 +19,8 @@ through a noop write (the bench.py convention — count() can prune).
 
 Usage: python tools/shingle_family_probe.py [sf_dir] [reps]
 r11 measurement at sf0.1 (quiet box): registry 15.0 s family total vs
-11.2 s pipeline total (materialize 1.1 + family 10.1); keep list alone
-4.9 -> 1.0 s (recorded in BASELINE.md §r11).
+9.5 s pipeline total (materialize 1.1); keep list alone 4.9 -> 1.3 s
+(recorded in BASELINE.md §r11).
 """
 
 from __future__ import annotations
