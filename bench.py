@@ -327,6 +327,17 @@ def fit_stdout_line(
             break
         stdout_out["queries"] = dict(top_slowest[:n_top])
         line = json.dumps(stdout_out) + "\n"
+    if len(line) >= limit:
+        # Last resort (ADVICE r11): even with the per-key map stripped the
+        # line is oversize — some non-queries field ballooned — so emit
+        # only the headline fields; a minimal parseable record beats a
+        # front-clipped null.
+        minimal = {
+            k: stdout_out[k]
+            for k in ("metric", "value", "unit", "sf", "all_total", "n_keys")
+            if k in stdout_out
+        }
+        line = json.dumps(minimal) + "\n"
     return line
 
 

@@ -62,81 +62,80 @@ _MODULES = (
     core,
 )
 
-# Round-11 window (exactly the 50 keys the driver samples). r11 is a
-# maintenance round (VERDICT r10). Rule (a) covers the ngram-dedup family
-# extraction (VERDICT r10 item 4: the pair build and the keep-list mask
-# moved into `_pairs_from_shingled` / `_keep_list_from_clusters` helpers
-# shared with the new `materialize_shingle_table` /
-# `ngram_family_from_shingles` pipeline API — result-identical, asserted
-# in tests/test_shingle_table.py); the rest is rule (b) refresh per
-# `tools/rotation.py --plan-next` after regenerating certification.py
-# from CORRECTNESS_r10: the 31 r7-latest keys plus the 15 oldest r8 rows
-# (4 displaced to r12 by the rule-(a) front-load). After this window
-# lands, no key's latest driver row is older than r8.
-_R11_FRONT = (
-    # -- rule (a), changed in r11: ngram-dedup family extraction
-    "ngram_jaccard_dedup",
-    "dup_clusters",
-    "dup_clusters_star",
-    "corpus_keep_list",
-    # -- rule (b) refresh: all remaining r7-latest rows (31)
-    "group_quantiles_exact",
-    "grouping_sets",
-    "hll_distinct_sketch",
-    "hll_merge_audit",
-    "incremental_agg_merge",
-    "interval_concurrency",
-    "key_skew_audit",
-    "lag_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "pmi_collocations",
-    "pps_systematic_sample",
-    "resample_ffill",
-    "rolling_distinct_users",
-    "rolling_median_daily",
-    "scd2_history",
-    "scd2_time_weighted",
-    "session_path_trigrams",
-    "snapshot_diff",
-    "stream_interval_join",
-    "stream_rolling_distinct",
-    "table_checksum_blocks",
-    "tfidf_weights",
-    "tpch_q1",
-    "tpch_q11",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q2",
-    "tpch_q8",
-    "trimmed_mean",
-    "weighted_sample_aes",
-    # -- rule (b) fill: oldest r8 rows (15)
-    "ann_recall",
-    "attribution_last_touch",
-    "bloom_prefilter_join",
-    "bm25_topk",
-    "bpe_pair_merge",
-    "chunk_sequences",
-    "cm_sketch_topk",
-    "cosine_dedup_recall",
-    "count_by_flag",
-    "count_star",
-    "dedup_minhash_lsh",
-    "domain_mixture",
-    "domain_mixture_sample",
-    "dq_anomaly_mad",
-    "dq_profile",
+# Round-12 window (exactly the 50 keys the driver samples). r12 is a
+# maintenance round (VERDICT r11). No rule-(a) keys: the round's code
+# changes (the shared provenance helper `operators/provenance.py` and
+# the NgramFamily release handle, VERDICT r11 item 4 / ADVICE r11) live
+# entirely in the materialize/consume pipeline APIs, which sit OUTSIDE
+# every registry key's fingerprint closure — `tools/rotation.py`
+# reports 0 changed keys since boundary 5c1a83e. The window is pure
+# rule-(b) refresh per --plan-next after folding CORRECTNESS_r11 into
+# certification.py: the 29 remaining r8-latest rows plus the 21 oldest
+# r9 rows. After this window lands, no key's latest driver row is
+# older than r9.
+_R12_FRONT = (
+    # -- rule (b) refresh: all remaining r8-latest rows (29)
+    "event_funnel",
+    "event_transition_matrix",
+    "exists_any_agg",
+    "groupby_avg",
+    "histogram_fixed",
+    "intra_doc_dedup",
+    "join_strategy_advisor",
+    "kmv_join_cardinality",
+    "limit",
+    "minhash_incremental",
+    "ndcg_eval",
+    "pack_sequences",
+    "pareto_frontier_2d",
+    "pii_redact",
+    "pivot_wide",
+    "power_iteration_pc",
+    "retention_cohorts",
+    "scan_parquet",
+    "scd2_asof_lookup",
+    "scd2_incremental",
+    "sort_limit",
+    "span_dedup",
+    "sql_interface",
+    "srm_check",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "unpivot_long",
+    "zorder_layout_audit",
+    # -- rule (b) fill: oldest r9 rows (21)
+    "ann_ivf",
+    "ann_ivf_trained",
+    "ann_lsh_bucketed",
+    "ann_topk_bruteforce",
+    "arith_derived",
+    "asof_join",
+    "casts",
+    "coalesce_defaults",
+    "cube_rollup",
+    "date_window",
+    "decontaminate_ngram",
+    "dedup_exact",
+    "dedup_first",
+    "dedup_simhash",
+    "delete_insert_antijoin",
+    "derived_cost_coalesce",
+    "distinct_agg",
+    "doc_fingerprint",
+    "dq_flags",
+    "embedding_cosine_dedup",
+    "embedding_dup_clusters",
 )
 
-assert len(_R11_FRONT) == 50, len(_R11_FRONT)
+assert len(_R12_FRONT) == 50, len(_R12_FRONT)
 
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _R11_FRONT}
+    out = {k: merged[k] for k in _R12_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.operators.graph import pagerank_fixed
+from imperio_patitas_etl_spark.operators.provenance import (
+    require_source,
+    tag_source,
+)
 from imperio_patitas_etl_spark.operators.reconcile import classify_snapshot_diff
 from imperio_patitas_etl_spark.sources.parquet import load_table
 
@@ -1014,15 +1018,15 @@ def materialize_edge_table(spark: SparkSession, sf_dir: str, path: str) -> None:
     an already-aggregated relation.
 
     The table carries its source ``sf_dir`` as field metadata on
-    ``part_a`` (Spark round-trips field metadata through the parquet
-    footer schema) so ``copurchase_family_from_edges`` can refuse a
-    table materialized from a DIFFERENT source — ``item_cooccurrence``
-    mixes the edge relation with basket statistics rebuilt from
-    ``sf_dir``, and a silent source mismatch would corrupt lift_bp
-    (ADVICE r10)."""
+    ``part_a`` (operators/provenance.py, one contract across all three
+    materialized product tables) so ``copurchase_family_from_edges``
+    can refuse a table materialized from a DIFFERENT source —
+    ``item_cooccurrence`` mixes the edge relation with basket statistics
+    rebuilt from ``sf_dir``, and a silent source mismatch would corrupt
+    lift_bp (ADVICE r10)."""
     li = load_table(spark, sf_dir, "lineitem")
-    _copurchase_pairs(li).withMetadata(
-        "part_a", {_EDGE_SOURCE_KEY: sf_dir.rstrip("/")}
+    tag_source(
+        _copurchase_pairs(li), "part_a", _EDGE_SOURCE_KEY, sf_dir
     ).write.mode("overwrite").parquet(path)
 
 
@@ -1041,15 +1045,19 @@ def copurchase_family_from_edges(
     ``materialize_edge_table`` embeds in the table's field metadata is
     validated here; a missing or mismatched tag raises (ADVICE r10)."""
     pairs = spark.read.parquet(edge_path)
-    tag = dict(pairs.schema["part_a"].metadata or {}).get(_EDGE_SOURCE_KEY)
-    if tag != sf_dir.rstrip("/"):
-        raise ValueError(
-            f"edge table at {edge_path} was materialized from "
-            f"{tag!r}, not from the requested source "
-            f"{sf_dir.rstrip('/')!r} — item_cooccurrence would mix "
-            "basket statistics from one source with edges from another; "
-            "re-materialize with materialize_edge_table(spark, sf_dir, path)"
-        )
+    require_source(
+        pairs,
+        "part_a",
+        _EDGE_SOURCE_KEY,
+        sf_dir,
+        table_desc="edge table",
+        path=edge_path,
+        consequence=(
+            "item_cooccurrence would mix basket statistics from one "
+            "source with edges from another"
+        ),
+        rebuild="materialize_edge_table(spark, sf_dir, path)",
+    )
     li = load_table(spark, sf_dir, "lineitem")
     return {
         "item_cooccurrence": _cooccurrence_from_pairs(pairs, _baskets(li)),

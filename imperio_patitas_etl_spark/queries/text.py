@@ -32,6 +32,10 @@ from imperio_patitas_etl_spark.operators.checkpoint import (
     persistent_rdd_ids,
     release_rdds,
 )
+from imperio_patitas_etl_spark.operators.provenance import (
+    require_source,
+    tag_source,
+)
 from imperio_patitas_etl_spark.sources.parquet import load_table
 
 # MinHash constants — fixed, mirrored literally into the oracle SQL.
@@ -1950,16 +1954,16 @@ def materialize_shingle_table(
     cheap column-pruned parquet reads.
 
     The table carries its source ``sf_dir`` as field metadata on
-    ``doc_id`` (Spark round-trips field metadata through the parquet
-    footer schema) so ``ngram_family_from_shingles`` can refuse a table
-    materialized from a DIFFERENT source — the cluster and keep-list
-    consumers mix the shingle relation with the document universe,
-    Gopher-quality, and decontamination relations rebuilt from
+    ``doc_id`` (operators/provenance.py, one contract across all three
+    materialized product tables) so ``ngram_family_from_shingles`` can
+    refuse a table materialized from a DIFFERENT source — the cluster
+    and keep-list consumers mix the shingle relation with the document
+    universe, Gopher-quality, and decontamination relations rebuilt from
     ``sf_dir``, and a silent source mismatch would corrupt every
     downstream mask (same contract as the co-purchase edge table,
     ADVICE r10)."""
-    _shingled(spark, sf_dir).withMetadata(
-        "doc_id", {_SHINGLE_SOURCE_KEY: sf_dir.rstrip("/")}
+    tag_source(
+        _shingled(spark, sf_dir), "doc_id", _SHINGLE_SOURCE_KEY, sf_dir
     ).write.mode("overwrite").parquet(path)
 
 
@@ -1977,36 +1981,80 @@ def ngram_family_from_shingles(
     relations are rebuilt from ``sf_dir``, so the shingle table MUST have
     been materialized from the SAME source; the provenance tag
     ``materialize_shingle_table`` embeds in the table's field metadata is
-    validated here — a missing or mismatched tag raises."""
+    validated here (operators/provenance.py) — a missing or mismatched
+    tag raises.
+
+    The returned mapping is a :class:`NgramFamily` — a plain dict plus a
+    ``release()`` method freeing the shared pair-checkpoint blocks once
+    every consumer has run (ADVICE r11: without the handle, repeated
+    pipeline invocations in a long-lived session accumulated checkpoint
+    generations with no way to reclaim them)."""
     from imperio_patitas_etl_spark.operators.graph import (
         connected_components_star,
     )
 
     s = spark.read.parquet(shingle_path)
-    tag = dict(s.schema["doc_id"].metadata or {}).get(_SHINGLE_SOURCE_KEY)
-    if tag != sf_dir.rstrip("/"):
-        raise ValueError(
-            f"shingle table at {shingle_path} was materialized from "
-            f"{tag!r}, not from the requested source "
-            f"{sf_dir.rstrip('/')!r} — the cluster/keep-list consumers "
-            "would mix shingles from one source with document, quality, "
-            "and decontamination relations from another; re-materialize "
-            "with materialize_shingle_table(spark, sf_dir, path)"
-        )
+    require_source(
+        s,
+        "doc_id",
+        _SHINGLE_SOURCE_KEY,
+        sf_dir,
+        table_desc="shingle table",
+        path=shingle_path,
+        consequence=(
+            "the cluster/keep-list consumers would mix shingles from one "
+            "source with document, quality, and decontamination relations "
+            "from another"
+        ),
+        rebuild="materialize_shingle_table(spark, sf_dir, path)",
+    )
     # One AllPairs candidate+verify pass total: the pair relation is
     # localCheckpoint-ed once and feeds the returned pair plan AND both
     # CC variants — without this, each CC run re-evaluates the
     # prefix-index/verify pipeline (a full extra index pass at 100 TB).
-    # The blocks live for the session, same lifetime contract as the
-    # standalone ngram_jaccard_dedup registry key's shingle checkpoint
-    # (bounded: one near-dup pair table per call).
+    # The caller owns the blocks' lifetime via NgramFamily.release().
+    _before = persistent_rdd_ids(spark)
     pairs = _pairs_from_shingled(s).localCheckpoint()
+    pair_ids = persistent_rdd_ids(spark) - _before
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select("doc_a", "doc_b")
     clusters = connected_components(docs, edges)
-    return {
-        "ngram_jaccard_dedup": pairs,
-        "dup_clusters": clusters,
-        "dup_clusters_star": connected_components_star(docs, edges),
-        "corpus_keep_list": _keep_list_from_clusters(spark, sf_dir, clusters),
-    }
+    return NgramFamily(
+        {
+            "ngram_jaccard_dedup": pairs,
+            "dup_clusters": clusters,
+            "dup_clusters_star": connected_components_star(docs, edges),
+            "corpus_keep_list": _keep_list_from_clusters(
+                spark, sf_dir, clusters
+            ),
+        },
+        spark,
+        pair_ids,
+    )
+
+
+class NgramFamily(dict):
+    """The four ngram-dedup family DataFrames keyed by registry name,
+    plus ownership of the shared pair-checkpoint blocks they read.
+
+    ``ngram_family_from_shingles`` localCheckpoints the pair relation
+    ONCE for the whole family; the four returned plans read those
+    blocks, so they stay alive until the caller finishes its actions and
+    calls :meth:`release` (idempotent, non-blocking). A caller that
+    never releases gets the old session-lifetime behavior — bounded at
+    one pair table per invocation, but additive across invocations,
+    which is exactly the accumulation ADVICE r11 flagged."""
+
+    def __init__(
+        self, results: dict, spark: SparkSession, checkpoint_ids: set[int]
+    ) -> None:
+        super().__init__(results)
+        self._spark = spark
+        self.checkpoint_ids = frozenset(checkpoint_ids)
+
+    def release(self) -> None:
+        """Free the pair-checkpoint blocks. Call only after every action
+        that reads the family's DataFrames has run — the plans reference
+        the checkpointed RDD and would recompute nothing (the blocks are
+        gone, the lineage was truncated), failing instead."""
+        release_rdds(self._spark, set(self.checkpoint_ids))

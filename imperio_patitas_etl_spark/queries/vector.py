@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imperio_patitas_etl_spark.operators.provenance import (
+    require_source,
+    tag_source,
+)
 from imperio_patitas_etl_spark.sources.parquet import load_table
 
 #: integer scaling: float32 → exact integer units (×1e7 < 2^31 for |x|<200)
@@ -386,19 +390,24 @@ def materialize_cell_layout(spark: SparkSession, sf_dir: str, path: str) -> None
     (vec_id, ivec, norm2) so probing needs nothing else.
 
     The layout embeds its source ``sf_dir`` as field metadata on
-    ``vec_id`` (round-trips through the parquet footer schema) so
-    ``ann_ivf_from_layout`` can refuse a layout built from a DIFFERENT
-    corpus — the probe side re-derives the coarse quantizer from
-    ``sf_dir``, and probing one corpus's cells with another corpus's
-    centroids is silently wrong (same contract as the co-purchase edge
-    and shingle tables, ADVICE r10)."""
+    ``vec_id`` (operators/provenance.py, one contract across all three
+    materialized product tables) so ``ann_ivf_from_layout`` can refuse a
+    layout built from a DIFFERENT corpus — the probe side re-derives the
+    coarse quantizer from ``sf_dir``, and probing one corpus's cells
+    with another corpus's centroids is silently wrong (same contract as
+    the co-purchase edge and shingle tables, ADVICE r10)."""
     v = _with_ivec(spark, sf_dir)
     cent_ids, cent_mat, cent_norms = _collect_centroids(v)
     _assign = _assign_fn(cent_ids, cent_mat, cent_norms, min(N_PROBE, len(cent_ids)))
     (
-        v.mapInPandas(_assign, ASSIGN_SCHEMA)
-        .select("vec_id", "ivec", "norm2", "cell")
-        .withMetadata("vec_id", {_LAYOUT_SOURCE_KEY: sf_dir.rstrip("/")})
+        tag_source(
+            v.mapInPandas(_assign, ASSIGN_SCHEMA).select(
+                "vec_id", "ivec", "norm2", "cell"
+            ),
+            "vec_id",
+            _LAYOUT_SOURCE_KEY,
+            sf_dir,
+        )
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -419,15 +428,19 @@ def ann_ivf_from_layout(
     ``materialize_cell_layout`` embeds in the layout's field metadata is
     validated here — a missing or mismatched tag raises."""
     layout = spark.read.parquet(layout_path)
-    tag = dict(layout.schema["vec_id"].metadata or {}).get(_LAYOUT_SOURCE_KEY)
-    if tag != sf_dir.rstrip("/"):
-        raise ValueError(
-            f"cell layout at {layout_path} was materialized from "
-            f"{tag!r}, not from the requested source "
-            f"{sf_dir.rstrip('/')!r} — probing one corpus's cells with "
-            "another corpus's centroids is silently wrong; "
-            "re-materialize with materialize_cell_layout(spark, sf_dir, path)"
-        )
+    require_source(
+        layout,
+        "vec_id",
+        _LAYOUT_SOURCE_KEY,
+        sf_dir,
+        table_desc="cell layout",
+        path=layout_path,
+        consequence=(
+            "probing one corpus's cells with another corpus's centroids "
+            "is silently wrong"
+        ),
+        rebuild="materialize_cell_layout(spark, sf_dir, path)",
+    )
     v = _with_ivec(spark, sf_dir)
     cent_ids, cent_mat, cent_norms = _collect_centroids(v)
     _assign = _assign_fn(cent_ids, cent_mat, cent_norms, min(N_PROBE, len(cent_ids)))

@@ -57,6 +57,22 @@ def test_worst_case_drops_the_map_but_always_emits():
     assert line.endswith("\n") and "\n" not in line[:-1]
 
 
+def test_non_queries_field_blowout_falls_back_to_headline_fields():
+    """ADVICE r11: when a NON-queries field alone exceeds the limit,
+    stripping the per-key map can't save the line — the last-resort pass
+    must emit only the headline fields (still parseable, still under the
+    limit) instead of returning an oversize line the driver's tail
+    capture would front-clip to null."""
+    out, top = _summary(10)
+    out["queries_full"] = "B" * 3000  # a ballooned non-queries field
+    line = fit_stdout_line(dict(out), top)
+    assert len(line) < 1500
+    parsed = json.loads(line)
+    assert parsed["value"] == out["value"]
+    assert parsed["all_total"] == out["all_total"]
+    assert "queries_full" not in parsed
+
+
 def test_real_r10_shaped_line_is_stable():
     """The shape the driver actually recorded in BENCH_r10.json parses
     and is nowhere near the limit — the shrink path must not fire."""
