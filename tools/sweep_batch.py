@@ -11,7 +11,12 @@ retried (only ``ok`` lines mark completion) — a persistent failure shows
 up in the log every batch.
 
 Usage: python tools/sweep_batch.py <sf_dir> <log_file> [--vanilla]
-           [--budget SECONDS] [--batch N]
+           [--budget SECONDS] [--batch N] [--keys k1,k2,...]
+
+``--keys`` restricts the sweep to a comma-separated subset (registry
+order preserved) — the window-vanilla gate shape. Unknown key names
+abort immediately rather than silently sweeping the full registry
+(the r12 lesson: extra positionals used to be ignored).
 """
 
 from __future__ import annotations
@@ -41,6 +46,18 @@ def done_keys(log_path: str) -> set[str]:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # flag VALUES are positional tokens too — drop them from args
+    for flag in ("--budget", "--batch", "--keys"):
+        if flag in sys.argv:
+            val = sys.argv[sys.argv.index(flag) + 1]
+            if val in args:
+                args.remove(val)
+    if len(args) != 2:
+        sys.exit(
+            f"expected exactly <sf_dir> <log_file>, got {args!r} — "
+            "key subsets go via --keys k1,k2,... (bare key positionals "
+            "were silently ignored before r12; now they're an error)"
+        )
     sf_dir, log_path = args[0], args[1]
     vanilla = "--vanilla" in sys.argv
     budget = 480.0
@@ -53,6 +70,13 @@ def main() -> None:
     from imperio_patitas_etl_spark.queries import all_queries
 
     order = list(all_queries())
+    if "--keys" in sys.argv:
+        want = sys.argv[sys.argv.index("--keys") + 1].split(",")
+        unknown = [k for k in want if k not in order]
+        if unknown:
+            sys.exit(f"unknown registry keys: {' '.join(unknown)}")
+        keep = set(want)
+        order = [k for k in order if k in keep]
     t0 = time.monotonic()
     while True:
         remaining = [k for k in order if k not in done_keys(log_path)]
