@@ -62,80 +62,76 @@ _MODULES = (
     core,
 )
 
-# Round-12 window (exactly the 50 keys the driver samples). r12 is a
-# maintenance round (VERDICT r11). No rule-(a) keys: the round's code
-# changes (the shared provenance helper `operators/provenance.py` and
-# the NgramFamily release handle, VERDICT r11 item 4 / ADVICE r11) live
-# entirely in the materialize/consume pipeline APIs, which sit OUTSIDE
-# every registry key's fingerprint closure — `tools/rotation.py`
-# reports 0 changed keys since boundary 5c1a83e. The window is pure
-# rule-(b) refresh per --plan-next after folding CORRECTNESS_r11 into
-# certification.py: the 29 remaining r8-latest rows plus the 21 oldest
-# r9 rows. After this window lands, no key's latest driver row is
-# older than r9.
-_R12_FRONT = (
-    # -- rule (b) refresh: all remaining r8-latest rows (29)
-    "event_funnel",
-    "event_transition_matrix",
-    "exists_any_agg",
-    "groupby_avg",
-    "histogram_fixed",
-    "intra_doc_dedup",
-    "join_strategy_advisor",
-    "kmv_join_cardinality",
-    "limit",
-    "minhash_incremental",
-    "ndcg_eval",
-    "pack_sequences",
-    "pareto_frontier_2d",
-    "pii_redact",
-    "pivot_wide",
-    "power_iteration_pc",
-    "retention_cohorts",
-    "scan_parquet",
-    "scd2_asof_lookup",
-    "scd2_incremental",
-    "sort_limit",
-    "span_dedup",
-    "sql_interface",
-    "srm_check",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "unpivot_long",
-    "zorder_layout_audit",
-    # -- rule (b) fill: oldest r9 rows (21)
-    "ann_ivf",
-    "ann_ivf_trained",
-    "ann_lsh_bucketed",
-    "ann_topk_bruteforce",
-    "arith_derived",
-    "asof_join",
-    "casts",
-    "coalesce_defaults",
-    "cube_rollup",
-    "date_window",
-    "decontaminate_ngram",
-    "dedup_exact",
-    "dedup_first",
-    "dedup_simhash",
-    "delete_insert_antijoin",
-    "derived_cost_coalesce",
-    "distinct_agg",
-    "doc_fingerprint",
-    "dq_flags",
-    "embedding_cosine_dedup",
-    "embedding_dup_clusters",
+# Round-13 window (exactly the 50 keys the driver samples). r13 is a
+# maintenance round (VERDICT r12). No rule-(a) keys: `tools/rotation.py`
+# reports 0 changed keys since boundary 9c43085. The window is pure
+# rule-(b) refresh per --plan-next after folding CORRECTNESS_r12 into
+# certification.py: the 25 remaining r9-latest rows plus the 25 oldest
+# r10 rows. After this window lands, no key's latest driver row is
+# older than r10.
+_R13_FRONT = (
+    # -- rule (b) refresh: all remaining r9-latest rows (25)
+    "explode_details",
+    "explode_variants",
+    "filter_project_client",
+    "filter_project_detail",
+    "filter_project_document",
+    "filter_project_product",
+    "json_extract",
+    "lang_id",
+    "quality_score",
+    "regex_email",
+    "regex_rut",
+    "simhash_near_dup",
+    "stratified_sample",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_sliding_window",
+    "string_cleanup",
+    "tf_vectorize",
+    "timestamp_from_unix",
+    "token_count",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q21",
+    "tpch_q6",
+    # -- rule (b) fill: oldest r10 rows (25)
+    "ab_test_summary",
+    "bigram_logprob",
+    "bom_rollup",
+    "cdc_apply",
+    "cusum_changepoint",
+    "dow_seasonal_residual",
+    "entity_resolution_blocked",
+    "equi_depth_histogram",
+    "feature_scale",
+    "fk_orphans_antijoin",
+    "funnel_time_bounded",
+    "gopher_filter",
+    "group_corr",
+    "group_linear_fit",
+    "item_cooccurrence",
+    "join_cost_left",
+    "join_price_broadcast",
+    "khop_reach",
+    "kmv_distinct_sketch",
+    "multi_join_star",
+    "multimodal_decode_stub",
+    "multimodal_feature_extract",
+    "node_jaccard_linkpred",
+    "pagerank_copurchase",
+    "percentile_agg",
 )
 
-assert len(_R12_FRONT) == 50, len(_R12_FRONT)
+assert len(_R13_FRONT) == 50, len(_R13_FRONT)
 
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _R12_FRONT}
+    out = {k: merged[k] for k in _R13_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 

@@ -1,0 +1,81 @@
+"""CLI contract for tools/sweep_batch.py (ADVICE r12).
+
+The r12 flag parsing silently ignored the ``--keys=a,b`` spelling (the
+token starts with ``--`` so it was dropped from positionals, but the
+``"--keys" in sys.argv`` membership test was False), which made the
+sweep silently run the FULL registry — exactly the silent-scope failure
+the flag was added to eliminate. These tests pin the argparse rewrite:
+every flag spelling is honored, malformed invocations exit non-zero
+with a diagnostic, and a stray bare positional is an error rather than
+a silent no-op.
+
+No SparkSession is needed: every case here exits during argument
+handling or the registry-key validation step, before any sweep batch is
+launched.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "sweep_batch.py")
+
+
+def run_cli(*argv: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, TOOL, *argv],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+    )
+
+
+def test_keys_equals_spelling_is_parsed_not_ignored():
+    # The r12 bug: `--keys=...` fell through to a FULL-registry sweep.
+    # Reaching the unknown-key diagnostic proves the value was parsed.
+    res = run_cli("/tmp/nope", "/tmp/nope.log", "--keys=no_such_registry_key")
+    assert res.returncode != 0
+    assert "unknown registry keys: no_such_registry_key" in (
+        res.stdout + res.stderr
+    )
+
+
+def test_keys_space_spelling_is_parsed():
+    res = run_cli("/tmp/nope", "/tmp/nope.log", "--keys", "no_such_registry_key")
+    assert res.returncode != 0
+    assert "unknown registry keys" in res.stdout + res.stderr
+
+
+def test_stray_positional_is_an_error():
+    res = run_cli("/tmp/nope", "/tmp/nope.log", "stray_key_positional")
+    assert res.returncode != 0
+    assert "unrecognized arguments" in res.stderr
+
+
+def test_flag_missing_value_is_an_error_not_indexerror():
+    for flag in ("--keys", "--budget", "--batch"):
+        res = run_cli("/tmp/nope", "/tmp/nope.log", flag)
+        assert res.returncode != 0, flag
+        assert "expected one argument" in res.stderr, flag
+        assert "IndexError" not in res.stderr, flag
+
+
+def test_unknown_flag_is_an_error():
+    res = run_cli("/tmp/nope", "/tmp/nope.log", "--bogus")
+    assert res.returncode != 0
+    assert "unrecognized arguments" in res.stderr
+
+
+def test_flag_value_colliding_with_positional_text_is_unambiguous(tmp_path):
+    # r12 stripped flag values from positionals by string equality, so a
+    # log file literally named "10" with `--batch 10` removed the wrong
+    # token. argparse binds by position; an empty --keys subset means
+    # zero work, so this returns immediately with remaining=0.
+    log = tmp_path / "10"
+    res = run_cli(str(tmp_path), str(log), "--batch", "10", "--keys=")
+    assert res.returncode == 0, res.stderr
+    assert "remaining=0" in res.stdout

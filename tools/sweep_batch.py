@@ -21,6 +21,7 @@ abort immediately rather than silently sweeping the full registry
 
 from __future__ import annotations
 
+import argparse
 import os
 import re
 import subprocess
@@ -45,33 +46,32 @@ def done_keys(log_path: str) -> set[str]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    # flag VALUES are positional tokens too — drop them from args
-    for flag in ("--budget", "--batch", "--keys"):
-        if flag in sys.argv:
-            val = sys.argv[sys.argv.index(flag) + 1]
-            if val in args:
-                args.remove(val)
-    if len(args) != 2:
-        sys.exit(
-            f"expected exactly <sf_dir> <log_file>, got {args!r} — "
-            "key subsets go via --keys k1,k2,... (bare key positionals "
-            "were silently ignored before r12; now they're an error)"
-        )
-    sf_dir, log_path = args[0], args[1]
-    vanilla = "--vanilla" in sys.argv
-    budget = 480.0
-    batch = 10
-    if "--budget" in sys.argv:
-        budget = float(sys.argv[sys.argv.index("--budget") + 1])
-    if "--batch" in sys.argv:
-        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    # argparse so every flag spelling works (`--keys a,b` AND `--keys=a,b`),
+    # missing values error cleanly, and a stray bare key positional — the
+    # pre-r12 silent-scope hazard — is rejected rather than ignored.
+    parser = argparse.ArgumentParser(
+        description="resumable full-registry oracle sweep batcher",
+        allow_abbrev=False,
+    )
+    parser.add_argument("sf_dir")
+    parser.add_argument("log_file")
+    parser.add_argument("--vanilla", action="store_true")
+    parser.add_argument("--budget", type=float, default=480.0)
+    parser.add_argument("--batch", type=int, default=10)
+    parser.add_argument(
+        "--keys",
+        help="comma-separated registry-key subset (registry order preserved); "
+        "bare key positionals are an error, not a silent full sweep",
+    )
+    ns = parser.parse_args()
+    sf_dir, log_path = ns.sf_dir, ns.log_file
+    vanilla, budget, batch = ns.vanilla, ns.budget, ns.batch
 
     from imperio_patitas_etl_spark.queries import all_queries
 
     order = list(all_queries())
-    if "--keys" in sys.argv:
-        want = sys.argv[sys.argv.index("--keys") + 1].split(",")
+    if ns.keys is not None:
+        want = [k for k in ns.keys.split(",") if k]
         unknown = [k for k in want if k not in order]
         if unknown:
             sys.exit(f"unknown registry keys: {' '.join(unknown)}")
