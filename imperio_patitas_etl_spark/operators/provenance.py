@@ -65,9 +65,18 @@ def require_source(
     reading the exception can act without opening the source."""
     tag = dict(df.schema[column].metadata or {}).get(key)
     want = canonical_source(sf_dir)
-    if tag != want:
+    # Legacy fallback (ADVICE r12): tables materialized before r12 stored
+    # the RAW ``sf_dir.rstrip('/')`` as the tag. If such a table was
+    # written via a relative or symlinked spelling, the realpath compare
+    # rejects it even when the consumer passes the identical string used
+    # at write time — accept the pre-r12 exact-string match too. A
+    # legacy tag that equals neither spelling of the requested source is
+    # still refused.
+    if tag != want and tag != sf_dir.rstrip("/"):
         raise ValueError(
             f"{table_desc} at {path} was materialized from {tag!r}, "
             f"not from the requested source {want!r} — {consequence}; "
-            f"re-materialize with {rebuild}"
+            f"re-materialize with {rebuild} (note: pre-r12 tables tagged "
+            f"via a non-canonical path spelling match only when consumed "
+            f"with that exact spelling)"
         )

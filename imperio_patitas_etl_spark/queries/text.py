@@ -2012,38 +2012,44 @@ def ngram_family_from_shingles(
     # localCheckpoint-ed once and feeds the returned pair plan AND both
     # CC variants — without this, each CC run re-evaluates the
     # prefix-index/verify pipeline (a full extra index pass at 100 TB).
-    # The caller owns the blocks' lifetime via NgramFamily.release().
+    # The family handle owns the lifetime of EVERY checkpoint block the
+    # build leaves persisted — the shared pair table AND the final label
+    # generations both CC runs retain (their CheckpointGenerations free
+    # superseded rounds eagerly but keep the newest; ADVICE r12: owning
+    # only pair_ids left those label blocks to accumulate per
+    # invocation). Checkpointing here is eager (localCheckpoint default),
+    # so the post-build diff is complete by construction; the snapshot
+    # diff is safe because this build runs no lazy .persist() whose RDD
+    # could first register later (the CheckpointGenerations contract).
     _before = persistent_rdd_ids(spark)
     pairs = _pairs_from_shingled(s).localCheckpoint()
-    pair_ids = persistent_rdd_ids(spark) - _before
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select("doc_a", "doc_b")
     clusters = connected_components(docs, edges)
-    return NgramFamily(
-        {
-            "ngram_jaccard_dedup": pairs,
-            "dup_clusters": clusters,
-            "dup_clusters_star": connected_components_star(docs, edges),
-            "corpus_keep_list": _keep_list_from_clusters(
-                spark, sf_dir, clusters
-            ),
-        },
-        spark,
-        pair_ids,
-    )
+    family = {
+        "ngram_jaccard_dedup": pairs,
+        "dup_clusters": clusters,
+        "dup_clusters_star": connected_components_star(docs, edges),
+        "corpus_keep_list": _keep_list_from_clusters(spark, sf_dir, clusters),
+    }
+    return NgramFamily(family, spark, persistent_rdd_ids(spark) - _before)
 
 
 class NgramFamily(dict):
     """The four ngram-dedup family DataFrames keyed by registry name,
-    plus ownership of the shared pair-checkpoint blocks they read.
+    plus ownership of EVERY checkpoint block the family build left
+    persisted: the shared pair table and the final connected-components
+    label generations of both CC variants.
 
     ``ngram_family_from_shingles`` localCheckpoints the pair relation
-    ONCE for the whole family; the four returned plans read those
-    blocks, so they stay alive until the caller finishes its actions and
-    calls :meth:`release` (idempotent, non-blocking). A caller that
-    never releases gets the old session-lifetime behavior — bounded at
-    one pair table per invocation, but additive across invocations,
-    which is exactly the accumulation ADVICE r11 flagged."""
+    ONCE for the whole family and each CC run retains its newest label
+    generation; the returned plans read those blocks, so they stay alive
+    until the caller finishes its actions and calls :meth:`release`
+    (idempotent, non-blocking). A caller that never releases gets the
+    old session-lifetime behavior — bounded per invocation, but additive
+    across invocations, which is exactly the accumulation ADVICE r11/r12
+    flagged (r11's fix owned only the pair blocks; r12 widened ownership
+    to the full build diff)."""
 
     def __init__(
         self, results: dict, spark: SparkSession, checkpoint_ids: set[int]
@@ -2053,8 +2059,9 @@ class NgramFamily(dict):
         self.checkpoint_ids = frozenset(checkpoint_ids)
 
     def release(self) -> None:
-        """Free the pair-checkpoint blocks. Call only after every action
-        that reads the family's DataFrames has run — the plans reference
-        the checkpointed RDD and would recompute nothing (the blocks are
-        gone, the lineage was truncated), failing instead."""
+        """Free every checkpoint block the family build persisted. Call
+        only after every action that reads the family's DataFrames has
+        run — the plans reference the checkpointed RDDs and would
+        recompute nothing (the blocks are gone, the lineage was
+        truncated), failing instead."""
         release_rdds(self._spark, set(self.checkpoint_ids))

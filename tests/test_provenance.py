@@ -86,6 +86,42 @@ def test_tag_and_require_roundtrip_through_parquet(spark, tmp_path):
         require_source(back, "k", "other_product_kind", str(src), **kwargs)
 
 
+def test_legacy_raw_tag_accepted_with_identical_spelling(spark, tmp_path):
+    """ADVICE r12 backward-compat edge: tables materialized BEFORE r12
+    stored the raw ``sf_dir.rstrip('/')`` as the tag. A pre-r12 table
+    written via a symlinked spelling must still be consumable with that
+    exact spelling (realpath of which differs from the stored tag), while
+    a genuinely different source keeps being refused."""
+    real = tmp_path / "sf"
+    real.mkdir()
+    link = tmp_path / "sf_alias"
+    os.symlink(real, link)
+    legacy_spelling = str(link) + "/"
+    # simulate the pre-r12 writer: raw rstrip('/') tag, no realpath
+    df = spark.range(3).toDF("k").withMetadata(
+        "k", {"test_source": legacy_spelling.rstrip("/")}
+    )
+    out = str(tmp_path / "tbl")
+    df.write.parquet(out)
+    back = spark.read.parquet(out)
+    kwargs = dict(
+        table_desc="test table",
+        path=out,
+        consequence="downstream would mix sources",
+        rebuild="tag_source(...)",
+    )
+    # identical spelling as used at write time: accepted via the legacy
+    # exact-string fallback (with or without the trailing slash)
+    require_source(back, "k", "test_source", legacy_spelling, **kwargs)
+    require_source(back, "k", "test_source", str(link), **kwargs)
+    # a different source is still refused, and the message carries the
+    # pre-r12 spelling note
+    with pytest.raises(ValueError, match="pre-r12"):
+        require_source(
+            back, "k", "test_source", str(tmp_path / "elsewhere"), **kwargs
+        )
+
+
 def test_symlinked_source_accepted_by_shingle_consumer(
     spark, sf_dir, tmp_path
 ):
@@ -131,18 +167,34 @@ def test_two_product_tables_compose_in_one_session(spark, sf_dir, tmp_path):
     fam.release()
 
 
-def test_ngram_family_release_frees_pair_checkpoint(spark, sf_dir, tmp_path):
-    """ADVICE r11: the family's shared pair checkpoint must be
-    reclaimable — release() unpersists exactly the blocks the build
-    created, so repeated pipeline invocations in a long session no
-    longer accumulate dead generations."""
+def test_ngram_family_release_frees_all_build_checkpoints(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r11 + r12: a full family invocation must leave ZERO net
+    persisted-RDD accumulation after release(). r11's handle owned only
+    the shared pair checkpoint, so each invocation still leaked the
+    final CC label generations (both variants) for the session's
+    lifetime; the handle now owns the build's entire snapshot diff, and
+    this asserts the session-level invariant directly rather than just
+    membership of a named subset."""
     shingle_path = str(tmp_path / "shingles")
     text.materialize_shingle_table(spark, sf_dir, shingle_path)
+    before = persistent_rdd_ids(spark)
     fam = text.ngram_family_from_shingles(spark, sf_dir, shingle_path)
-    assert fam.checkpoint_ids, "pair build must register checkpoint blocks"
+    assert fam.checkpoint_ids, "family build must register checkpoint blocks"
     assert fam.checkpoint_ids <= persistent_rdd_ids(spark)
+    # the build retains MORE than the single pair checkpoint: both CC
+    # variants keep their newest label generation (the r12 widening)
+    assert len(fam.checkpoint_ids) >= 3
     # consumers run while the blocks are live
     assert fam["ngram_jaccard_dedup"].count() > 0
+    assert fam["dup_clusters"].count() > 0
+    assert fam["dup_clusters_star"].count() > 0
+    assert fam["corpus_keep_list"].count() > 0
     fam.release()
     assert not (set(fam.checkpoint_ids) & persistent_rdd_ids(spark))
+    # the invariant ADVICE r12 asked for: nothing the build persisted
+    # survives release — a long session of invoke+release cycles holds
+    # steady instead of accumulating dead generations
+    assert persistent_rdd_ids(spark) <= before
     fam.release()  # idempotent
