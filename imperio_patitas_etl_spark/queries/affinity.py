@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from imperio_patitas_etl_spark.operators.checkpoint import (
+    OwnedFamily,
+    persistent_rdd_ids,
+)
 from imperio_patitas_etl_spark.operators.graph import pagerank_fixed
 from imperio_patitas_etl_spark.operators.provenance import (
     require_source,
@@ -1032,7 +1036,7 @@ def materialize_edge_table(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 def copurchase_family_from_edges(
     spark: SparkSession, sf_dir: str, edge_path: str
-) -> dict[str, DataFrame]:
+) -> "CopurchaseFamily":
     """The five co-purchase family results computed FROM a materialized
     edge table (``materialize_edge_table``) instead of from lineitem —
     identical downstream plans (asserted row-equal to the registry keys
@@ -1043,7 +1047,16 @@ def copurchase_family_from_edges(
     have been materialized from the SAME ``sf_dir``, or lift_bp would
     silently mix inconsistent inputs. The provenance tag
     ``materialize_edge_table`` embeds in the table's field metadata is
-    validated here; a missing or mismatched tag raises (ADVICE r10)."""
+    validated here; a missing or mismatched tag raises (ADVICE r10).
+
+    The returned mapping is a :class:`CopurchaseFamily` — a plain dict
+    plus a ``release()`` method (VERDICT r12 item 4: uniform lifetime
+    contracts across the family product APIs). Two builders checkpoint
+    eagerly at construction time — khop's BFS retains its final visited
+    generation and pagerank its one-time symmetric-edge checkpoint;
+    without the handle those blocks had session lifetime, additive
+    across invocations — the same shape ``NgramFamily`` fixed for the
+    ngram pipeline."""
     pairs = spark.read.parquet(edge_path)
     require_source(
         pairs,
@@ -1059,10 +1072,28 @@ def copurchase_family_from_edges(
         rebuild="materialize_edge_table(spark, sf_dir, path)",
     )
     li = load_table(spark, sf_dir, "lineitem")
-    return {
+    # Snapshot-diff ownership (the OwnedFamily construction contract):
+    # two builders checkpoint eagerly at construction time — khop's BFS
+    # loop (CheckpointGenerations free superseded rounds but retain the
+    # final visited generation) and pagerank_fixed's one-time symmetric
+    # edge checkpoint; the other three are pure lazy plans. All
+    # checkpointing is eager, no lazy .persist() anywhere in the build,
+    # so the post-build diff is complete by construction.
+    _before = persistent_rdd_ids(spark)
+    family = {
         "item_cooccurrence": _cooccurrence_from_pairs(pairs, _baskets(li)),
         "pagerank_copurchase": _pagerank_from_pairs(pairs),
         "triangle_count": _triangle_from_pairs(pairs),
         "node_jaccard_linkpred": _jaccard_from_pairs(pairs),
         "khop_reach": _khop_from_pairs(spark, pairs),
     }
+    return CopurchaseFamily(family, spark, persistent_rdd_ids(spark) - _before)
+
+
+class CopurchaseFamily(OwnedFamily):
+    """The five co-purchase family DataFrames keyed by registry name,
+    plus ownership of every checkpoint block the build retains: the
+    khop BFS's final visited generation and pagerank's one-time
+    symmetric-edge checkpoint. Lifetime contract:
+    :class:`operators.checkpoint.OwnedFamily` — the same owned-release
+    shape as ``NgramFamily`` (VERDICT r12 item 4)."""

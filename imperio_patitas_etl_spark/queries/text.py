@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.operators.checkpoint import (
     CheckpointGenerations,
+    OwnedFamily,
     persistent_rdd_ids,
     release_rdds,
 )
@@ -2035,33 +2036,11 @@ def ngram_family_from_shingles(
     return NgramFamily(family, spark, persistent_rdd_ids(spark) - _before)
 
 
-class NgramFamily(dict):
+class NgramFamily(OwnedFamily):
     """The four ngram-dedup family DataFrames keyed by registry name,
     plus ownership of EVERY checkpoint block the family build left
     persisted: the shared pair table and the final connected-components
-    label generations of both CC variants.
-
-    ``ngram_family_from_shingles`` localCheckpoints the pair relation
-    ONCE for the whole family and each CC run retains its newest label
-    generation; the returned plans read those blocks, so they stay alive
-    until the caller finishes its actions and calls :meth:`release`
-    (idempotent, non-blocking). A caller that never releases gets the
-    old session-lifetime behavior — bounded per invocation, but additive
-    across invocations, which is exactly the accumulation ADVICE r11/r12
-    flagged (r11's fix owned only the pair blocks; r12 widened ownership
-    to the full build diff)."""
-
-    def __init__(
-        self, results: dict, spark: SparkSession, checkpoint_ids: set[int]
-    ) -> None:
-        super().__init__(results)
-        self._spark = spark
-        self.checkpoint_ids = frozenset(checkpoint_ids)
-
-    def release(self) -> None:
-        """Free every checkpoint block the family build persisted. Call
-        only after every action that reads the family's DataFrames has
-        run — the plans reference the checkpointed RDDs and would
-        recompute nothing (the blocks are gone, the lineage was
-        truncated), failing instead."""
-        release_rdds(self._spark, set(self.checkpoint_ids))
+    label generations of both CC variants (r11's fix owned only the pair
+    blocks; r12 widened ownership to the full build diff). Lifetime
+    contract: :class:`operators.checkpoint.OwnedFamily` — the same
+    owned-release shape as ``copurchase_family_from_edges``."""

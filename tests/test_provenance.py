@@ -198,3 +198,29 @@ def test_ngram_family_release_frees_all_build_checkpoints(
     # steady instead of accumulating dead generations
     assert persistent_rdd_ids(spark) <= before
     fam.release()  # idempotent
+
+
+def test_copurchase_family_release_frees_all_build_checkpoints(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 item 4: copurchase_family_from_edges gets the same
+    owned-release contract as NgramFamily. The build retains the khop
+    BFS's final visited generation and pagerank's symmetric-edge
+    checkpoint; release() must leave zero net persisted-RDD
+    accumulation."""
+    edge_path = str(tmp_path / "edges")
+    affinity.materialize_edge_table(spark, sf_dir, edge_path)
+    before = persistent_rdd_ids(spark)
+    graph = affinity.copurchase_family_from_edges(spark, sf_dir, edge_path)
+    assert graph.checkpoint_ids, "family build must register checkpoint blocks"
+    assert graph.checkpoint_ids <= persistent_rdd_ids(spark)
+    # khop's final visited generation AND pagerank's edge checkpoint
+    assert len(graph.checkpoint_ids) >= 2
+    # consumers run while the blocks are live
+    assert graph["khop_reach"].count() > 0
+    assert graph["pagerank_copurchase"].count() > 0
+    assert graph["triangle_count"].count() > 0
+    graph.release()
+    assert not (set(graph.checkpoint_ids) & persistent_rdd_ids(spark))
+    assert persistent_rdd_ids(spark) <= before
+    graph.release()  # idempotent
