@@ -86,6 +86,11 @@ def main() -> None:
             noop(fam[k])
             per[k] = round(time.monotonic() - t1, 3)
         total = time.monotonic() - t0
+        # every consumer has run — reclaim the build's checkpoint blocks
+        # so each rep starts from the same block-manager state (the
+        # OwnedFamily contract; without this, reps accumulate dead
+        # generations and later reps measure scheduling around them)
+        fam.release()
         if total < best_family:
             best_family, pipeline = total, per
 
