@@ -131,6 +131,13 @@ def _normalize(rows, colnames):
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--vanilla"]
     vanilla = "--vanilla" in sys.argv[1:]
+    # any other --flag is a typo, not a key name — without this it lands
+    # in `only`, matches no registry key, and the run prints "0/0
+    # checked queries pass" with exit 0 (the silent-scope failure family
+    # sweep_batch's argparse rewrite closed, ADVICE r12)
+    stray = [a for a in args if a.startswith("--")]
+    if stray:
+        sys.exit(f"unknown flag(s) {stray}; only --vanilla is supported")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -158,6 +165,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = m.queries(), m.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # a mistyped key would otherwise check nothing and exit 0
+        sys.exit(f"unknown registry keys: {' '.join(unknown)}")
     failures = []
     n_checked = 0
     for key, fn in sorted(qs.items()):
