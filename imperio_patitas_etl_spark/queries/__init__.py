@@ -62,76 +62,75 @@ _MODULES = (
     core,
 )
 
-# Round-13 window (exactly the 50 keys the driver samples). r13 is a
-# maintenance round (VERDICT r12). No rule-(a) keys: `tools/rotation.py`
-# reports 0 changed keys since boundary 9c43085. The window is pure
-# rule-(b) refresh per --plan-next after folding CORRECTNESS_r12 into
-# certification.py: the 25 remaining r9-latest rows plus the 25 oldest
-# r10 rows. After this window lands, no key's latest driver row is
-# older than r10.
-_R13_FRONT = (
-    # -- rule (b) refresh: all remaining r9-latest rows (25)
-    "explode_details",
-    "explode_variants",
-    "filter_project_client",
-    "filter_project_detail",
-    "filter_project_document",
-    "filter_project_product",
-    "json_extract",
-    "lang_id",
-    "quality_score",
-    "regex_email",
-    "regex_rut",
-    "simhash_near_dup",
-    "stratified_sample",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_sliding_window",
-    "string_cleanup",
-    "tf_vectorize",
-    "timestamp_from_unix",
-    "token_count",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q21",
-    "tpch_q6",
-    # -- rule (b) fill: oldest r10 rows (25)
-    "ab_test_summary",
-    "bigram_logprob",
-    "bom_rollup",
-    "cdc_apply",
-    "cusum_changepoint",
-    "dow_seasonal_residual",
-    "entity_resolution_blocked",
-    "equi_depth_histogram",
-    "feature_scale",
-    "fk_orphans_antijoin",
-    "funnel_time_bounded",
-    "gopher_filter",
-    "group_corr",
-    "group_linear_fit",
-    "item_cooccurrence",
-    "join_cost_left",
-    "join_price_broadcast",
-    "khop_reach",
-    "kmv_distinct_sketch",
-    "multi_join_star",
-    "multimodal_decode_stub",
-    "multimodal_feature_extract",
-    "node_jaccard_linkpred",
-    "pagerank_copurchase",
-    "percentile_agg",
+# Round-14 window (exactly the 50 keys the driver samples). r14 is a
+# maintenance round (VERDICT r13). No rule-(a) keys: `tools/rotation.py`
+# reports 0 changed keys since boundary 91532de84. The window is pure
+# rule-(b) refresh per --plan-next after folding CORRECTNESS_r13 into
+# certification.py: the 25 remaining r10-latest rows plus the 25 oldest
+# r11 rows. After this window lands, no key's latest driver row is
+# older than r11.
+_R14_FRONT = (
+    # -- rule (b) refresh: all remaining r10-latest rows (25)
+    "quality_gopher",
+    "quantile_sketch",
+    "range_join",
+    "salted_join_skew",
+    "semi_anti_membership",
+    "sessionize_events",
+    "sessionize_sharded",
+    "stream_tumbling_window",
+    "topk_per_group",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q7",
+    "tpch_q9",
+    "triangle_count",
+    "unigram_logprob",
+    "union_except",
+    "upsert_latest_wins",
+    "upsert_merge",
+    "window_lag_rank",
+    "window_range_rolling",
+    "window_running_sum",
+    # -- rule (b) fill: oldest r11 rows (25)
+    "ann_recall",
+    "attribution_last_touch",
+    "bloom_prefilter_join",
+    "bm25_topk",
+    "bpe_pair_merge",
+    "chunk_sequences",
+    "cm_sketch_topk",
+    "corpus_keep_list",
+    "cosine_dedup_recall",
+    "count_by_flag",
+    "count_star",
+    "dedup_minhash_lsh",
+    "domain_mixture",
+    "domain_mixture_sample",
+    "dq_anomaly_mad",
+    "dq_profile",
+    "dup_clusters",
+    "dup_clusters_star",
+    "group_quantiles_exact",
+    "grouping_sets",
+    "hll_distinct_sketch",
+    "hll_merge_audit",
+    "incremental_agg_merge",
+    "interval_concurrency",
+    "key_skew_audit",
 )
-
-assert len(_R13_FRONT) == 50, len(_R13_FRONT)
+assert len(_R14_FRONT) == 50, len(_R14_FRONT)
 
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _R13_FRONT}
+    out = {k: merged[k] for k in _R14_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 

@@ -27,14 +27,14 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import rotation  # noqa: E402
 
-from imperio_patitas_etl_spark.queries import _MODULES, _R13_FRONT, all_queries  # noqa: E402
+from imperio_patitas_etl_spark.queries import _MODULES, _R14_FRONT, all_queries  # noqa: E402
 from imperio_patitas_etl_spark.queries.certification import LAST_DRIVER_ROUND  # noqa: E402
 
 
 def test_window_is_exactly_the_sampled_prefix():
     keys = list(all_queries())
-    assert len(_R13_FRONT) == 50
-    assert keys[:50] == list(_R13_FRONT)
+    assert len(_R14_FRONT) == 50
+    assert keys[:50] == list(_R14_FRONT)
     assert len(set(keys)) == len(keys)
 
 
@@ -65,7 +65,7 @@ def test_rule_a_changed_keys_inside_window():
     if boundary is None:
         pytest.skip("no round-boundary commit in history")
     changed = rotation.changed_keys_since(boundary)
-    window = set(_R13_FRONT)
+    window = set(_R14_FRONT)
     if len(changed) <= len(window):
         out_of_window = changed - window
         assert not out_of_window, (
