@@ -56,7 +56,15 @@ class OwnedFamily(dict):
     build, runs ONLY eager checkpointing (no lazy ``.persist()`` whose
     RDD could first register later — the CheckpointGenerations contract),
     and passes the post-build diff here, so ownership is complete by
-    construction.
+    construction — UNDER the single-driver assumption (ADVICE r13): the
+    snapshot diff attributes EVERY RDD persisted on the shared
+    SparkSession during the build window to the family, so no other
+    thread may persist/checkpoint on the same session while a family
+    builds, or its blocks would be claimed and freed by this family's
+    ``release()``. Both in-repo builders run on the driver thread with
+    nothing concurrent; a caller embedding a builder in a multi-threaded
+    driver must serialize family builds against any other persisting
+    work.
 
     ``release()`` is idempotent and non-blocking; call it only after
     every action that reads the family's DataFrames has run — the plans

@@ -56,27 +56,43 @@ def require_source(
     path: str,
     consequence: str,
     rebuild: str,
+    allow_legacy_tag: bool = False,
 ) -> None:
     """Validate that the table in ``df`` (read back from ``path``) was
     materialized from ``sf_dir``; raise ``ValueError`` on a missing or
     mismatched tag. ``consequence`` states what would silently corrupt
     if the mismatch were allowed; ``rebuild`` names the materialize call
     that fixes it — both flow into the error message so the operator
-    reading the exception can act without opening the source."""
+    reading the exception can act without opening the source.
+
+    ``allow_legacy_tag`` (ADVICE r12/r13): tables materialized BEFORE
+    r12 stored the RAW ``sf_dir.rstrip('/')`` as the tag, so a table
+    written via a relative or symlinked spelling fails the realpath
+    compare even when the consumer passes the identical string used at
+    write time. The exact-raw-string fallback that accepts those is a
+    real weakening of the identity check (a tag spelling later
+    re-targeted by a symlink, or a relative spelling resolved from a
+    different cwd, would pass and mix mismatched sources), so it is
+    OPT-IN: the default is the strict realpath-only compare, and only a
+    caller that knows it is consuming a pre-r12 table passes
+    ``allow_legacy_tag=True``. The durable fix is a one-time re-tag:
+    read the legacy table with the flag, re-write it through the
+    ``rebuild`` materializer, and drop the flag."""
     tag = dict(df.schema[column].metadata or {}).get(key)
     want = canonical_source(sf_dir)
-    # Legacy fallback (ADVICE r12): tables materialized before r12 stored
-    # the RAW ``sf_dir.rstrip('/')`` as the tag. If such a table was
-    # written via a relative or symlinked spelling, the realpath compare
-    # rejects it even when the consumer passes the identical string used
-    # at write time — accept the pre-r12 exact-string match too. A
-    # legacy tag that equals neither spelling of the requested source is
-    # still refused.
-    if tag != want and tag != sf_dir.rstrip("/"):
-        raise ValueError(
-            f"{table_desc} at {path} was materialized from {tag!r}, "
-            f"not from the requested source {want!r} — {consequence}; "
-            f"re-materialize with {rebuild} (note: pre-r12 tables tagged "
-            f"via a non-canonical path spelling match only when consumed "
-            f"with that exact spelling)"
-        )
+    if tag == want:
+        return
+    if allow_legacy_tag and tag == sf_dir.rstrip("/"):
+        return
+    legacy_hint = (
+        " (the tag exactly matches the requested spelling pre-realpath — "
+        "if this is a pre-r12 table, opt in with allow_legacy_tag=True "
+        f"and re-materialize once with {rebuild} to upgrade the tag)"
+        if tag == sf_dir.rstrip("/")
+        else ""
+    )
+    raise ValueError(
+        f"{table_desc} at {path} was materialized from {tag!r}, "
+        f"not from the requested source {want!r} — {consequence}; "
+        f"re-materialize with {rebuild}{legacy_hint}"
+    )

@@ -1035,7 +1035,11 @@ def materialize_edge_table(spark: SparkSession, sf_dir: str, path: str) -> None:
 
 
 def copurchase_family_from_edges(
-    spark: SparkSession, sf_dir: str, edge_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    edge_path: str,
+    *,
+    allow_legacy_tag: bool = False,
 ) -> "CopurchaseFamily":
     """The five co-purchase family results computed FROM a materialized
     edge table (``materialize_edge_table``) instead of from lineitem —
@@ -1070,6 +1074,7 @@ def copurchase_family_from_edges(
             "source with edges from another"
         ),
         rebuild="materialize_edge_table(spark, sf_dir, path)",
+        allow_legacy_tag=allow_legacy_tag,
     )
     li = load_table(spark, sf_dir, "lineitem")
     # Snapshot-diff ownership (the OwnedFamily construction contract):

@@ -1969,7 +1969,11 @@ def materialize_shingle_table(
 
 
 def ngram_family_from_shingles(
-    spark: SparkSession, sf_dir: str, shingle_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    shingle_path: str,
+    *,
+    allow_legacy_tag: bool = False,
 ) -> dict[str, DataFrame]:
     """The four ngram-dedup family results computed FROM a materialized
     shingle table (``materialize_shingle_table``) instead of an
@@ -1983,7 +1987,9 @@ def ngram_family_from_shingles(
     been materialized from the SAME source; the provenance tag
     ``materialize_shingle_table`` embeds in the table's field metadata is
     validated here (operators/provenance.py) — a missing or mismatched
-    tag raises.
+    tag raises. ``allow_legacy_tag=True`` opts in to the weaker pre-r12
+    raw-string tag compare for tables materialized before r12 (ADVICE
+    r13: the fallback is caller-visible, never the default).
 
     The returned mapping is a :class:`NgramFamily` — a plain dict plus a
     ``release()`` method freeing the shared pair-checkpoint blocks once
@@ -2008,6 +2014,7 @@ def ngram_family_from_shingles(
             "from another"
         ),
         rebuild="materialize_shingle_table(spark, sf_dir, path)",
+        allow_legacy_tag=allow_legacy_tag,
     )
     # One AllPairs candidate+verify pass total: the pair relation is
     # localCheckpoint-ed once and feeds the returned pair plan AND both

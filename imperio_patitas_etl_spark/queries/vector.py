@@ -415,7 +415,11 @@ def materialize_cell_layout(spark: SparkSession, sf_dir: str, path: str) -> None
 
 
 def ann_ivf_from_layout(
-    spark: SparkSession, sf_dir: str, layout_path: str
+    spark: SparkSession,
+    sf_dir: str,
+    layout_path: str,
+    *,
+    allow_legacy_tag: bool = False,
 ) -> DataFrame:
     """IVF probe against a cell-partitioned layout: the probe cells land
     in the scan's PartitionFilters, so only nprobe×nq cell directories
@@ -440,6 +444,7 @@ def ann_ivf_from_layout(
             "is silently wrong"
         ),
         rebuild="materialize_cell_layout(spark, sf_dir, path)",
+        allow_legacy_tag=allow_legacy_tag,
     )
     v = _with_ivec(spark, sf_dir)
     cent_ids, cent_mat, cent_norms = _collect_centroids(v)

@@ -87,11 +87,15 @@ def test_tag_and_require_roundtrip_through_parquet(spark, tmp_path):
 
 
 def test_legacy_raw_tag_accepted_with_identical_spelling(spark, tmp_path):
-    """ADVICE r12 backward-compat edge: tables materialized BEFORE r12
-    stored the raw ``sf_dir.rstrip('/')`` as the tag. A pre-r12 table
-    written via a symlinked spelling must still be consumable with that
-    exact spelling (realpath of which differs from the stored tag), while
-    a genuinely different source keeps being refused."""
+    """ADVICE r12 backward-compat edge, narrowed by ADVICE r13: tables
+    materialized BEFORE r12 stored the raw ``sf_dir.rstrip('/')`` as the
+    tag. A pre-r12 table written via a symlinked spelling must still be
+    consumable with that exact spelling (realpath of which differs from
+    the stored tag) — but ONLY when the caller opts in with
+    ``allow_legacy_tag=True``; the default stays the strict realpath
+    compare (the unconditional fallback silently weakened the identity
+    check for ALL tables). A genuinely different source is refused
+    either way."""
     real = tmp_path / "sf"
     real.mkdir()
     link = tmp_path / "sf_alias"
@@ -111,14 +115,25 @@ def test_legacy_raw_tag_accepted_with_identical_spelling(spark, tmp_path):
         rebuild="tag_source(...)",
     )
     # identical spelling as used at write time: accepted via the legacy
-    # exact-string fallback (with or without the trailing slash)
-    require_source(back, "k", "test_source", legacy_spelling, **kwargs)
-    require_source(back, "k", "test_source", str(link), **kwargs)
-    # a different source is still refused, and the message carries the
-    # pre-r12 spelling note
-    with pytest.raises(ValueError, match="pre-r12"):
+    # exact-string fallback (with or without the trailing slash), but
+    # only under the explicit opt-in
+    require_source(
+        back, "k", "test_source", legacy_spelling,
+        allow_legacy_tag=True, **kwargs,
+    )
+    require_source(
+        back, "k", "test_source", str(link),
+        allow_legacy_tag=True, **kwargs,
+    )
+    # the strict DEFAULT refuses the same call, and the message points
+    # at the opt-in + one-time re-tag path
+    with pytest.raises(ValueError, match="allow_legacy_tag"):
+        require_source(back, "k", "test_source", legacy_spelling, **kwargs)
+    # a different source is refused even WITH the opt-in
+    with pytest.raises(ValueError, match="re-materialize"):
         require_source(
-            back, "k", "test_source", str(tmp_path / "elsewhere"), **kwargs
+            back, "k", "test_source", str(tmp_path / "elsewhere"),
+            allow_legacy_tag=True, **kwargs,
         )
 
 

@@ -73,9 +73,22 @@ def test_unknown_flag_is_an_error():
 def test_flag_value_colliding_with_positional_text_is_unambiguous(tmp_path):
     # r12 stripped flag values from positionals by string equality, so a
     # log file literally named "10" with `--batch 10` removed the wrong
-    # token. argparse binds by position; an empty --keys subset means
-    # zero work, so this returns immediately with remaining=0.
+    # token. argparse binds by position; a pre-satisfied --keys subset
+    # (the log already holds the key's ok line) means zero work, so this
+    # returns immediately with remaining=0 without launching a batch.
     log = tmp_path / "10"
-    res = run_cli(str(tmp_path), str(log), "--batch", "10", "--keys=")
+    log.write_text("ok   count_star: 1 rows match (0.1s)\n")
+    res = run_cli(str(tmp_path), str(log), "--batch", "10", "--keys=count_star")
     assert res.returncode == 0, res.stderr
     assert "remaining=0" in res.stdout
+
+
+def test_empty_keys_is_an_error_not_a_silent_noop(tmp_path):
+    # ADVICE r13: `--keys ''` / `--keys ,` filtered to an empty want
+    # list and exited 0 with remaining=0 having swept NOTHING — the
+    # same silent-scope family the argparse rewrite was meant to close.
+    for spelling in ("--keys=", "--keys=,"):
+        res = run_cli(str(tmp_path), str(tmp_path / "x.log"), spelling)
+        assert res.returncode != 0, spelling
+        assert "--keys given but empty" in res.stdout + res.stderr, spelling
+        assert "remaining=0" not in res.stdout, spelling

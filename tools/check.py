@@ -129,19 +129,42 @@ def _normalize(rows, colnames):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
-    # any other --flag is a typo, not a key name — without this it lands
-    # in `only`, matches no registry key, and the run prints "0/0
-    # checked queries pass" with exit 0 (the silent-scope failure family
-    # sweep_batch's argparse rewrite closed, ADVICE r12)
-    stray = [a for a in args if a.startswith("--")]
-    if stray:
-        sys.exit(f"unknown flag(s) {stray}; only --vanilla is supported")
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    # argparse (VERDICT r13 item 4, matching sweep_batch's r13 rebuild):
+    # a typo'd flag like --vanila errors during parsing instead of
+    # landing in the key-subset filter and passing "0/0" with exit 0
+    # (the silent-scope failure family, ADVICE r12); both `--flag` and
+    # `--flag=value` spellings parse uniformly.
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="oracle-compare registry queries vs DuckDB",
+        allow_abbrev=False,
+    )
+    parser.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    parser.add_argument("keys", nargs="*", help="registry-key subset")
+    parser.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="bare driver-shaped session instead of the tuned get_spark",
+    )
+    # parse_intermixed_args: plain parse_args cannot re-open the `keys`
+    # positional once `--vanilla` interrupts the positional run, so the
+    # historical `check.py <sf_dir> --vanilla k1 k2` spelling would error
+    ns = parser.parse_intermixed_args()
+    vanilla = ns.vanilla
+    sf_dir = ns.sf_dir
+    only = set(ns.keys)
 
     import __spark_entry__ as m
+
+    # Validate the key subset BEFORE building the Spark session and the
+    # DuckDB views (ADVICE r13): the registry import is enough, so a
+    # typo'd key errors in ~1 s instead of after a full JVM spin-up.
+    qs, oracles = m.queries(), m.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # a mistyped key would otherwise check nothing and exit 0
+        sys.exit(f"unknown registry keys: {' '.join(unknown)}")
 
     if vanilla:
         # the DRIVER's condition: a bare session with none of get_spark's
@@ -164,11 +187,6 @@ def main() -> int:
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = m.queries(), m.oracle_sql()
-    unknown = sorted(only - set(qs))
-    if unknown:
-        # a mistyped key would otherwise check nothing and exit 0
-        sys.exit(f"unknown registry keys: {' '.join(unknown)}")
     failures = []
     n_checked = 0
     for key, fn in sorted(qs.items()):

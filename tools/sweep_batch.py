@@ -72,6 +72,11 @@ def main() -> None:
     order = list(all_queries())
     if ns.keys is not None:
         want = [k for k in ns.keys.split(",") if k]
+        # ADVICE r13: `--keys ''` / `--keys ,` filtered to an empty want
+        # list and exited 0 with remaining=0 having swept NOTHING — the
+        # same silent-scope family the argparse rewrite closed.
+        if not want:
+            sys.exit("--keys given but empty: no keys to sweep")
         unknown = [k for k in want if k not in order]
         if unknown:
             sys.exit(f"unknown registry keys: {' '.join(unknown)}")
