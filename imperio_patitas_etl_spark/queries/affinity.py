@@ -1052,6 +1052,9 @@ def copurchase_family_from_edges(
     silently mix inconsistent inputs. The provenance tag
     ``materialize_edge_table`` embeds in the table's field metadata is
     validated here; a missing or mismatched tag raises (ADVICE r10).
+    ``allow_legacy_tag=True`` opts in to the weaker pre-r12 raw-string
+    tag compare for tables materialized before r12 (ADVICE r13: the
+    fallback is caller-visible, never the default).
 
     The returned mapping is a :class:`CopurchaseFamily` — a plain dict
     plus a ``release()`` method (VERDICT r12 item 4: uniform lifetime

@@ -430,7 +430,10 @@ def ann_ivf_from_layout(
     The quantizer is re-derived from ``sf_dir``, so the layout MUST have
     been materialized from the SAME source; the provenance tag
     ``materialize_cell_layout`` embeds in the layout's field metadata is
-    validated here — a missing or mismatched tag raises."""
+    validated here — a missing or mismatched tag raises.
+    ``allow_legacy_tag=True`` opts in to the weaker pre-r12 raw-string
+    tag compare for layouts materialized before r12 (ADVICE r13: the
+    fallback is caller-visible, never the default)."""
     layout = spark.read.parquet(layout_path)
     require_source(
         layout,
