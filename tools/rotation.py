@@ -425,8 +425,12 @@ def write_certification(path: str | None = None) -> str:
         "",
         "LAST_DRIVER_ROUND: dict[str, int | None] = {",
     ]
-    for key, rnd in table.items():
-        lines.append(f"    {key!r}: {rnd!r},")
+    # canonical (sorted-key) order: the registry iteration order depends
+    # on the CURRENT _R*_FRONT window, so emitting in that order made a
+    # re-run after the window rotation rewrite the file as a pure-reorder
+    # 96-line diff (every consumer compares the dict, never the order)
+    for key in sorted(table):
+        lines.append(f"    {key!r}: {table[key]!r},")
     lines.append("}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
