@@ -137,6 +137,37 @@ def test_legacy_raw_tag_accepted_with_identical_spelling(spark, tmp_path):
         )
 
 
+def test_consumer_threads_allow_legacy_tag(spark, sf_dir, tmp_path):
+    """ADVICE r13 at the consumer level: a pre-r12 shingle table (raw
+    non-realpath tag) is refused by ``ngram_family_from_shingles`` under
+    the strict default — with the opt-in named in the error — and
+    accepted when the caller passes ``allow_legacy_tag=True``; the
+    family then works end-to-end and releases cleanly."""
+    link = tmp_path / "sf_alias"
+    os.symlink(sf_dir, link)
+    legacy_spelling = str(link)
+    shingle_path = str(tmp_path / "shingles")
+    # simulate the pre-r12 writer: materialize normally, then re-write
+    # the table with the raw (non-realpath) spelling as its tag
+    text.materialize_shingle_table(spark, legacy_spelling, shingle_path)
+    from imperio_patitas_etl_spark.queries.text import _SHINGLE_SOURCE_KEY
+
+    legacy = (
+        spark.read.parquet(shingle_path)
+        .withMetadata("doc_id", {_SHINGLE_SOURCE_KEY: legacy_spelling})
+    )
+    legacy_path = str(tmp_path / "shingles_legacy")
+    legacy.write.parquet(legacy_path)
+
+    with pytest.raises(ValueError, match="allow_legacy_tag"):
+        text.ngram_family_from_shingles(spark, legacy_spelling, legacy_path)
+    fam = text.ngram_family_from_shingles(
+        spark, legacy_spelling, legacy_path, allow_legacy_tag=True
+    )
+    assert fam["ngram_jaccard_dedup"].count() > 0
+    fam.release()
+
+
 def test_symlinked_source_accepted_by_shingle_consumer(
     spark, sf_dir, tmp_path
 ):
