@@ -62,75 +62,83 @@ _MODULES = (
     core,
 )
 
-# Round-14 window (exactly the 50 keys the driver samples). r14 is a
-# maintenance round (VERDICT r13). No rule-(a) keys: `tools/rotation.py`
-# reports 0 changed keys since boundary 91532de84. The window is pure
-# rule-(b) refresh per --plan-next after folding CORRECTNESS_r13 into
-# certification.py: the 25 remaining r10-latest rows plus the 25 oldest
-# r11 rows. After this window lands, no key's latest driver row is
-# older than r11.
-_R14_FRONT = (
-    # -- rule (b) refresh: all remaining r10-latest rows (25)
-    "quality_gopher",
-    "quantile_sketch",
-    "range_join",
-    "salted_join_skew",
-    "semi_anti_membership",
-    "sessionize_events",
-    "sessionize_sharded",
-    "stream_tumbling_window",
-    "topk_per_group",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    "tpch_q7",
-    "tpch_q9",
-    "triangle_count",
-    "unigram_logprob",
-    "union_except",
-    "upsert_latest_wins",
-    "upsert_merge",
-    "window_lag_rank",
-    "window_range_rolling",
-    "window_running_sum",
-    # -- rule (b) fill: oldest r11 rows (25)
-    "ann_recall",
-    "attribution_last_touch",
-    "bloom_prefilter_join",
-    "bm25_topk",
-    "bpe_pair_merge",
-    "chunk_sequences",
-    "cm_sketch_topk",
-    "corpus_keep_list",
-    "cosine_dedup_recall",
-    "count_by_flag",
-    "count_star",
-    "dedup_minhash_lsh",
-    "domain_mixture",
-    "domain_mixture_sample",
-    "dq_anomaly_mad",
-    "dq_profile",
-    "dup_clusters",
-    "dup_clusters_star",
-    "group_quantiles_exact",
-    "grouping_sets",
-    "hll_distinct_sketch",
-    "hll_merge_audit",
-    "incremental_agg_merge",
-    "interval_concurrency",
-    "key_skew_audit",
+# Round-15 window (exactly the 50 keys the driver samples). r15 is a
+# maintenance round (VERDICT r14). No rule-(a) keys: `tools/rotation.py`
+# reports 0 changed keys since boundary 67fcb6daf. The window is pure
+# rule-(b) refresh per --plan-next after folding CORRECTNESS_r14 into
+# certification.py: the 25 remaining r11-latest rows plus the 25 oldest
+# r12 rows. After this window lands, no key's latest driver row is
+# older than r12.
+_R15_FRONT = (
+    # -- rule (b) refresh: all remaining r11-latest rows (25)
+    "lag_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "ngram_jaccard_dedup",
+    "pmi_collocations",
+    "pps_systematic_sample",
+    "resample_ffill",
+    "rolling_distinct_users",
+    "rolling_median_daily",
+    "scd2_history",
+    "scd2_time_weighted",
+    "session_path_trigrams",
+    "snapshot_diff",
+    "stream_interval_join",
+    "stream_rolling_distinct",
+    "table_checksum_blocks",
+    "tfidf_weights",
+    "tpch_q1",
+    "tpch_q11",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q2",
+    "tpch_q8",
+    "trimmed_mean",
+    "weighted_sample_aes",
+    # -- rule (b) fill: oldest r12 rows (25)
+    "ann_ivf",
+    "ann_ivf_trained",
+    "ann_lsh_bucketed",
+    "ann_topk_bruteforce",
+    "arith_derived",
+    "asof_join",
+    "casts",
+    "coalesce_defaults",
+    "cube_rollup",
+    "date_window",
+    "decontaminate_ngram",
+    "dedup_exact",
+    "dedup_first",
+    "dedup_simhash",
+    "delete_insert_antijoin",
+    "derived_cost_coalesce",
+    "distinct_agg",
+    "doc_fingerprint",
+    "dq_flags",
+    "embedding_cosine_dedup",
+    "embedding_dup_clusters",
+    "event_funnel",
+    "event_transition_matrix",
+    "exists_any_agg",
+    "groupby_avg",
 )
-assert len(_R14_FRONT) == 50, len(_R14_FRONT)
+assert len(_R15_FRONT) == 50, len(_R15_FRONT)
+
+# Single importable alias for the current window (VERDICT r14 item 3):
+# tests consume CURRENT_FRONT so a rotation renames exactly one
+# identifier in exactly one file. The round-numbered literal above stays
+# because the external driver's window-sampling contract is stated in
+# terms of `_R{N}_FRONT`; tests/test_rotation.py pins the convention
+# (the literal's round number must be certification-table max + 1).
+CURRENT_FRONT = _R15_FRONT
 
 
 def all_queries() -> dict[str, QueryFn]:
     merged: dict[str, QueryFn] = {}
     for mod in _MODULES:
         merged.update(mod.QUERIES)
-    out = {k: merged[k] for k in _R14_FRONT}
+    out = {k: merged[k] for k in CURRENT_FRONT}
     out.update({k: f for k, f in merged.items() if k not in out})
     return out
 

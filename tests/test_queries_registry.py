@@ -33,9 +33,9 @@ def test_sampled_window_prefix_invariants():
     be exactly that prefix, 50 unique keys, with oracles in the same
     order — a silent drift here would rotate a changed key OUT of the
     verification window."""
-    from imperio_patitas_etl_spark.queries import _R14_FRONT
+    from imperio_patitas_etl_spark.queries import CURRENT_FRONT
 
-    assert len(_R14_FRONT) == 50
-    assert len(set(_R14_FRONT)) == 50
-    assert list(QS)[:50] == list(_R14_FRONT)
+    assert len(CURRENT_FRONT) == 50
+    assert len(set(CURRENT_FRONT)) == 50
+    assert list(QS)[:50] == list(CURRENT_FRONT)
     assert list(OR) == list(QS)

@@ -27,15 +27,30 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import rotation  # noqa: E402
 
-from imperio_patitas_etl_spark.queries import _MODULES, _R14_FRONT, all_queries  # noqa: E402
+from imperio_patitas_etl_spark.queries import _MODULES, CURRENT_FRONT, all_queries  # noqa: E402
 from imperio_patitas_etl_spark.queries.certification import LAST_DRIVER_ROUND  # noqa: E402
 
 
 def test_window_is_exactly_the_sampled_prefix():
     keys = list(all_queries())
-    assert len(_R14_FRONT) == 50
-    assert keys[:50] == list(_R14_FRONT)
+    assert len(CURRENT_FRONT) == 50
+    assert keys[:50] == list(CURRENT_FRONT)
     assert len(set(keys)) == len(keys)
+
+
+def test_window_literal_follows_round_convention():
+    """The driver's window-sampling contract is stated in terms of a
+    round-numbered `_R{N}_FRONT` literal where N is one past the newest
+    round in the certification table. CURRENT_FRONT must alias exactly
+    that literal so the two can never drift (VERDICT r14 item 3)."""
+    import imperio_patitas_etl_spark.queries as q
+
+    newest = max(r for r in LAST_DRIVER_ROUND.values() if r is not None)
+    name = f"_R{newest + 1}_FRONT"
+    assert hasattr(q, name), (
+        f"certification table covers r{newest}; expected window literal {name}"
+    )
+    assert getattr(q, name) is CURRENT_FRONT
 
 
 def test_certification_table_in_sync():
@@ -65,7 +80,7 @@ def test_rule_a_changed_keys_inside_window():
     if boundary is None:
         pytest.skip("no round-boundary commit in history")
     changed = rotation.changed_keys_since(boundary)
-    window = set(_R14_FRONT)
+    window = set(CURRENT_FRONT)
     if len(changed) <= len(window):
         out_of_window = changed - window
         assert not out_of_window, (
