@@ -26,8 +26,9 @@ a different product kind.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def canonical_source(sf_dir: str) -> str:
@@ -96,3 +97,64 @@ def require_source(
         f"not from the requested source {want!r} — {consequence}; "
         f"re-materialize with {rebuild}{legacy_hint}"
     )
+
+
+def retag_table(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    *,
+    column: str,
+    key: str,
+    table_desc: str,
+    rebuild: Callable[[SparkSession, str, str], None],
+) -> bool:
+    """One-time exit path from ``allow_legacy_tag=True`` (VERDICT r14
+    item 4): upgrade a pre-r12 raw-string-tagged product table to the
+    strict realpath tag by re-writing it through its own ``rebuild``
+    materializer, then verify the strict compare passes. After this runs
+    once, the consumer drops the ``allow_legacy_tag=True`` opt-in.
+
+    Semantics mirror ``require_source`` exactly:
+
+    - already strictly tagged → nothing to do, returns ``False``
+      (idempotent — safe to run unconditionally in a migration sweep);
+    - legacy tag (exact ``sf_dir.rstrip('/')`` match, pre-realpath) →
+      rebuilds via ``rebuild(spark, sf_dir, path)`` (mode=overwrite in
+      all three materializers), re-reads, asserts the strict tag took,
+      returns ``True``;
+    - any OTHER tag (or no tag) → raises ``ValueError``: a genuine
+      source mismatch must never be laundered into a strict tag — that
+      would convert the refuse-on-mismatch contract's one documented
+      weakening into silent corruption.
+
+    Rebuilding from ``sf_dir`` (rather than copying the old rows under a
+    new tag) is deliberate: the materializers are the only writers the
+    contract recognizes, so the upgraded table is guaranteed
+    layout-faithful (e.g. the IVF layout's ``cell=`` partitioning) and
+    consistent with the current build logic. It re-pays one build — a
+    one-time migration cost, not a steady-state one."""
+    df = spark.read.parquet(path)
+    tag = dict(df.schema[column].metadata or {}).get(key)
+    want = canonical_source(sf_dir)
+    if tag == want:
+        return False
+    if tag != sf_dir.rstrip("/"):
+        raise ValueError(
+            f"refusing to re-tag {table_desc} at {path}: its tag {tag!r} "
+            f"matches neither the strict canonical form {want!r} nor the "
+            f"legacy raw spelling of {sf_dir!r} — this is a genuine source "
+            "mismatch, not a pre-r12 tag; re-materialize from the correct "
+            "source instead"
+        )
+    rebuild(spark, sf_dir, path)
+    new_tag = dict(
+        spark.read.parquet(path).schema[column].metadata or {}
+    ).get(key)
+    if new_tag != want:
+        raise RuntimeError(
+            f"re-tag of {table_desc} at {path} did not produce the strict "
+            f"tag: got {new_tag!r}, want {want!r} — the rebuild "
+            "materializer is not writing through tag_source"
+        )
+    return True

@@ -36,6 +36,7 @@ from imperio_patitas_etl_spark.operators.checkpoint import (
 from imperio_patitas_etl_spark.operators.graph import pagerank_fixed
 from imperio_patitas_etl_spark.operators.provenance import (
     require_source,
+    retag_table,
     tag_source,
 )
 from imperio_patitas_etl_spark.operators.reconcile import classify_snapshot_diff
@@ -1032,6 +1033,24 @@ def materialize_edge_table(spark: SparkSession, sf_dir: str, path: str) -> None:
     tag_source(
         _copurchase_pairs(li), "part_a", _EDGE_SOURCE_KEY, sf_dir
     ).write.mode("overwrite").parquet(path)
+
+
+def retag_edge_table(spark: SparkSession, sf_dir: str, path: str) -> bool:
+    """Upgrade a pre-r12 raw-string-tagged edge table at ``path`` to the
+    strict realpath tag by rebuilding it once from ``sf_dir`` — the
+    documented exit path from ``allow_legacy_tag=True`` on
+    ``copurchase_family_from_edges`` (operators/provenance.py:retag_table
+    for semantics: idempotent on strict tables, refuses genuine
+    mismatches). Returns True iff a rebuild happened."""
+    return retag_table(
+        spark,
+        sf_dir,
+        path,
+        column="part_a",
+        key=_EDGE_SOURCE_KEY,
+        table_desc="edge table",
+        rebuild=materialize_edge_table,
+    )
 
 
 def copurchase_family_from_edges(

@@ -35,6 +35,7 @@ from imperio_patitas_etl_spark.operators.checkpoint import (
 )
 from imperio_patitas_etl_spark.operators.provenance import (
     require_source,
+    retag_table,
     tag_source,
 )
 from imperio_patitas_etl_spark.sources.parquet import load_table
@@ -1966,6 +1967,24 @@ def materialize_shingle_table(
     tag_source(
         _shingled(spark, sf_dir), "doc_id", _SHINGLE_SOURCE_KEY, sf_dir
     ).write.mode("overwrite").parquet(path)
+
+
+def retag_shingle_table(spark: SparkSession, sf_dir: str, path: str) -> bool:
+    """Upgrade a pre-r12 raw-string-tagged shingle table at ``path`` to
+    the strict realpath tag by rebuilding it once from ``sf_dir`` — the
+    documented exit path from ``allow_legacy_tag=True`` on
+    ``ngram_family_from_shingles`` (operators/provenance.py:retag_table
+    for semantics: idempotent on strict tables, refuses genuine
+    mismatches). Returns True iff a rebuild happened."""
+    return retag_table(
+        spark,
+        sf_dir,
+        path,
+        column="doc_id",
+        key=_SHINGLE_SOURCE_KEY,
+        table_desc="shingle table",
+        rebuild=materialize_shingle_table,
+    )
 
 
 def ngram_family_from_shingles(

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from imperio_patitas_etl_spark.operators.provenance import (
     require_source,
+    retag_table,
     tag_source,
 )
 from imperio_patitas_etl_spark.sources.parquet import load_table
@@ -411,6 +412,25 @@ def materialize_cell_layout(spark: SparkSession, sf_dir: str, path: str) -> None
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
+    )
+
+
+def retag_cell_layout(spark: SparkSession, sf_dir: str, path: str) -> bool:
+    """Upgrade a pre-r12 raw-string-tagged cell layout at ``path`` to
+    the strict realpath tag by rebuilding it once from ``sf_dir`` — the
+    documented exit path from ``allow_legacy_tag=True`` on
+    ``ann_ivf_from_layout`` (operators/provenance.py:retag_table for
+    semantics: idempotent on strict tables, refuses genuine mismatches).
+    Rebuilding through ``materialize_cell_layout`` keeps the ``cell=``
+    partitioning intact. Returns True iff a rebuild happened."""
+    return retag_table(
+        spark,
+        sf_dir,
+        path,
+        column="vec_id",
+        key=_LAYOUT_SOURCE_KEY,
+        table_desc="cell layout",
+        rebuild=materialize_cell_layout,
     )
 
 

@@ -50,9 +50,6 @@ def test_flag_equals_value_spelling_is_rejected_for_store_true():
 
 
 def test_unknown_key_is_an_error_not_a_zero_key_pass():
-    import time
-
-    t0 = time.time()
     res = run_cli("/root/testdata/sf0.001", "no_such_registry_key")
     assert res.returncode != 0
     assert "unknown registry keys: no_such_registry_key" in (
@@ -60,6 +57,15 @@ def test_unknown_key_is_an_error_not_a_zero_key_pass():
     )
     assert "0/0" not in res.stdout
     # ADVICE r13: the guard runs on the registry import alone, BEFORE
-    # any SparkSession / DuckDB setup — a typo'd key must not cost a
-    # JVM spin-up (~20 s before; a few seconds of imports now)
-    assert time.time() - t0 < 15
+    # any SparkSession / DuckDB setup. Asserted STRUCTURALLY (ADVICE
+    # r14 — a wall-clock bound flakes on a loaded box): a JVM spin-up
+    # always announces itself on stderr/stdout; a run that never
+    # started Spark carries none of its startup markers.
+    combined = res.stdout + res.stderr
+    for marker in (
+        "Setting default log level",
+        "NativeCodeLoader",
+        "SparkContext",
+        "SparkSession",
+    ):
+        assert marker not in combined, f"Spark spun up before key validation: {marker!r}"

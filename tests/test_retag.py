@@ -1,0 +1,113 @@
+"""The one-time legacy re-tag helper (VERDICT r14 item 4).
+
+``allow_legacy_tag=True`` is the caller-visible opt-in for pre-r12
+raw-string-tagged product tables; ``retag_table`` is the documented exit
+path — rebuild once through the table's own materializer, verify the
+strict realpath tag, drop the flag. These tests pin the three behaviors
+the contract hinges on (generic core on a tiny synthetic table) plus the
+end-to-end shape VERDICT r14 asked for: a shingle table that NEEDS the
+flag, re-tagged, then consumed strictly without it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from imperio_patitas_etl_spark.operators.provenance import (
+    canonical_source,
+    retag_table,
+    tag_source,
+)
+from imperio_patitas_etl_spark.queries import text
+from imperio_patitas_etl_spark.queries.text import _SHINGLE_SOURCE_KEY
+
+
+def _write_tiny(spark, path: str, tag: str | None) -> None:
+    df = spark.range(3).toDF("k")
+    if tag is not None:
+        df = df.withMetadata("k", {"test_source": tag})
+    df.write.mode("overwrite").parquet(path)
+
+
+def _rebuild_tiny(spark, sf_dir: str, path: str) -> None:
+    tag_source(spark.range(3).toDF("k"), "k", "test_source", sf_dir).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_retag_core_three_branches(spark, tmp_path):
+    src = tmp_path / "sf"
+    src.mkdir()
+    link = tmp_path / "sf_alias"
+    os.symlink(src, link)
+    legacy_spelling = str(link)  # realpath differs from the raw string
+    out = str(tmp_path / "tbl")
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+
+    # 1) legacy raw tag -> rebuilt, strict tag verified, True
+    _write_tiny(spark, out, legacy_spelling)
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is True
+    got = dict(spark.read.parquet(out).schema["k"].metadata)["test_source"]
+    assert got == canonical_source(legacy_spelling)
+
+    # 2) already strict -> no-op, False (idempotent migration sweep)
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is False
+
+    # 3) genuine mismatch (wrong source, or no tag at all) -> refused,
+    #    never laundered into a strict tag
+    with pytest.raises(ValueError, match="genuine source mismatch"):
+        retag_table(spark, str(tmp_path / "elsewhere"), out, **kwargs)
+    _write_tiny(spark, out, None)
+    with pytest.raises(ValueError, match="genuine source mismatch"):
+        retag_table(spark, legacy_spelling, out, **kwargs)
+
+
+def test_shingle_retag_end_to_end(spark, sf_dir, tmp_path):
+    """flag-needed -> retag -> strict-pass (the VERDICT r14 done bar):
+    a pre-r12 shingle table is refused by the strict default, consumable
+    only under allow_legacy_tag=True; after retag_shingle_table the
+    consumer works WITHOUT the flag."""
+    link = tmp_path / "sf_alias"
+    os.symlink(sf_dir, link)
+    legacy_spelling = str(link)
+    shingle_path = str(tmp_path / "shingles")
+    # simulate the pre-r12 writer: materialize, then re-write the table
+    # with the raw (non-realpath) spelling as its tag
+    text.materialize_shingle_table(spark, legacy_spelling, shingle_path)
+    legacy = (
+        spark.read.parquet(shingle_path)
+        .withMetadata("doc_id", {_SHINGLE_SOURCE_KEY: legacy_spelling})
+    )
+    legacy_path = str(tmp_path / "shingles_legacy")
+    legacy.write.parquet(legacy_path)
+
+    # needs the flag before the retag
+    with pytest.raises(ValueError, match="allow_legacy_tag"):
+        text.ngram_family_from_shingles(spark, legacy_spelling, legacy_path)
+
+    assert text.retag_shingle_table(spark, legacy_spelling, legacy_path) is True
+    # second run is a no-op: the migration is one-time
+    assert text.retag_shingle_table(spark, legacy_spelling, legacy_path) is False
+
+    # strict default passes now — the flag is dropped
+    fam = text.ngram_family_from_shingles(spark, legacy_spelling, legacy_path)
+    assert fam["ngram_jaccard_dedup"].count() > 0
+    fam.release()
+
+
+def test_retag_cli_refuses_missing_table(tmp_path):
+    """The tools/retag.py entry validates args before any Spark spin-up."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import retag as retag_cli
+
+    with pytest.raises(SystemExit):
+        retag_cli.main(["shingles", "/tmp/nowhere", str(tmp_path / "missing")])

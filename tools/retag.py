@@ -1,0 +1,74 @@
+"""One-time legacy-tag upgrade for materialized product tables.
+
+Tables materialized BEFORE r12 carry the raw ``sf_dir.rstrip('/')`` as
+their provenance tag; the strict realpath compare (the default since
+r14, ADVICE r13) refuses them unless the consumer opts in with
+``allow_legacy_tag=True``. This command is the documented exit path
+from that flag (VERDICT r14 item 4): validate the legacy tag, rebuild
+the table once through its own materializer, verify the strict tag —
+then the consumer drops the flag. Idempotent: an already-strict table
+is a no-op (exit 0, "already strict"); a genuinely mismatched table is
+refused (exit 2) — re-tagging must never launder a real source
+mismatch.
+
+Usage:
+
+    python tools/retag.py {shingles|edges|layout} <sf_dir> <path>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: kind -> dotted module + retag function name (import deferred so
+#: --help and arg errors never pay the pyspark import)
+KINDS = {
+    "shingles": ("imperio_patitas_etl_spark.queries.text", "retag_shingle_table"),
+    "edges": ("imperio_patitas_etl_spark.queries.affinity", "retag_edge_table"),
+    "layout": ("imperio_patitas_etl_spark.queries.vector", "retag_cell_layout"),
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="retag.py",
+        description=(
+            "Upgrade a pre-r12 raw-string-tagged product table to the "
+            "strict realpath provenance tag by rebuilding it once from "
+            "sf_dir."
+        ),
+    )
+    ap.add_argument("kind", choices=sorted(KINDS), help="which product table")
+    ap.add_argument("sf_dir", help="the source directory the table was built from")
+    ap.add_argument("path", help="the materialized table's parquet path")
+    args = ap.parse_args(argv)
+
+    if not os.path.isdir(args.path):
+        ap.error(f"no table at {args.path}")
+
+    import importlib
+
+    mod_name, fn_name = KINDS[args.kind]
+    retag = getattr(importlib.import_module(mod_name), fn_name)
+
+    from imperio_patitas_etl_spark.session import get_spark
+
+    spark = get_spark("retag")
+    try:
+        rebuilt = retag(spark, args.sf_dir, args.path)
+    except ValueError as e:
+        print(f"refused: {e}", file=sys.stderr)
+        return 2
+    print(
+        f"{args.kind} at {args.path}: "
+        + ("re-tagged (strict tag verified)" if rebuilt else "already strict, no-op")
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
