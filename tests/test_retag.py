@@ -102,6 +102,67 @@ def test_shingle_retag_end_to_end(spark, sf_dir, tmp_path):
     fam.release()
 
 
+def test_edge_retag_end_to_end(spark, sf_dir, tmp_path):
+    """Same flag-needed -> retag -> strict-pass cycle for the
+    co-purchase edge table and its consumer."""
+    from imperio_patitas_etl_spark.queries import affinity
+    from imperio_patitas_etl_spark.queries.affinity import _EDGE_SOURCE_KEY
+
+    link = tmp_path / "sf_alias"
+    os.symlink(sf_dir, link)
+    legacy_spelling = str(link)
+    edge_path = str(tmp_path / "edges")
+    affinity.materialize_edge_table(spark, legacy_spelling, edge_path)
+    legacy = (
+        spark.read.parquet(edge_path)
+        .withMetadata("part_a", {_EDGE_SOURCE_KEY: legacy_spelling})
+    )
+    legacy_path = str(tmp_path / "edges_legacy")
+    legacy.write.parquet(legacy_path)
+
+    with pytest.raises(ValueError, match="allow_legacy_tag"):
+        affinity.copurchase_family_from_edges(
+            spark, legacy_spelling, legacy_path
+        )
+    assert affinity.retag_edge_table(spark, legacy_spelling, legacy_path) is True
+    graph = affinity.copurchase_family_from_edges(
+        spark, legacy_spelling, legacy_path
+    )
+    assert graph["triangle_count"].count() > 0
+    graph.release()
+
+
+def test_layout_retag_end_to_end(spark, sf_dir, tmp_path):
+    """Same cycle for the IVF cell layout; the rebuild goes through
+    materialize_cell_layout, so the upgraded table keeps its cell=
+    partition layout (asserted via the partition column surviving)."""
+    from imperio_patitas_etl_spark.queries import vector
+    from imperio_patitas_etl_spark.queries.vector import _LAYOUT_SOURCE_KEY
+
+    link = tmp_path / "sf_alias"
+    os.symlink(sf_dir, link)
+    legacy_spelling = str(link)
+    layout_path = str(tmp_path / "layout")
+    vector.materialize_cell_layout(spark, legacy_spelling, layout_path)
+    legacy = (
+        spark.read.parquet(layout_path)
+        .withMetadata("vec_id", {_LAYOUT_SOURCE_KEY: legacy_spelling})
+    )
+    legacy_path = str(tmp_path / "layout_legacy")
+    # the legacy re-write keeps the partitioning a pre-r12 writer used
+    legacy.write.partitionBy("cell").parquet(legacy_path)
+
+    with pytest.raises(ValueError, match="allow_legacy_tag"):
+        vector.ann_ivf_from_layout(spark, legacy_spelling, legacy_path)
+    assert vector.retag_cell_layout(spark, legacy_spelling, legacy_path) is True
+    upgraded = vector.ann_ivf_from_layout(spark, legacy_spelling, legacy_path)
+    assert upgraded.limit(1).collect() is not None
+    # cell= partitioning survived the rebuild
+    assert "cell" in {
+        c for c in spark.read.parquet(legacy_path).columns
+    }
+
+
 def test_retag_cli_refuses_missing_table(tmp_path):
     """The tools/retag.py entry validates args before any Spark spin-up."""
     import sys
