@@ -172,3 +172,18 @@ def test_retag_cli_refuses_missing_table(tmp_path):
 
     with pytest.raises(SystemExit):
         retag_cli.main(["shingles", "/tmp/nowhere", str(tmp_path / "missing")])
+
+
+def test_retag_cli_dispatch_table_resolves():
+    """Every KINDS entry must name a real importable callable — a typo'd
+    module or function name would otherwise surface only at migration
+    time, after the operator has already typed the command."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import retag as retag_cli
+
+    for kind, (mod_name, fn_name) in retag_cli.KINDS.items():
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        assert callable(fn), (kind, mod_name, fn_name)
