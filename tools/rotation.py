@@ -481,7 +481,25 @@ def plan_next_window(size: int = 50) -> list[str]:
 
 
 def main() -> None:
-    if "--plan-next" in sys.argv:
+    # argparse (same family as check.py/sweep_batch.py since r13/r14):
+    # before this, an unknown flag — including --help — fell through to
+    # the default branch and silently ran a full certification rewrite.
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="rotation.py",
+        description=(
+            "Regenerate queries/certification.py from the CORRECTNESS_r* "
+            "artifacts (default), or print the planned next 50-key window."
+        ),
+    )
+    ap.add_argument(
+        "--plan-next",
+        action="store_true",
+        help="print the rule-(a)+(b) window plan for the next round and exit",
+    )
+    args = ap.parse_args()
+    if args.plan_next:
         for k in plan_next_window():
             print(k)
         return
