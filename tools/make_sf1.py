@@ -22,6 +22,7 @@ Usage:  python tools/make_sf1.py [out_dir] [copies]
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -70,9 +71,41 @@ def _stride(df, col: str) -> int:
     return s
 
 
-def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-    copies = int(sys.argv[2]) if len(sys.argv) > 2 else COPIES
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        prog="make_sf1.py",
+        allow_abbrev=False,
+        description=(
+            "Replicate the sf0.1 tables COPIES x with disjoint key "
+            "ranges into out_dir (outside the read-only testdata tree)."
+        ),
+    )
+    ap.add_argument(
+        "out_dir",
+        nargs="?",
+        default="/tmp/sf1",
+        help="destination directory (default: %(default)s)",
+    )
+    ap.add_argument(
+        "copies",
+        nargs="?",
+        type=int,
+        default=COPIES,
+        help="replication factor (default: %(default)s)",
+    )
+    args = ap.parse_args(argv)
+    if args.copies < 1:
+        ap.error(f"copies must be >= 1, got {args.copies}")
+    # the testdata tree is read-only by contract; refuse to point the
+    # overwrite-mode writes at it (the docstring promises "outside the
+    # read-only testdata tree" — enforce it)
+    if os.path.realpath(args.out_dir).startswith(
+        os.path.realpath("/root/testdata") + os.sep
+    ) or os.path.realpath(args.out_dir) == os.path.realpath("/root/testdata"):
+        ap.error(f"out_dir must be outside /root/testdata, got {args.out_dir}")
+    if not os.path.isdir(SRC):
+        ap.error(f"source sf0.1 tables missing at {SRC}")
+    out_dir, copies = args.out_dir, args.copies
 
     from pyspark.sql import functions as F
 

@@ -36,6 +36,7 @@ KINDS = {
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="retag.py",
+        allow_abbrev=False,
         description=(
             "Upgrade a pre-r12 raw-string-tagged product table to the "
             "strict realpath provenance tag by rebuilding it once from "

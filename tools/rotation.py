@@ -487,6 +487,7 @@ def main() -> None:
     import argparse
 
     ap = argparse.ArgumentParser(
+        allow_abbrev=False,
         prog="rotation.py",
         description=(
             "Regenerate queries/certification.py from the CORRECTNESS_r* "

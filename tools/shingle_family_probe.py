@@ -25,6 +25,7 @@ r11 measurement at sf0.1 (quiet box): registry 15.0 s family total vs
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -42,9 +43,34 @@ KEYS = [
 ]
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        prog="shingle_family_probe.py",
+        allow_abbrev=False,
+        description=(
+            "Time the ngram-dedup family from-scratch vs over the "
+            "materialized shingle product table (the shipped API)."
+        ),
+    )
+    ap.add_argument(
+        "sf_dir",
+        nargs="?",
+        default="/root/testdata/sf0.1",
+        help="parquet tables directory (default: %(default)s)",
+    )
+    ap.add_argument(
+        "reps",
+        nargs="?",
+        type=int,
+        default=3,
+        help="warm repetitions per key, min taken (default: %(default)s)",
+    )
+    args = ap.parse_args(argv)
+    if args.reps < 1:
+        ap.error(f"reps must be >= 1, got {args.reps}")
+    if not os.path.isdir(args.sf_dir):
+        ap.error(f"no such sf_dir: {args.sf_dir}")
+    sf_dir, reps = args.sf_dir, args.reps
 
     from imperio_patitas_etl_spark.session import get_spark
     from imperio_patitas_etl_spark.queries import text
