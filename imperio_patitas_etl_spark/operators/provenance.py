@@ -135,6 +135,15 @@ def retag_table(
     consistent with the current build logic. It re-pays one build — a
     one-time migration cost, not a steady-state one."""
     df = spark.read.parquet(path)
+    if column not in df.columns:
+        # a wrong-kind invocation (e.g. the edges retag pointed at a
+        # shingle table) must refuse like any other mismatch, not
+        # surface as a raw KeyError from the schema lookup
+        raise ValueError(
+            f"refusing to re-tag {table_desc} at {path}: expected tag "
+            f"column {column!r} is absent from the table's schema — this "
+            f"is not a {table_desc} (wrong table kind?)"
+        )
     tag = dict(df.schema[column].metadata or {}).get(key)
     want = canonical_source(sf_dir)
     if tag == want:

@@ -60,12 +60,8 @@ def test_unknown_key_is_an_error_not_a_zero_key_pass():
     # any SparkSession / DuckDB setup. Asserted STRUCTURALLY (ADVICE
     # r14 — a wall-clock bound flakes on a loaded box): a JVM spin-up
     # always announces itself on stderr/stdout; a run that never
-    # started Spark carries none of its startup markers.
-    combined = res.stdout + res.stderr
-    for marker in (
-        "Setting default log level",
-        "NativeCodeLoader",
-        "SparkContext",
-        "SparkSession",
-    ):
-        assert marker not in combined, f"Spark spun up before key validation: {marker!r}"
+    # started Spark carries none of its startup markers (one shared
+    # marker list in conftest — test_tool_clis uses the same guard).
+    from conftest import assert_no_spark_startup
+
+    assert_no_spark_startup(res.stdout, res.stderr)

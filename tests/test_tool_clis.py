@@ -28,14 +28,9 @@ import sys
 
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from conftest import assert_no_spark_startup
 
-SPARK_MARKERS = (
-    "Setting default log level",
-    "NativeCodeLoader",
-    "SparkContext",
-    "SparkSession",
-)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_cli(tool: str, *argv: str) -> subprocess.CompletedProcess:
@@ -49,9 +44,7 @@ def run_cli(tool: str, *argv: str) -> subprocess.CompletedProcess:
 
 
 def assert_no_spark(res: subprocess.CompletedProcess) -> None:
-    combined = res.stdout + res.stderr
-    for marker in SPARK_MARKERS:
-        assert marker not in combined, f"Spark spun up during arg handling: {marker!r}"
+    assert_no_spark_startup(res.stdout, res.stderr)
 
 
 ALL_TOOLS = [

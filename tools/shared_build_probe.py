@@ -24,7 +24,6 @@ Usage: python tools/shared_build_probe.py [sf_dir] [reps]
 
 from __future__ import annotations
 
-import argparse
 import json
 import os
 import sys
@@ -43,33 +42,14 @@ KEYS = [
 
 
 def main(argv: list[str] | None = None) -> None:
-    ap = argparse.ArgumentParser(
-        prog="shared_build_probe.py",
-        allow_abbrev=False,
-        description=(
-            "Time the co-purchase graph family from-scratch vs over a "
-            "shared checkpointed edge relation."
-        ),
+    from _probe_cli import parse_probe_args
+
+    sf_dir, reps = parse_probe_args(
+        "shared_build_probe.py",
+        "Time the co-purchase graph family from-scratch vs over a "
+        "shared checkpointed edge relation.",
+        argv,
     )
-    ap.add_argument(
-        "sf_dir",
-        nargs="?",
-        default="/root/testdata/sf0.1",
-        help="parquet tables directory (default: %(default)s)",
-    )
-    ap.add_argument(
-        "reps",
-        nargs="?",
-        type=int,
-        default=3,
-        help="warm repetitions per key, min taken (default: %(default)s)",
-    )
-    args = ap.parse_args(argv)
-    if args.reps < 1:
-        ap.error(f"reps must be >= 1, got {args.reps}")
-    if not os.path.isdir(args.sf_dir):
-        ap.error(f"no such sf_dir: {args.sf_dir}")
-    sf_dir, reps = args.sf_dir, args.reps
 
     from imperio_patitas_etl_spark.session import get_spark
     from imperio_patitas_etl_spark.sources.parquet import load_table
