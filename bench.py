@@ -152,8 +152,11 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    # Modes (VERDICT r6 items 5/7):
+def main(argv: list[str] | None = None) -> None:
+    # Modes (VERDICT r6 items 5/7), parsed via argparse (r15 — the last
+    # hand-rolled sys.argv slicer; a typo'd --al used to be silently
+    # dropped, turning an intended full-registry sf1 sweep into a
+    # headline-only one):
     #   (default)     sweep EVERY registry key at $SPARK_GRAFT_SF_DIR —
     #                 HEADLINE order first, the unbenched tier after — so
     #                 regressions in the trivial-tier keys are visible in
@@ -166,10 +169,44 @@ def main() -> None:
     #                 (tools/make_sf1.py) if absent, run HEADLINE there;
     #                 add --all to sweep the FULL registry at sf1 (the
     #                 per-key 10x-data ratio record, VERDICT r7 item 6).
-    args = [a for a in sys.argv[1:]]
-    sf1_mode = "--sf1" in args
-    run_all = "--headline" not in args and (not sf1_mode or "--all" in args)
-    pos = [a for a in args if not a.startswith("--")]
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="bench.py",
+        allow_abbrev=False,
+        description=(
+            "Benchmark the registry queries; prints ONE JSON result line "
+            "on stdout, full per-key map to BENCH_out*.json."
+        ),
+    )
+    ap.add_argument(
+        "sf1_dir",
+        nargs="?",
+        default=None,
+        help="sf1 tree directory (only with --sf1; default /tmp/sf1)",
+    )
+    ap.add_argument(
+        "--sf1",
+        action="store_true",
+        help="run at the replicated sf1 tree (built via tools/make_sf1.py "
+        "if absent); headline keys unless --all",
+    )
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep the full registry (the default outside --sf1)",
+    )
+    mode.add_argument(
+        "--headline",
+        action="store_true",
+        help="HEADLINE keys only",
+    )
+    opts = ap.parse_args(argv)
+    if opts.sf1_dir is not None and not opts.sf1:
+        ap.error("a directory argument requires --sf1")
+    sf1_mode = opts.sf1
+    run_all = not opts.headline and (not sf1_mode or opts.all)
 
     # Lossless driver capture (VERDICT r8 item 4): BENCH_r07/r08.json both
     # lost the result header to stdout-tail truncation because JVM startup
@@ -184,7 +221,7 @@ def main() -> None:
     sys.stdout = sys.stderr
 
     if sf1_mode:
-        sf_dir = pos[0] if pos else "/tmp/sf1"
+        sf_dir = opts.sf1_dir if opts.sf1_dir is not None else "/tmp/sf1"
         if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
             import subprocess
 

@@ -4,14 +4,66 @@ capture, shrinking the per-key map rather than raising — a raised guard
 (the old bare assert) ate the round's stdout record after the durable
 file was already written, and vanished entirely under ``python -O``.
 
-No Spark needed: ``fit_stdout_line`` is pure.
+Plus the r15 CLI guards: bench.py was the last hand-rolled sys.argv
+parser — a typo'd ``--al`` was silently dropped, turning an intended
+full-registry sf1 sweep into a headline-only one. Arg-error paths exit
+before any pyspark import (asserted structurally, no Spark markers).
+
+No Spark needed: ``fit_stdout_line`` is pure; the CLI cases exit during
+argument handling.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 
 from bench import fit_stdout_line
+from conftest import assert_no_spark_startup
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench_cli(*argv: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *argv],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=240,
+    )
+
+
+def test_cli_help_is_fast_path():
+    res = run_bench_cli("--help")
+    assert res.returncode == 0
+    assert "usage:" in res.stdout
+    assert_no_spark_startup(res.stdout, res.stderr)
+
+
+def test_cli_typoed_flag_is_an_error():
+    # the pre-r15 slicer silently dropped --al: an intended
+    # `--sf1 --all` full sweep ran headline-only with exit 0
+    res = run_bench_cli("--sf1", "--al")
+    assert res.returncode != 0
+    assert "unrecognized arguments" in res.stderr
+    assert_no_spark_startup(res.stdout, res.stderr)
+
+
+def test_cli_dir_without_sf1_is_an_error():
+    res = run_bench_cli("/tmp/somewhere")
+    assert res.returncode != 0
+    assert "requires --sf1" in res.stderr
+    assert_no_spark_startup(res.stdout, res.stderr)
+
+
+def test_cli_all_and_headline_are_mutually_exclusive():
+    res = run_bench_cli("--all", "--headline")
+    assert res.returncode != 0
+    assert "not allowed with" in res.stderr
+    assert_no_spark_startup(res.stdout, res.stderr)
 
 
 def _summary(n_keys: int, key_len: int = 20) -> tuple[dict, list]:
