@@ -196,3 +196,102 @@ def test_prefix_sum_equals_window_cumsum_property(spark, data, nparts):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine money-rounding parity (r15): the driver's oracle gate
+# hash-compares floats BIT-EXACTLY, so round2_exact / sum2_exact /
+# avg2_exact and their sql_* DuckDB twins must agree on EVERY input —
+# including the half-cent ties double round() gets wrong. Pin all three
+# against DuckDB AND a Decimal half-up reference over random 4-decimal
+# values. Domain is non-negative by contract (money amounts/prices —
+# the integer `%`-based half-up form is floor-like only for x >= 0,
+# and every call site feeds non-negative products).
+
+_cents4 = st.lists(
+    st.integers(min_value=0, max_value=10**8),  # exact 4-decimal units
+    min_size=1,
+    max_size=20,
+)
+
+
+def _duck_scalar(sql_expr: str, vals4: list[int]):
+    import duckdb
+    import pandas as pd
+
+    rel = pd.DataFrame(
+        {"i": range(len(vals4)), "v": [x / 10000.0 for x in vals4]}
+    )
+    con = duckdb.connect()
+    con.register("t", rel)
+    out = con.execute(f"SELECT {sql_expr} AS r FROM t").fetchone()[0]
+    con.close()
+    return out
+
+
+@_settings
+@given(vals4=_cents4)
+def test_round2_exact_matches_duckdb_and_decimal(spark, vals4):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from imperio_patitas_etl_spark.functions import cleaning as c
+
+    df = spark.createDataFrame([(x / 10000.0,) for x in vals4], "v double")
+    got = [r[0] for r in df.select(c.round2_exact(F.col("v"))).collect()]
+    # Decimal reference: units of 1e-4 -> half-up to cents -> dollars
+    want = [
+        float(
+            (Decimal(x) / 100).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+            / 100
+        )
+        for x in vals4
+    ]
+    assert got == want
+    duck = _duck_scalar(
+        "list(" + c.sql_round2_exact("v") + " ORDER BY i)", vals4
+    )
+    assert [float(d) for d in duck] == want
+
+
+@_settings
+@given(vals4=_cents4)
+def test_sum2_exact_matches_duckdb_and_decimal(spark, vals4):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from imperio_patitas_etl_spark.functions import cleaning as c
+
+    df = spark.createDataFrame([(x / 10000.0,) for x in vals4], "v double")
+    got = df.agg(c.sum2_exact(F.col("v")).alias("s")).collect()[0][0]
+    want = float(
+        (Decimal(sum(vals4)) / 100).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+        / 100
+    )
+    assert got == want
+    duck = _duck_scalar(c.sql_sum2_exact("v"), vals4)
+    assert float(duck) == want
+
+
+@_settings
+@given(cents=st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=20))
+def test_avg2_exact_matches_duckdb_and_decimal(spark, cents):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from imperio_patitas_etl_spark.functions import cleaning as c
+
+    df = spark.createDataFrame([(x / 100.0,) for x in cents], "v double")
+    got = df.agg(
+        c.avg2_exact(F.sum("v"), F.count("v")).alias("a")
+    ).collect()[0][0]
+    want = float(
+        (Decimal(sum(cents)) / len(cents)).quantize(
+            Decimal("1"), rounding=ROUND_HALF_UP
+        )
+        / 100
+    )
+    assert got == want
+    duck = _duck_scalar(
+        c.sql_avg2_exact("SUM(v)", "COUNT(v)"), [x * 100 for x in cents]
+    )
+    assert float(duck) == want
