@@ -65,3 +65,25 @@ def test_unknown_key_is_an_error_not_a_zero_key_pass():
     from conftest import assert_no_spark_startup
 
     assert_no_spark_startup(res.stdout, res.stderr)
+
+
+def test_forgotten_sf_dir_binds_to_key_and_is_diagnosed():
+    # `check.py count_star` (no sf_dir) binds the key to the sf_dir
+    # positional; the pre-Spark isdir guard turns that into a clear
+    # argument error instead of a JVM spin-up + per-key read failure
+    res = run_cli("count_star")
+    assert res.returncode != 0
+    assert "no such sf_dir" in res.stderr
+    assert "forget the sf_dir" in res.stderr
+    from conftest import assert_no_spark_startup
+
+    assert_no_spark_startup(res.stdout, res.stderr)
+
+
+def test_nonexistent_sf_dir_is_a_fast_argument_error():
+    res = run_cli("/root/testdata/sf_nope", "count_star")
+    assert res.returncode != 0
+    assert "no such sf_dir" in res.stderr
+    from conftest import assert_no_spark_startup
+
+    assert_no_spark_startup(res.stdout, res.stderr)

@@ -154,6 +154,14 @@ def main() -> int:
     vanilla = ns.vanilla
     sf_dir = ns.sf_dir
     only = set(ns.keys)
+    # pre-Spark, like the key validation below — and the clear diagnosis
+    # for `check.py count_star` (a forgotten sf_dir binds the first key
+    # to the sf_dir positional)
+    if not os.path.isdir(sf_dir):
+        parser.error(
+            f"no such sf_dir: {sf_dir!r} (did you forget the sf_dir "
+            "argument before the keys?)"
+        )
 
     import __spark_entry__ as m
 
