@@ -92,3 +92,31 @@ def test_empty_keys_is_an_error_not_a_silent_noop(tmp_path):
         assert res.returncode != 0, spelling
         assert "--keys given but empty" in res.stdout + res.stderr, spelling
         assert "remaining=0" not in res.stdout, spelling
+
+
+def test_bad_sf_dir_exits_before_any_batch(tmp_path):
+    # r15: without the guard, the resume loop re-spawned check.py (fast-
+    # failing on the bad dir, stderr DEVNULL'd) against the same chunk
+    # until the whole budget burned, then printed remaining=<all>
+    res = run_cli("/no/such/sf_dir", str(tmp_path / "sweep.log"))
+    assert res.returncode != 0
+    assert "no such sf_dir" in res.stdout + res.stderr
+    assert not (tmp_path / "sweep.log").exists()
+
+
+def test_attempted_keys_counts_ok_and_fail_markers(tmp_path):
+    # the no-progress abort keys off ANY verdict marker: a FAIL keeps the
+    # retry-until-budget resume semantics; a zero-marker batch aborts
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    from sweep_batch import attempted_keys, done_keys
+
+    log = tmp_path / "sweep.log"
+    log.write_text(
+        "ok   count_star: 5 rows match (0.1s)\r\n"
+        "FAIL groupby_avg: spark error: boom\n"
+        "some unrelated line\n"
+    )
+    assert attempted_keys(str(log)) == {"count_star", "groupby_avg"}
+    assert done_keys(str(log)) == {"count_star"}

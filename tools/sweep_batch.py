@@ -45,6 +45,22 @@ def done_keys(log_path: str) -> set[str]:
     return out
 
 
+def attempted_keys(path: str) -> set[str]:
+    """Keys with ANY verdict in the log — ok or FAIL. Distinguishes 'the
+    oracle check ran and failed' (retryable, keeps the resume semantics)
+    from 'check.py died before checking anything' (a zero-marker batch,
+    which must abort rather than re-spin the same chunk all budget)."""
+    if not os.path.exists(path):
+        return set()
+    out: set[str] = set()
+    with open(path, errors="replace") as f:
+        for line in re.split(r"[\r\n]+", f.read()):
+            m = re.match(r"(?:ok|FAIL)\s+(\S+):", line.strip())
+            if m:
+                out.add(m.group(1))
+    return out
+
+
 def main() -> None:
     # argparse so every flag spelling works (`--keys a,b` AND `--keys=a,b`),
     # missing values error cleanly, and a stray bare key positional — the
@@ -66,7 +82,6 @@ def main() -> None:
     ns = parser.parse_args()
     sf_dir, log_path = ns.sf_dir, ns.log_file
     vanilla, budget, batch = ns.vanilla, ns.budget, ns.batch
-
     from imperio_patitas_etl_spark.queries import all_queries
 
     order = list(all_queries())
@@ -82,6 +97,13 @@ def main() -> None:
             sys.exit(f"unknown registry keys: {' '.join(unknown)}")
         keep = set(want)
         order = [k for k in order if k in keep]
+    if not os.path.isdir(sf_dir):
+        # pre-Spark, mirroring check.py's guard (after key validation so
+        # a bad key is diagnosed first): without this the resume loop
+        # below re-spawns check.py (which fails fast on the bad dir, to
+        # a DEVNULL'd stderr) against the same chunk until the whole
+        # budget burns, then reports remaining=<all> with no clue
+        sys.exit(f"no such sf_dir: {sf_dir}")
     t0 = time.monotonic()
     while True:
         remaining = [k for k in order if k not in done_keys(log_path)]
@@ -92,8 +114,21 @@ def main() -> None:
         if vanilla:
             cmd.append("--vanilla")
         cmd += chunk
+        before = attempted_keys(log_path)
         with open(log_path, "a") as log:
             subprocess.run(cmd, stdout=log, stderr=subprocess.DEVNULL, cwd=REPO)
+        if not (attempted_keys(log_path) - before) & set(chunk):
+            # the batch neither passed nor FAILED any of its keys:
+            # check.py died before checking (import error, OOM, env).
+            # A genuine oracle FAIL leaves a marker and keeps the
+            # existing retry-until-budget semantics; a zero-marker batch
+            # would loop the same chunk for the whole budget.
+            sys.exit(
+                "batch made no progress on "
+                f"{' '.join(chunk[:3])}{'...' if len(chunk) > 3 else ''}; "
+                f"check.py is dying before checking — run it directly: "
+                f"python tools/check.py {sf_dir} {chunk[0]}"
+            )
     remaining = [k for k in order if k not in done_keys(log_path)]
     print(f"remaining={len(remaining)}")
     if remaining:
