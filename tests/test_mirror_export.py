@@ -3,8 +3,6 @@ full sync; export errors must never fail the sync."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from imperio_patitas_etl_spark.plans.pipeline import EtlPipeline
 from imperio_patitas_etl_spark.sinks.warehouse import ParquetWarehouse
 

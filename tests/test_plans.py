@@ -8,8 +8,6 @@ exchanges)."""
 
 from __future__ import annotations
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from imperio_patitas_etl_spark.operators.joins import salted_join

@@ -4,7 +4,6 @@ micro-batches and the final per-user totals must equal the batch answer."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from imperio_patitas_etl_spark.sources.parquet import load_table
 from imperio_patitas_etl_spark.streaming.stateful import running_user_totals

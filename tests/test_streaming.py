@@ -4,10 +4,6 @@ foreachBatch MERGE sink must be idempotent across stream restarts."""
 
 from __future__ import annotations
 
-import pytest
-
-from pyspark.sql import functions as F
-
 from imperio_patitas_etl_spark.sources.parquet import load_table
 from imperio_patitas_etl_spark.streaming.events import (
     dedup_counts,

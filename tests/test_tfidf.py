@@ -5,8 +5,6 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import functions as F
-
 from imperio_patitas_etl_spark.operators.vectorize import tfidf
 
 
