@@ -104,12 +104,10 @@ def test_bad_sf_dir_exits_before_any_batch(tmp_path):
     assert not (tmp_path / "sweep.log").exists()
 
 
-def test_attempted_keys_counts_ok_and_fail_markers(tmp_path):
+def test_attempted_keys_counts_ok_and_fail_markers(tmp_path, monkeypatch):
     # the no-progress abort keys off ANY verdict marker: a FAIL keeps the
     # retry-until-budget resume semantics; a zero-marker batch aborts
-    import sys as _sys
-
-    _sys.path.insert(0, os.path.join(REPO, "tools"))
+    monkeypatch.syspath_prepend(os.path.join(REPO, "tools"))
     from sweep_batch import attempted_keys, done_keys
 
     log = tmp_path / "sweep.log"
@@ -120,3 +118,28 @@ def test_attempted_keys_counts_ok_and_fail_markers(tmp_path):
     )
     assert attempted_keys(str(log)) == {"count_star", "groupby_avg"}
     assert done_keys(str(log)) == {"count_star"}
+
+
+def test_attempted_keys_offset_sees_only_the_appended_region(tmp_path, monkeypatch):
+    # the abort is judged from the PRE-BATCH file size: a retried chunk
+    # whose keys already carry markers from an earlier batch must be
+    # judged only on what this batch appended — old markers satisfying
+    # the progress check would mask a dead check.py, and (the reviewed
+    # bug) old markers being subtracted as "already seen" would falsely
+    # abort every retry of a FAILed key even when the retry just passed
+    monkeypatch.syspath_prepend(os.path.join(REPO, "tools"))
+    from sweep_batch import attempted_keys
+
+    log = tmp_path / "sweep.log"
+    log.write_text("FAIL groupby_avg: spark error: boom\n")
+    offset = os.path.getsize(log)
+
+    # batch appended nothing -> no verdicts past the offset (dead tool)
+    assert attempted_keys(str(log), offset) == set()
+    # retry appends a fresh verdict for the same key -> progress, even
+    # though the key already had a marker before the offset
+    with open(log, "a") as f:
+        f.write("ok   groupby_avg: 25 rows match (0.2s)\n")
+    assert attempted_keys(str(log), offset) == {"groupby_avg"}
+    # full-file parse still sees both generations
+    assert attempted_keys(str(log)) == {"groupby_avg"}

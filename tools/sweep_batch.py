@@ -32,33 +32,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+#: check.py verdict markers: "ok   <key>: ..." / "FAIL <key>: ..."
+_OK_RE = re.compile(r"ok\s+(\S+):")
+_VERDICT_RE = re.compile(r"(?:ok|FAIL)\s+(\S+):")
+
+
+def _keys_in(text: str, rx: re.Pattern) -> set[str]:
+    out: set[str] = set()
+    # Spark progress bars embed \r — split on both line endings
+    for line in re.split(r"[\r\n]+", text):
+        m = rx.match(line.strip())
+        if m:
+            out.add(m.group(1))
+    return out
+
+
 def done_keys(log_path: str) -> set[str]:
     if not os.path.exists(log_path):
         return set()
-    out: set[str] = set()
     with open(log_path, errors="replace") as f:
-        # Spark progress bars embed \r — split on both line endings
-        for line in re.split(r"[\r\n]+", f.read()):
-            m = re.match(r"ok\s+(\S+):", line.strip())
-            if m:
-                out.add(m.group(1))
-    return out
+        return _keys_in(f.read(), _OK_RE)
 
 
-def attempted_keys(path: str) -> set[str]:
-    """Keys with ANY verdict in the log — ok or FAIL. Distinguishes 'the
-    oracle check ran and failed' (retryable, keeps the resume semantics)
-    from 'check.py died before checking anything' (a zero-marker batch,
-    which must abort rather than re-spin the same chunk all budget)."""
+def attempted_keys(path: str, offset: int = 0) -> set[str]:
+    """Keys with ANY verdict — ok or FAIL — in the log from byte
+    ``offset`` on. The zero-progress abort passes the pre-batch file
+    size so a RETRIED chunk (whose keys already carry markers from an
+    earlier batch or run) is judged only on what this batch appended:
+    a fresh FAIL keeps the retry-until-budget resume semantics; a batch
+    that appended no verdict at all means check.py died before
+    checking, which must abort rather than re-spin all budget."""
     if not os.path.exists(path):
         return set()
-    out: set[str] = set()
-    with open(path, errors="replace") as f:
-        for line in re.split(r"[\r\n]+", f.read()):
-            m = re.match(r"(?:ok|FAIL)\s+(\S+):", line.strip())
-            if m:
-                out.add(m.group(1))
-    return out
+    with open(path, "rb") as f:
+        f.seek(offset)
+        return _keys_in(f.read().decode(errors="replace"), _VERDICT_RE)
 
 
 def main() -> None:
@@ -98,11 +106,14 @@ def main() -> None:
         keep = set(want)
         order = [k for k in order if k in keep]
     if not os.path.isdir(sf_dir):
-        # pre-Spark, mirroring check.py's guard (after key validation so
-        # a bad key is diagnosed first): without this the resume loop
-        # below re-spawns check.py (which fails fast on the bad dir, to
-        # a DEVNULL'd stderr) against the same chunk until the whole
-        # budget burns, then reports remaining=<all> with no clue
+        # pre-Spark like check.py's guard (check.py orders sf_dir first;
+        # here it comes after key validation because the CLI contract
+        # tests pin the unknown-key diagnostics with placeholder dirs —
+        # both orders exit during argument handling): without this the
+        # resume loop below re-spawns check.py (which fails fast on the
+        # bad dir, to a DEVNULL'd stderr) against the same chunk until
+        # the whole budget burns, then reports remaining=<all> with no
+        # clue
         sys.exit(f"no such sf_dir: {sf_dir}")
     t0 = time.monotonic()
     while True:
@@ -114,20 +125,25 @@ def main() -> None:
         if vanilla:
             cmd.append("--vanilla")
         cmd += chunk
-        before = attempted_keys(log_path)
+        offset = os.path.getsize(log_path) if os.path.exists(log_path) else 0
         with open(log_path, "a") as log:
             subprocess.run(cmd, stdout=log, stderr=subprocess.DEVNULL, cwd=REPO)
-        if not (attempted_keys(log_path) - before) & set(chunk):
-            # the batch neither passed nor FAILED any of its keys:
-            # check.py died before checking (import error, OOM, env).
-            # A genuine oracle FAIL leaves a marker and keeps the
-            # existing retry-until-budget semantics; a zero-marker batch
-            # would loop the same chunk for the whole budget.
+        if not attempted_keys(log_path, offset) & set(chunk):
+            # THIS batch appended neither an ok nor a FAIL for any of
+            # its keys: check.py died before checking (import error,
+            # OOM, env). A genuine oracle FAIL appends a fresh marker
+            # every retry — judged from the pre-batch offset so a
+            # RETRIED chunk whose keys already carry old markers keeps
+            # the retry-until-budget resume semantics; a zero-append
+            # batch would loop the same chunk for the whole budget.
+            repro = f"python tools/check.py {sf_dir}"
+            if vanilla:
+                repro += " --vanilla"
             sys.exit(
                 "batch made no progress on "
                 f"{' '.join(chunk[:3])}{'...' if len(chunk) > 3 else ''}; "
                 f"check.py is dying before checking — run it directly: "
-                f"python tools/check.py {sf_dir} {chunk[0]}"
+                f"{repro} {chunk[0]}"
             )
     remaining = [k for k in order if k not in done_keys(log_path)]
     print(f"remaining={len(remaining)}")
