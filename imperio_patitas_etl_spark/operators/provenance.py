@@ -26,6 +26,7 @@ a different product kind.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,9 +121,9 @@ def retag_table(
     - already strictly tagged → nothing to do, returns ``False``
       (idempotent — safe to run unconditionally in a migration sweep);
     - legacy tag (exact ``sf_dir.rstrip('/')`` match, pre-realpath) →
-      rebuilds via ``rebuild(spark, sf_dir, path)`` (mode=overwrite in
-      all three materializers), re-reads, asserts the strict tag took,
-      returns ``True``;
+      rebuilds via ``rebuild(spark, sf_dir, <path>.retag.tmp)``, asserts
+      the strict tag took THERE, then swaps the verified build into
+      ``path``, returns ``True``;
     - any OTHER tag (or no tag) → raises ``ValueError``: a genuine
       source mismatch must never be laundered into a strict tag — that
       would convert the refuse-on-mismatch contract's one documented
@@ -133,7 +134,17 @@ def retag_table(
     contract recognizes, so the upgraded table is guaranteed
     layout-faithful (e.g. the IVF layout's ``cell=`` partitioning) and
     consistent with the current build logic. It re-pays one build — a
-    one-time migration cost, not a steady-state one."""
+    one-time migration cost, not a steady-state one.
+
+    Crash safety: the rebuild lands in a ``<path>.retag.tmp`` sibling
+    and is verified BEFORE touching ``path``, so a failure anywhere up
+    to the swap leaves the legacy table untouched and the helper safely
+    re-runnable. The swap itself is two local renames with the original
+    parked at ``<path>.retag.old`` (deleted only on success); a crash
+    between them leaves the original there — rename it back. The
+    rename-based swap assumes a local/POSIX filesystem path, which is
+    what the migration tool targets; on object storage, rebuild to a
+    fresh path with the materializer and repoint the consumer instead."""
     df = spark.read.parquet(path)
     if column not in df.columns:
         # a wrong-kind invocation (e.g. the edges retag pointed at a
@@ -156,14 +167,30 @@ def retag_table(
             "mismatch, not a pre-r12 tag; re-materialize from the correct "
             "source instead"
         )
-    rebuild(spark, sf_dir, path)
+    # rebuild to a sibling and verify there FIRST: an in-place
+    # mode=overwrite rebuild deletes the only copy before the new job
+    # commits, so a mid-rebuild failure would destroy the legacy table
+    # and break the idempotent-rerun contract above
+    base = os.path.normpath(path)
+    tmp, bak = base + ".retag.tmp", base + ".retag.old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    rebuild(spark, sf_dir, tmp)
     new_tag = dict(
-        spark.read.parquet(path).schema[column].metadata or {}
+        spark.read.parquet(tmp).schema[column].metadata or {}
     ).get(key)
     if new_tag != want:
+        shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
             f"re-tag of {table_desc} at {path} did not produce the strict "
             f"tag: got {new_tag!r}, want {want!r} — the rebuild "
             "materializer is not writing through tag_source"
         )
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(base, bak)
+    os.rename(tmp, base)
+    shutil.rmtree(bak)
+    # the swap happened outside Spark's write path — drop any cached
+    # file listing for `path` so same-session consumers don't chase the
+    # renamed-away old files
+    spark.catalog.refreshByPath(base)
     return True

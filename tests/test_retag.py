@@ -178,27 +178,111 @@ def test_layout_retag_end_to_end(spark, sf_dir, tmp_path):
     }
 
 
-def test_retag_cli_refuses_missing_table(tmp_path):
+def test_retag_cli_refuses_missing_table(tmp_path, monkeypatch):
     """The tools/retag.py entry validates args before any Spark spin-up."""
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    monkeypatch.syspath_prepend(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
     import retag as retag_cli
 
+    sf = tmp_path / "sf"
+    sf.mkdir()
     with pytest.raises(SystemExit):
-        retag_cli.main(["shingles", "/tmp/nowhere", str(tmp_path / "missing")])
+        retag_cli.main(["shingles", str(sf), str(tmp_path / "missing")])
 
 
-def test_retag_cli_dispatch_table_resolves():
+def test_retag_cli_dispatch_table_resolves(monkeypatch):
     """Every KINDS entry must name a real importable callable — a typo'd
     module or function name would otherwise surface only at migration
     time, after the operator has already typed the command."""
     import importlib
-    import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    monkeypatch.syspath_prepend(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
     import retag as retag_cli
 
     for kind, (mod_name, fn_name) in retag_cli.KINDS.items():
         fn = getattr(importlib.import_module(mod_name), fn_name)
         assert callable(fn), (kind, mod_name, fn_name)
+
+
+def test_retag_crash_mid_rebuild_leaves_legacy_table_intact(spark, tmp_path):
+    """Crash safety (r15 review): the rebuild lands in a .retag.tmp
+    sibling and is verified there BEFORE the swap, so a failing rebuild
+    leaves the legacy table untouched and the helper re-runnable —
+    pre-fix, the in-place mode=overwrite rebuild destroyed the only
+    copy first."""
+    src = tmp_path / "sf"
+    src.mkdir()
+    link = tmp_path / "sf_alias"
+    os.symlink(src, link)
+    legacy_spelling = str(link)
+    out = str(tmp_path / "tbl")
+    _write_tiny(spark, out, legacy_spelling)
+
+    def _rebuild_boom(spark_, sf_dir_, path_):
+        raise RuntimeError("executor lost mid-write")
+
+    kwargs = dict(column="k", key="test_source", table_desc="test table")
+    with pytest.raises(RuntimeError, match="executor lost"):
+        retag_table(spark, legacy_spelling, out, rebuild=_rebuild_boom, **kwargs)
+    # original rows + legacy tag untouched
+    df = spark.read.parquet(out)
+    assert df.count() == 3
+    assert dict(df.schema["k"].metadata)["test_source"] == legacy_spelling
+    # and a second attempt with a working rebuild completes the upgrade
+    assert retag_table(spark, legacy_spelling, out, rebuild=_rebuild_tiny, **kwargs) is True
+    got = dict(spark.read.parquet(out).schema["k"].metadata)["test_source"]
+    assert got == canonical_source(legacy_spelling)
+    # no swap debris
+    assert not os.path.exists(out + ".retag.tmp")
+    assert not os.path.exists(out + ".retag.old")
+
+
+def test_retag_bad_materializer_leaves_legacy_table_intact(spark, tmp_path):
+    """A rebuild that writes but does NOT produce the strict tag is
+    caught at the .retag.tmp sibling: the RuntimeError fires without
+    touching the legacy table, and the tmp build is cleaned up."""
+    src = tmp_path / "sf"
+    src.mkdir()
+    link = tmp_path / "sf_alias"
+    os.symlink(src, link)
+    legacy_spelling = str(link)
+    out = str(tmp_path / "tbl")
+    _write_tiny(spark, out, legacy_spelling)
+
+    def _rebuild_untagged(spark_, sf_dir_, path_):
+        spark_.range(3).toDF("k").write.mode("overwrite").parquet(path_)
+
+    with pytest.raises(RuntimeError, match="not writing through tag_source"):
+        retag_table(
+            spark,
+            legacy_spelling,
+            out,
+            column="k",
+            key="test_source",
+            table_desc="test table",
+            rebuild=_rebuild_untagged,
+        )
+    df = spark.read.parquet(out)
+    assert df.count() == 3
+    assert dict(df.schema["k"].metadata)["test_source"] == legacy_spelling
+    assert not os.path.exists(out + ".retag.tmp")
+
+
+def test_retag_cli_refuses_missing_sf_dir(tmp_path, monkeypatch):
+    """A typo'd sf_dir must error during argument handling — pre-fix it
+    paid the JVM spin-up and was then misdiagnosed as a 'genuine source
+    mismatch' on a healthy table."""
+    import sys
+
+    monkeypatch.syspath_prepend(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    import retag as retag_cli
+
+    table = tmp_path / "tbl"
+    table.mkdir()
+    with pytest.raises(SystemExit):
+        retag_cli.main(["shingles", "/no/such/sf_dir", str(table)])

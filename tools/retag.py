@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("path", help="the materialized table's parquet path")
     args = ap.parse_args(argv)
 
+    if not os.path.isdir(args.sf_dir):
+        # pre-Spark like every other tools/ CLI: a typo'd sf_dir would
+        # otherwise pay the JVM spin-up and then be misdiagnosed as a
+        # "genuine source mismatch" on a healthy table
+        ap.error(f"no such sf_dir: {args.sf_dir}")
     if not os.path.isdir(args.path):
         ap.error(f"no table at {args.path}")
 
