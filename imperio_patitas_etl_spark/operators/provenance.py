@@ -100,6 +100,16 @@ def require_source(
     )
 
 
+def _remove_table(p: str) -> None:
+    """Remove a parked table path: a symlink is unlinked WITHOUT
+    touching its target (the target may be a shared directory); a real
+    directory is removed recursively; a missing path is a no-op."""
+    if os.path.islink(p):
+        os.unlink(p)
+    elif os.path.isdir(p):
+        shutil.rmtree(p)
+
+
 def retag_table(
     spark: SparkSession,
     sf_dir: str,
@@ -140,11 +150,42 @@ def retag_table(
     and is verified BEFORE touching ``path``, so a failure anywhere up
     to the swap leaves the legacy table untouched and the helper safely
     re-runnable. The swap itself is two local renames with the original
-    parked at ``<path>.retag.old`` (deleted only on success); a crash
-    between them leaves the original there — rename it back. The
+    parked at ``<path>.retag.old`` (removed only after the swap), and a
+    RERUN self-recovers every crash window: ``path`` missing with the
+    verified ``.retag.tmp`` present → the interrupted swap is completed
+    forward; ``path`` missing with only ``.retag.old`` present → the
+    original is restored and the migration re-runs; a stranded
+    ``.retag.old`` next to a healthy ``path`` → cleaned up. Post-swap
+    cleanup is best-effort (a completed swap never reports failure); if
+    ``path`` is a symlink, only the link is swapped — the link's target
+    directory is deliberately left in place (it may be shared). The
     rename-based swap assumes a local/POSIX filesystem path, which is
     what the migration tool targets; on object storage, rebuild to a
     fresh path with the materializer and repoint the consumer instead."""
+    base = os.path.normpath(path)
+    tmp, bak = base + ".retag.tmp", base + ".retag.old"
+    # self-recover debris from a crashed previous run BEFORE reading:
+    if not os.path.exists(base):
+        if os.path.isdir(tmp):
+            # crashed between the two swap renames: tmp was already
+            # verified strict (renames only start after verification).
+            # Complete the swap forward, then FALL THROUGH to the
+            # normal read/compare below — it re-validates the tag
+            # against THIS call's sf_dir (the crashed run might have
+            # targeted a different source spelling) and answers
+            # False/True/refuse accordingly.
+            os.rename(tmp, base)
+            _remove_table(bak)
+            spark.catalog.refreshByPath(base)
+        elif os.path.exists(bak):
+            # crashed after parking the original but tmp is gone too
+            # (shouldn't happen, but the original is recoverable):
+            # restore it and fall through to a normal migration run
+            os.rename(bak, base)
+    elif os.path.exists(bak):
+        # previous run completed the swap but its cleanup failed —
+        # finish it (best-effort; retried again next run if it fails)
+        _remove_table(bak)
     df = spark.read.parquet(path)
     if column not in df.columns:
         # a wrong-kind invocation (e.g. the edges retag pointed at a
@@ -171,13 +212,14 @@ def retag_table(
     # mode=overwrite rebuild deletes the only copy before the new job
     # commits, so a mid-rebuild failure would destroy the legacy table
     # and break the idempotent-rerun contract above
-    base = os.path.normpath(path)
-    tmp, bak = base + ".retag.tmp", base + ".retag.old"
     shutil.rmtree(tmp, ignore_errors=True)
     rebuild(spark, sf_dir, tmp)
-    new_tag = dict(
-        spark.read.parquet(tmp).schema[column].metadata or {}
-    ).get(key)
+    df2 = spark.read.parquet(tmp)
+    new_tag = (
+        dict(df2.schema[column].metadata or {}).get(key)
+        if column in df2.columns
+        else None  # schema drift in the materializer — same refuse path
+    )
     if new_tag != want:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
@@ -185,12 +227,18 @@ def retag_table(
             f"tag: got {new_tag!r}, want {want!r} — the rebuild "
             "materializer is not writing through tag_source"
         )
-    shutil.rmtree(bak, ignore_errors=True)
+    _remove_table(bak)
     os.rename(base, bak)
     os.rename(tmp, base)
-    shutil.rmtree(bak)
     # the swap happened outside Spark's write path — drop any cached
     # file listing for `path` so same-session consumers don't chase the
-    # renamed-away old files
+    # renamed-away old files. Refresh BEFORE the best-effort cleanup: a
+    # completed swap must never report failure over a cleanup error
+    # (the stranded .retag.old is reclaimed by the next run's debris
+    # sweep above).
     spark.catalog.refreshByPath(base)
+    try:
+        _remove_table(bak)
+    except OSError:
+        pass
     return True

@@ -37,13 +37,23 @@ def _rebuild_tiny(spark, sf_dir: str, path: str) -> None:
     ).parquet(path)
 
 
-def test_retag_core_three_branches(spark, tmp_path):
+def _legacy_tiny_setup(spark, tmp_path):
+    """The shared precondition for the generic retag_table tests: a
+    symlinked source spelling (realpath differs from the raw string)
+    and a tiny table carrying that raw spelling as its legacy tag.
+    Returns (legacy_spelling, table_path)."""
     src = tmp_path / "sf"
     src.mkdir()
     link = tmp_path / "sf_alias"
     os.symlink(src, link)
-    legacy_spelling = str(link)  # realpath differs from the raw string
+    legacy_spelling = str(link)
     out = str(tmp_path / "tbl")
+    _write_tiny(spark, out, legacy_spelling)
+    return legacy_spelling, out
+
+
+def test_retag_core_three_branches(spark, tmp_path):
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
     kwargs = dict(
         column="k",
         key="test_source",
@@ -52,7 +62,6 @@ def test_retag_core_three_branches(spark, tmp_path):
     )
 
     # 1) legacy raw tag -> rebuilt, strict tag verified, True
-    _write_tiny(spark, out, legacy_spelling)
     assert retag_table(spark, legacy_spelling, out, **kwargs) is True
     got = dict(spark.read.parquet(out).schema["k"].metadata)["test_source"]
     assert got == canonical_source(legacy_spelling)
@@ -213,13 +222,7 @@ def test_retag_crash_mid_rebuild_leaves_legacy_table_intact(spark, tmp_path):
     leaves the legacy table untouched and the helper re-runnable —
     pre-fix, the in-place mode=overwrite rebuild destroyed the only
     copy first."""
-    src = tmp_path / "sf"
-    src.mkdir()
-    link = tmp_path / "sf_alias"
-    os.symlink(src, link)
-    legacy_spelling = str(link)
-    out = str(tmp_path / "tbl")
-    _write_tiny(spark, out, legacy_spelling)
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
 
     def _rebuild_boom(spark_, sf_dir_, path_):
         raise RuntimeError("executor lost mid-write")
@@ -244,13 +247,7 @@ def test_retag_bad_materializer_leaves_legacy_table_intact(spark, tmp_path):
     """A rebuild that writes but does NOT produce the strict tag is
     caught at the .retag.tmp sibling: the RuntimeError fires without
     touching the legacy table, and the tmp build is cleaned up."""
-    src = tmp_path / "sf"
-    src.mkdir()
-    link = tmp_path / "sf_alias"
-    os.symlink(src, link)
-    legacy_spelling = str(link)
-    out = str(tmp_path / "tbl")
-    _write_tiny(spark, out, legacy_spelling)
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
 
     def _rebuild_untagged(spark_, sf_dir_, path_):
         spark_.range(3).toDF("k").write.mode("overwrite").parquet(path_)
@@ -275,8 +272,6 @@ def test_retag_cli_refuses_missing_sf_dir(tmp_path, monkeypatch):
     """A typo'd sf_dir must error during argument handling — pre-fix it
     paid the JVM spin-up and was then misdiagnosed as a 'genuine source
     mismatch' on a healthy table."""
-    import sys
-
     monkeypatch.syspath_prepend(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
     )
@@ -286,3 +281,43 @@ def test_retag_cli_refuses_missing_sf_dir(tmp_path, monkeypatch):
     table.mkdir()
     with pytest.raises(SystemExit):
         retag_cli.main(["shingles", "/no/such/sf_dir", str(table)])
+
+
+def test_retag_self_recovers_swap_crash_windows(spark, tmp_path):
+    """A rerun self-recovers every swap crash window (r15 review):
+    path-missing + verified tmp -> completed forward; stranded
+    .retag.old next to a healthy path -> cleaned; path-missing + only
+    .retag.old -> original restored. No window needs the docstring's
+    manual 'rename it back'."""
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+
+    # window A: crash BETWEEN the two swap renames — the original is
+    # parked at .retag.old, the verified build sits at .retag.tmp,
+    # nothing at path. The rerun completes the swap forward and then
+    # re-validates against THIS call's sf_dir (already strict -> False).
+    _rebuild_tiny(spark, legacy_spelling, out + ".retag.tmp")
+    os.rename(out, out + ".retag.old")
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is False
+    got = dict(spark.read.parquet(out).schema["k"].metadata)["test_source"]
+    assert got == canonical_source(legacy_spelling)
+    assert not os.path.exists(out + ".retag.tmp")
+    assert not os.path.exists(out + ".retag.old")
+
+    # window B: crash AFTER the swap, before cleanup — healthy strict
+    # table plus a stranded .retag.old. The rerun sweeps the debris.
+    os.mkdir(out + ".retag.old")
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is False
+    assert not os.path.exists(out + ".retag.old")
+
+    # window C: path missing with ONLY the parked original left (no
+    # tmp) — the rerun restores it and proceeds normally.
+    os.rename(out, out + ".retag.old")
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is False
+    assert os.path.exists(out)
+    assert not os.path.exists(out + ".retag.old")
