@@ -103,8 +103,10 @@ def require_source(
 def _remove_table(p: str) -> None:
     """Remove a parked table path: a symlink is unlinked WITHOUT
     touching its target (the target may be a shared directory); a real
-    directory is removed recursively; a missing path is a no-op."""
-    if os.path.islink(p):
+    directory is removed recursively; a stray regular file (partial
+    copy, stray touch) is unlinked so file-shaped debris cannot block
+    the swap's rename forever; a missing path is a no-op."""
+    if os.path.islink(p) or os.path.isfile(p):
         os.unlink(p)
     elif os.path.isdir(p):
         shutil.rmtree(p)
@@ -175,17 +177,25 @@ def retag_table(
             # targeted a different source spelling) and answers
             # False/True/refuse accordingly.
             os.rename(tmp, base)
-            _remove_table(bak)
             spark.catalog.refreshByPath(base)
-        elif os.path.exists(bak):
+            try:
+                _remove_table(bak)
+            except OSError:
+                pass  # table is healthy; debris retried next run
+        elif os.path.lexists(bak):
             # crashed after parking the original but tmp is gone too
             # (shouldn't happen, but the original is recoverable):
             # restore it and fall through to a normal migration run
             os.rename(bak, base)
-    elif os.path.exists(bak):
+    elif os.path.lexists(bak):
         # previous run completed the swap but its cleanup failed —
-        # finish it (best-effort; retried again next run if it fails)
-        _remove_table(bak)
+        # finish it. Best-effort FOR REAL: a healthy already-strict
+        # table must no-op below even if this debris is unremovable
+        # (root-owned leftovers, EBUSY mounts)
+        try:
+            _remove_table(bak)
+        except OSError:
+            pass
     df = spark.read.parquet(path)
     if column not in df.columns:
         # a wrong-kind invocation (e.g. the edges retag pointed at a

@@ -321,3 +321,82 @@ def test_retag_self_recovers_swap_crash_windows(spark, tmp_path):
     assert retag_table(spark, legacy_spelling, out, **kwargs) is False
     assert os.path.exists(out)
     assert not os.path.exists(out + ".retag.old")
+
+
+def test_retag_cli_recovers_swap_crash_through_the_documented_command(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The recovery path must be reachable through the DOCUMENTED entry
+    point: rerunning 'python tools/retag.py shingles <sf> <path>' after
+    a crash between the swap renames (path missing, verified tmp +
+    parked original present) completes the swap — pre-fix, the CLI's
+    'no table at <path>' guard exited 2 before retag_table could
+    self-recover."""
+    monkeypatch.syspath_prepend(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    import retag as retag_cli
+
+    link = tmp_path / "sf_alias"
+    os.symlink(sf_dir, link)
+    spelling = str(link)
+    path = str(tmp_path / "shingles")
+    # simulate window A: a verified (strict-tagged) tmp build plus the
+    # parked original, nothing at path
+    text.materialize_shingle_table(spark, spelling, path + ".retag.tmp")
+    text.materialize_shingle_table(spark, spelling, path + ".retag.old")
+    rc = retag_cli.main(["shingles", spelling, path])
+    assert rc == 0
+    assert os.path.isdir(path)
+    assert not os.path.exists(path + ".retag.tmp")
+    assert not os.path.exists(path + ".retag.old")
+    # and the recovered table is strictly consumable without the flag
+    fam = text.ngram_family_from_shingles(spark, spelling, path)
+    assert fam["ngram_jaccard_dedup"].count() > 0
+    fam.release()
+
+
+def test_retag_sweeps_file_shaped_debris(spark, tmp_path):
+    """A stray regular FILE at <path>.retag.old (partial copy, stray
+    touch) must be swept like directory debris — pre-fix _remove_table
+    silently skipped it and the swap's os.rename then failed forever."""
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    with open(out + ".retag.old", "w") as f:
+        f.write("stray")
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is True
+    assert not os.path.exists(out + ".retag.old")
+    got = dict(spark.read.parquet(out).schema["k"].metadata)["test_source"]
+    assert got == canonical_source(legacy_spelling)
+
+
+def test_retag_noop_survives_unremovable_debris(spark, tmp_path, monkeypatch):
+    """A healthy already-strict table must still no-op (False) when the
+    stranded .retag.old cannot be removed — the debris sweep is
+    best-effort, not a new failure mode on the no-op path."""
+    import imperio_patitas_etl_spark.operators.provenance as prov
+
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is True  # now strict
+    os.mkdir(out + ".retag.old")
+
+    real = prov._remove_table
+
+    def _boom(p):
+        if p.endswith(".retag.old"):
+            raise OSError("EBUSY: device or resource busy")
+        real(p)
+
+    monkeypatch.setattr(prov, "_remove_table", _boom)
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is False

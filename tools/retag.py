@@ -53,8 +53,14 @@ def main(argv: list[str] | None = None) -> int:
         # otherwise pay the JVM spin-up and then be misdiagnosed as a
         # "genuine source mismatch" on a healthy table
         ap.error(f"no such sf_dir: {args.sf_dir}")
-    if not os.path.isdir(args.path):
-        ap.error(f"no table at {args.path}")
+    base = os.path.normpath(args.path)
+    if not os.path.isdir(base) and not (
+        os.path.isdir(base + ".retag.tmp") or os.path.lexists(base + ".retag.old")
+    ):
+        # a missing path IS valid when swap-crash debris exists — the
+        # rerun of this same command is the documented recovery path
+        # (retag_table self-recovers from .retag.tmp / .retag.old)
+        ap.error(f"no table at {args.path} (and no .retag.tmp/.retag.old debris to recover)")
 
     import importlib
 
