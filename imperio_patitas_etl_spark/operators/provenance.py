@@ -100,16 +100,24 @@ def require_source(
     )
 
 
+#: sibling suffixes of the crash-safe retag swap; tools/retag.py's
+#: pre-Spark guard repeats these literals (it cannot import this module
+#: without paying the pyspark import) — tests/test_retag.py pins the
+#: two copies equal
+RETAG_TMP_SUFFIX = ".retag.tmp"
+RETAG_OLD_SUFFIX = ".retag.old"
+
+
 def _remove_table(p: str) -> None:
-    """Remove a parked table path: a symlink is unlinked WITHOUT
-    touching its target (the target may be a shared directory); a real
-    directory is removed recursively; a stray regular file (partial
-    copy, stray touch) is unlinked so file-shaped debris cannot block
-    the swap's rename forever; a missing path is a no-op."""
-    if os.path.islink(p) or os.path.isfile(p):
-        os.unlink(p)
-    elif os.path.isdir(p):
+    """Remove a parked table path: a real directory is removed
+    recursively; ANY other existing entry — symlink (target never
+    touched: it may be a shared directory), regular file, FIFO, socket
+    — is unlinked, so no debris shape can block the swap's rename
+    forever; a missing path is a no-op."""
+    if os.path.isdir(p) and not os.path.islink(p):
         shutil.rmtree(p)
+    elif os.path.lexists(p):
+        os.unlink(p)
 
 
 def retag_table(
@@ -165,7 +173,8 @@ def retag_table(
     what the migration tool targets; on object storage, rebuild to a
     fresh path with the materializer and repoint the consumer instead."""
     base = os.path.normpath(path)
-    tmp, bak = base + ".retag.tmp", base + ".retag.old"
+    tmp = base + RETAG_TMP_SUFFIX
+    bak = base + RETAG_OLD_SUFFIX
     # self-recover debris from a crashed previous run BEFORE reading:
     if not os.path.exists(base):
         if os.path.isdir(tmp):
@@ -182,11 +191,26 @@ def retag_table(
                 _remove_table(bak)
             except OSError:
                 pass  # table is healthy; debris retried next run
-        elif os.path.lexists(bak):
+        elif os.path.isdir(bak):
             # crashed after parking the original but tmp is gone too
             # (shouldn't happen, but the original is recoverable):
-            # restore it and fall through to a normal migration run
+            # restore it and fall through to a normal migration run.
+            # isdir (following a symlinked park) — only a real table
+            # can be restored; junk must never be installed at `path`
             os.rename(bak, base)
+        elif os.path.lexists(bak):
+            # non-directory debris cannot be the parked original:
+            # sweep it and refuse cleanly instead of letting the read
+            # below fail with a raw path-missing Spark error
+            try:
+                _remove_table(bak)
+            except OSError:
+                pass
+            raise ValueError(
+                f"nothing to re-tag at {path}: only non-table debris was "
+                f"found at {bak} (now swept) — re-materialize the "
+                f"{table_desc} from {sf_dir}"
+            )
     elif os.path.lexists(bak):
         # previous run completed the swap but its cleanup failed —
         # finish it. Best-effort FOR REAL: a healthy already-strict
@@ -218,11 +242,23 @@ def retag_table(
             "mismatch, not a pre-r12 tag; re-materialize from the correct "
             "source instead"
         )
+    # clear BOTH swap spots before paying the rebuild: an unremovable
+    # .retag.old (or debris-shaped .retag.tmp a plain rmtree would
+    # silently skip) must refuse HERE, cleanly — not after a
+    # potentially enormous rebuild has already run, dooming every rerun
+    # to repeat it
+    try:
+        _remove_table(tmp)
+        _remove_table(bak)
+    except OSError as e:
+        raise RuntimeError(
+            f"cannot clear the swap spot for {table_desc} at {path} "
+            f"({e}); remove it manually and re-run the migration"
+        ) from e
     # rebuild to a sibling and verify there FIRST: an in-place
     # mode=overwrite rebuild deletes the only copy before the new job
     # commits, so a mid-rebuild failure would destroy the legacy table
     # and break the idempotent-rerun contract above
-    shutil.rmtree(tmp, ignore_errors=True)
     rebuild(spark, sf_dir, tmp)
     df2 = spark.read.parquet(tmp)
     new_tag = (
@@ -237,7 +273,6 @@ def retag_table(
             f"tag: got {new_tag!r}, want {want!r} — the rebuild "
             "materializer is not writing through tag_source"
         )
-    _remove_table(bak)
     os.rename(base, bak)
     os.rename(tmp, base)
     # the swap happened outside Spark's write path — drop any cached

@@ -12,6 +12,7 @@ flag, re-tagged, then consumed strictly without it.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pytest
 
@@ -400,3 +401,82 @@ def test_retag_noop_survives_unremovable_debris(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(prov, "_remove_table", _boom)
     assert retag_table(spark, legacy_spelling, out, **kwargs) is False
+
+
+def test_retag_suffix_literals_pinned_between_cli_and_provenance(monkeypatch):
+    """tools/retag.py repeats the swap sibling suffixes (it cannot
+    import provenance without paying the pyspark import its fast paths
+    avoid); this pin makes a future rename in either copy fail here
+    instead of silently stranding the CLI's debris-recovery guard."""
+    import imperio_patitas_etl_spark.operators.provenance as prov
+
+    monkeypatch.syspath_prepend(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    import retag as retag_cli
+
+    assert retag_cli.TMP_SUFFIX == prov.RETAG_TMP_SUFFIX
+    assert retag_cli.OLD_SUFFIX == prov.RETAG_OLD_SUFFIX
+
+
+def test_retag_refuses_cleanly_when_only_junk_debris_remains(spark, tmp_path):
+    """path missing + non-directory .retag.old: junk must never be
+    installed AT the table path (the pre-fix restore renamed it there,
+    converting sweepable debris into a blocking obstruction); instead
+    the junk is swept and the call refuses with a clear ValueError."""
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    shutil.rmtree(out)
+    with open(out + ".retag.old", "w") as f:
+        f.write("stray")
+    with pytest.raises(ValueError, match="non-table debris"):
+        retag_table(spark, legacy_spelling, out, **kwargs)
+    # junk swept, path still absent (nothing was installed there)
+    assert not os.path.exists(out + ".retag.old")
+    assert not os.path.exists(out)
+
+
+def test_retag_fails_fast_on_unclearable_spot_before_the_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """On the LEGACY path an unremovable .retag.old must refuse BEFORE
+    the rebuild is paid (at real scale the rebuild is enormous; the
+    pre-fix order ran it and then died on the unwrapped cleanup,
+    dooming every rerun to repeat it)."""
+    import imperio_patitas_etl_spark.operators.provenance as prov
+
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    os.mkdir(out + ".retag.old")
+
+    real = prov._remove_table
+
+    def _boom(p):
+        if p.endswith(".retag.old") and os.path.exists(p):
+            raise OSError("EBUSY: device or resource busy")
+        real(p)
+
+    monkeypatch.setattr(prov, "_remove_table", _boom)
+    rebuilds = []
+
+    def _counting_rebuild(spark_, sf_dir_, path_):
+        rebuilds.append(path_)
+        _rebuild_tiny(spark_, sf_dir_, path_)
+
+    with pytest.raises(RuntimeError, match="cannot clear the swap spot"):
+        retag_table(
+            spark,
+            legacy_spelling,
+            out,
+            column="k",
+            key="test_source",
+            table_desc="test table",
+            rebuild=_counting_rebuild,
+        )
+    assert rebuilds == []  # refused BEFORE paying the rebuild
+    # the legacy table is untouched and the migration still possible
+    assert dict(spark.read.parquet(out).schema["k"].metadata)["test_source"] == legacy_spelling

@@ -24,6 +24,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: swap sibling suffixes — MUST equal operators/provenance.py's
+#: RETAG_TMP_SUFFIX / RETAG_OLD_SUFFIX (repeated here because importing
+#: provenance would pay the pyspark import this CLI's fast paths avoid;
+#: tests/test_retag.py pins the two copies equal)
+TMP_SUFFIX = ".retag.tmp"
+OLD_SUFFIX = ".retag.old"
+
 #: kind -> dotted module + retag function name (import deferred so
 #: --help and arg errors never pay the pyspark import)
 KINDS = {
@@ -55,12 +62,15 @@ def main(argv: list[str] | None = None) -> int:
         ap.error(f"no such sf_dir: {args.sf_dir}")
     base = os.path.normpath(args.path)
     if not os.path.isdir(base) and not (
-        os.path.isdir(base + ".retag.tmp") or os.path.lexists(base + ".retag.old")
+        os.path.isdir(base + TMP_SUFFIX) or os.path.lexists(base + OLD_SUFFIX)
     ):
         # a missing path IS valid when swap-crash debris exists — the
         # rerun of this same command is the documented recovery path
         # (retag_table self-recovers from .retag.tmp / .retag.old)
-        ap.error(f"no table at {args.path} (and no .retag.tmp/.retag.old debris to recover)")
+        ap.error(
+            f"no table at {args.path} (and no {TMP_SUFFIX}/{OLD_SUFFIX} "
+            "debris to recover)"
+        )
 
     import importlib
 
