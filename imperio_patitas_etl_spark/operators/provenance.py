@@ -200,10 +200,12 @@ def retag_table(
             os.rename(bak, base)
         elif os.path.lexists(bak):
             # non-directory debris cannot be the parked original:
-            # sweep it and refuse cleanly instead of letting the read
-            # below fail with a raw path-missing Spark error
+            # sweep it (and any junk-shaped tmp) and refuse cleanly
+            # instead of letting the read below fail with a raw
+            # path-missing Spark error
             try:
                 _remove_table(bak)
+                _remove_table(tmp)
             except OSError:
                 pass
             raise ValueError(
