@@ -177,9 +177,12 @@ def retag_table(
     bak = base + RETAG_OLD_SUFFIX
     # self-recover debris from a crashed previous run BEFORE reading:
     if not os.path.exists(base):
-        if os.path.isdir(tmp):
+        if os.path.isdir(tmp) and not os.path.islink(tmp):
             # crashed between the two swap renames: tmp was already
-            # verified strict (renames only start after verification).
+            # verified strict (renames only start after verification;
+            # rebuild() always writes a REAL parquet directory, so a
+            # symlink-shaped tmp is debris and must never be installed
+            # at the table path — it falls to the sweep below).
             # Complete the swap forward, then FALL THROUGH to the
             # normal read/compare below — it re-validates the tag
             # against THIS call's sf_dir (the crashed run might have
@@ -198,20 +201,28 @@ def retag_table(
             # isdir (following a symlinked park) — only a real table
             # can be restored; junk must never be installed at `path`
             os.rename(bak, base)
-        elif os.path.lexists(bak):
-            # non-directory debris cannot be the parked original:
-            # sweep it (and any junk-shaped tmp) and refuse cleanly
+        elif os.path.lexists(bak) or os.path.lexists(tmp):
+            # junk-shaped debris only (non-directory bak, symlink or
+            # file tmp): sweep each independently and refuse cleanly —
+            # honestly reporting any piece the sweep could NOT remove —
             # instead of letting the read below fail with a raw
             # path-missing Spark error
-            try:
-                _remove_table(bak)
-                _remove_table(tmp)
-            except OSError:
-                pass
+            leftovers = []
+            for p in (bak, tmp):
+                if os.path.lexists(p):
+                    try:
+                        _remove_table(p)
+                    except OSError:
+                        leftovers.append(p)
+            detail = (
+                "sweep FAILED for " + ", ".join(leftovers) + " — remove manually"
+                if leftovers
+                else "now swept"
+            )
             raise ValueError(
                 f"nothing to re-tag at {path}: only non-table debris was "
-                f"found at {bak} (now swept) — re-materialize the "
-                f"{table_desc} from {sf_dir}"
+                f"found ({detail}) — re-materialize the {table_desc} "
+                f"from {sf_dir}"
             )
     elif os.path.lexists(bak):
         # previous run completed the swap but its cleanup failed —

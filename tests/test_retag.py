@@ -480,3 +480,46 @@ def test_retag_fails_fast_on_unclearable_spot_before_the_rebuild(
     assert rebuilds == []  # refused BEFORE paying the rebuild
     # the legacy table is untouched and the migration still possible
     assert dict(spark.read.parquet(out).schema["k"].metadata)["test_source"] == legacy_spelling
+
+
+def test_retag_never_installs_a_symlink_tmp_at_the_table_path(spark, tmp_path):
+    """A symlink-shaped .retag.tmp is debris (rebuild always writes a
+    real parquet directory) — forward-completion must never rename it
+    onto the table path, where it would serve whatever table it points
+    at; it is swept and the call refuses."""
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    # a second, real table elsewhere — the symlink's target
+    other = str(tmp_path / "other_tbl")
+    _write_tiny(spark, other, legacy_spelling)
+    shutil.rmtree(out)
+    os.symlink(other, out + ".retag.tmp")
+    with pytest.raises(ValueError, match="non-table debris"):
+        retag_table(spark, legacy_spelling, out, **kwargs)
+    assert not os.path.exists(out)  # nothing installed at the table path
+    assert not os.path.lexists(out + ".retag.tmp")  # link swept...
+    assert os.path.isdir(other)  # ...without touching its target
+
+
+def test_retag_junk_tmp_only_state_refuses_cleanly(spark, tmp_path):
+    """base missing + file-shaped .retag.tmp + NO .retag.old: must hit
+    the clean refusal (sweeping the junk), not a raw path-missing
+    Spark read error that strands the debris forever."""
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    shutil.rmtree(out)
+    with open(out + ".retag.tmp", "w") as f:
+        f.write("stray")
+    with pytest.raises(ValueError, match="non-table debris"):
+        retag_table(spark, legacy_spelling, out, **kwargs)
+    assert not os.path.lexists(out + ".retag.tmp")

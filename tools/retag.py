@@ -62,8 +62,10 @@ def main(argv: list[str] | None = None) -> int:
         ap.error(f"no such sf_dir: {args.sf_dir}")
     base = os.path.normpath(args.path)
     if not os.path.isdir(base) and not (
-        os.path.isdir(base + TMP_SUFFIX) or os.path.lexists(base + OLD_SUFFIX)
+        os.path.lexists(base + TMP_SUFFIX) or os.path.lexists(base + OLD_SUFFIX)
     ):
+        # lexists on BOTH siblings: any debris shape admits the run so
+        # retag_table can recover or sweep-and-refuse cleanly (exit 2)
         # a missing path IS valid when swap-crash debris exists — the
         # rerun of this same command is the documented recovery path
         # (retag_table self-recovers from .retag.tmp / .retag.old)
