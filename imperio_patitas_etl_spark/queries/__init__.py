@@ -62,68 +62,70 @@ _MODULES = (
     core,
 )
 
-# Round-15 window (exactly the 50 keys the driver samples). r15 is a
-# maintenance round (VERDICT r14). No rule-(a) keys: `tools/rotation.py`
-# reports 0 changed keys since boundary 67fcb6daf. The window is pure
-# rule-(b) refresh per --plan-next after folding CORRECTNESS_r14 into
-# certification.py: the 25 remaining r11-latest rows plus the 25 oldest
-# r12 rows. After this window lands, no key's latest driver row is
-# older than r12.
-_R15_FRONT = (
-    # -- rule (b) refresh: all remaining r11-latest rows (25)
-    "lag_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "ngram_jaccard_dedup",
-    "pmi_collocations",
-    "pps_systematic_sample",
-    "resample_ffill",
-    "rolling_distinct_users",
-    "rolling_median_daily",
-    "scd2_history",
-    "scd2_time_weighted",
-    "session_path_trigrams",
-    "snapshot_diff",
-    "stream_interval_join",
-    "stream_rolling_distinct",
-    "table_checksum_blocks",
-    "tfidf_weights",
-    "tpch_q1",
-    "tpch_q11",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q2",
-    "tpch_q8",
-    "trimmed_mean",
-    "weighted_sample_aes",
-    # -- rule (b) fill: oldest r12 rows (25)
-    "ann_ivf",
-    "ann_ivf_trained",
-    "ann_lsh_bucketed",
-    "ann_topk_bruteforce",
-    "arith_derived",
-    "asof_join",
-    "casts",
-    "coalesce_defaults",
-    "cube_rollup",
-    "date_window",
-    "decontaminate_ngram",
-    "dedup_exact",
-    "dedup_first",
-    "dedup_simhash",
-    "delete_insert_antijoin",
-    "derived_cost_coalesce",
-    "distinct_agg",
-    "doc_fingerprint",
-    "dq_flags",
-    "embedding_cosine_dedup",
-    "embedding_dup_clusters",
-    "event_funnel",
-    "event_transition_matrix",
-    "exists_any_agg",
-    "groupby_avg",
+# Round-16 window (exactly the 50 keys the driver samples). r16 is a
+# scale-evidence round (VERDICT r15). No rule-(a) keys at planning
+# time: `tools/rotation.py` reports 0 changed keys since boundary
+# 70fcaea81. The window is pure rule-(b) refresh per --plan-next
+# after folding CORRECTNESS_r15 into certification.py: all 25
+# remaining r12-latest rows (incl. the stalest cohort VERDICT r15
+# item 7 names: scan_parquet, limit, sort_limit) plus the 25 oldest
+# r13 rows. After this window lands, no key's latest driver row is
+# older than r13.
+_R16_FRONT = (
+    # -- rule (b) refresh: all remaining r12-latest rows (25)
+    "histogram_fixed",
+    "intra_doc_dedup",
+    "join_strategy_advisor",
+    "kmv_join_cardinality",
+    "limit",
+    "minhash_incremental",
+    "ndcg_eval",
+    "pack_sequences",
+    "pareto_frontier_2d",
+    "pii_redact",
+    "pivot_wide",
+    "power_iteration_pc",
+    "retention_cohorts",
+    "scan_parquet",
+    "scd2_asof_lookup",
+    "scd2_incremental",
+    "sort_limit",
+    "span_dedup",
+    "sql_interface",
+    "srm_check",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "unpivot_long",
+    "zorder_layout_audit",
+    # -- rule (b) fill: oldest r13 rows (25)
+    "ab_test_summary",
+    "bigram_logprob",
+    "bom_rollup",
+    "cdc_apply",
+    "cusum_changepoint",
+    "dow_seasonal_residual",
+    "entity_resolution_blocked",
+    "equi_depth_histogram",
+    "explode_details",
+    "explode_variants",
+    "feature_scale",
+    "filter_project_client",
+    "filter_project_detail",
+    "filter_project_document",
+    "filter_project_product",
+    "fk_orphans_antijoin",
+    "funnel_time_bounded",
+    "gopher_filter",
+    "group_corr",
+    "group_linear_fit",
+    "item_cooccurrence",
+    "join_cost_left",
+    "join_price_broadcast",
+    "json_extract",
+    "khop_reach",
 )
-assert len(_R15_FRONT) == 50, len(_R15_FRONT)
+assert len(_R16_FRONT) == 50, len(_R16_FRONT)
 
 # Single importable alias for the current window (VERDICT r14 item 3):
 # tests consume CURRENT_FRONT so a rotation renames exactly one
@@ -131,7 +133,7 @@ assert len(_R15_FRONT) == 50, len(_R15_FRONT)
 # because the external driver's window-sampling contract is stated in
 # terms of `_R{N}_FRONT`; tests/test_rotation.py pins the convention
 # (the literal's round number must be certification-table max + 1).
-CURRENT_FRONT = _R15_FRONT
+CURRENT_FRONT = _R16_FRONT
 
 
 def all_queries() -> dict[str, QueryFn]:
