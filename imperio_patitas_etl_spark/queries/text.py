@@ -290,11 +290,69 @@ def _ngram_pair_build(
     - the standalone registry key leaves the blocks alive because its
       RETURNED plan reads them (one bounded shingle table per call, the
       same lifetime contract as the CC final-label checkpoint).
+
+    IDENTICAL SHINGLE SETS ARE COLLAPSED FIRST (r16 — the r3 minhash
+    hot-bucket fix applied to the AllPairs key, prompted by the
+    tools/ngram_candidate_probe.py audit, VERDICT r15 item 1): Jaccard
+    is a function of the shingle SET alone, so documents with identical
+    (lang, sorted-shingle) fingerprints are interchangeable. The
+    AllPairs index runs over one representative per distinct set; a
+    qualifying representative pair expands relationally to all member
+    cross pairs (same jaccard_bp, exactly), and each non-empty group of
+    b identical sets contributes its C(b,2) clique at jaccard 10000
+    (n_inter = n_union ⇒ floor((2·10000·n + n)/2n) = 10000; empty sets
+    and NULL langs are excluded, matching the JACCARD_T3 guard and the
+    lang equi-join). On a corpus with mean duplicate multiplicity m the
+    index work drops m² — the audit measured the replicated sf1 tree at
+    output 2,948× / candidates 114× for 10× input precisely because
+    every text has 10 byte-identical copies; mass duplication is the
+    expected 100 TB regime, and this pre-collapse makes the quadratic
+    term scale with DISTINCT texts only while the emitted clique pairs
+    stay output-bounded.
     """
     _before = persistent_rdd_ids(spark)
-    s = _shingled(spark, sf_dir).localCheckpoint()
+    s = _shingled(spark, sf_dir)
+    gw = Window.partitionBy("lang", "fp")
+    tagged = (
+        s.withColumn(
+            "fp", F.md5(F.array_join(F.array_sort("shingles"), "\x1e"))
+        )
+        .withColumn("gid", F.min("doc_id").over(gw))
+        .localCheckpoint()
+    )
     shingle_ids = persistent_rdd_ids(spark) - _before
-    return _pairs_from_shingled(s), shingle_ids
+    reps = tagged.filter(F.col("doc_id") == F.col("gid")).select(
+        "doc_id", "lang", "shingles"
+    )
+    rep_pairs = _pairs_from_shingled(reps)
+    # cross-group expansion: members inherit their representative's pairs
+    ma = tagged.select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("ma"))
+    mb = tagged.select(F.col("gid").alias("doc_b"), F.col("doc_id").alias("mb"))
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard_bp",
+        )
+    )
+    # intra-group cliques: identical non-empty sets are exact duplicates
+    me = tagged.filter(
+        (F.size("shingles") > 0) & F.col("lang").isNotNull()
+    ).select("gid", "doc_id")
+    ia = me.alias("ia")
+    ib = me.alias("ib")
+    intra = ia.join(
+        ib,
+        (F.col("ia.gid") == F.col("ib.gid"))
+        & (F.col("ia.doc_id") < F.col("ib.doc_id")),
+    ).select(
+        F.col("ia.doc_id").alias("doc_a"),
+        F.col("ib.doc_id").alias("doc_b"),
+        F.lit(10000).cast("long").alias("jaccard_bp"),
+    )
+    return cross.unionByName(intra), shingle_ids
 
 
 def _pairs_from_shingled(s: DataFrame) -> DataFrame:
