@@ -175,6 +175,10 @@ def retag_table(
     base = os.path.normpath(path)
     tmp = base + RETAG_TMP_SUFFIX
     bak = base + RETAG_OLD_SUFFIX
+    #: set when THIS call completed a crashed run's swap forward — the
+    #: parked original was consumed doing so, and the mismatch error
+    #: below must say so (ADVICE r15)
+    forward_completed = False
     # self-recover debris from a crashed previous run BEFORE reading:
     if not os.path.exists(base):
         if os.path.isdir(tmp) and not os.path.islink(tmp):
@@ -190,6 +194,7 @@ def retag_table(
             # False/True/refuse accordingly.
             os.rename(tmp, base)
             spark.catalog.refreshByPath(base)
+            forward_completed = True
             try:
                 _remove_table(bak)
             except OSError:
@@ -224,15 +229,20 @@ def retag_table(
                 f"found ({detail}) — re-materialize the {table_desc} "
                 f"from {sf_dir}"
             )
-    elif os.path.lexists(bak):
-        # previous run completed the swap but its cleanup failed —
-        # finish it. Best-effort FOR REAL: a healthy already-strict
-        # table must no-op below even if this debris is unremovable
-        # (root-owned leftovers, EBUSY mounts)
-        try:
-            _remove_table(bak)
-        except OSError:
-            pass
+    elif os.path.lexists(bak) or os.path.lexists(tmp):
+        # previous run completed the swap but its cleanup failed (a
+        # stranded .retag.old), or a run crashed before its swap began
+        # (a stranded .retag.tmp — real or junk-shaped, both debris
+        # once `path` is healthy; ADVICE r15) — finish the cleanup.
+        # Best-effort FOR REAL: a healthy already-strict table must
+        # no-op below even if this debris is unremovable (root-owned
+        # leftovers, EBUSY mounts)
+        for p in (bak, tmp):
+            if os.path.lexists(p):
+                try:
+                    _remove_table(p)
+                except OSError:
+                    pass
     df = spark.read.parquet(path)
     if column not in df.columns:
         # a wrong-kind invocation (e.g. the edges retag pointed at a
@@ -248,12 +258,20 @@ def retag_table(
     if tag == want:
         return False
     if tag != sf_dir.rstrip("/"):
+        consumed = (
+            " (note: this call first completed a crashed earlier run's "
+            "swap forward, which consumed the parked original at "
+            f"{bak!r} — the table now at {path} is that run's verified "
+            "rebuild, not the pre-crash table)"
+            if forward_completed
+            else ""
+        )
         raise ValueError(
             f"refusing to re-tag {table_desc} at {path}: its tag {tag!r} "
             f"matches neither the strict canonical form {want!r} nor the "
             f"legacy raw spelling of {sf_dir!r} — this is a genuine source "
             "mismatch, not a pre-r12 tag; re-materialize from the correct "
-            "source instead"
+            f"source instead{consumed}"
         )
     # clear BOTH swap spots before paying the rebuild: an unremovable
     # .retag.old (or debris-shaped .retag.tmp a plain rmtree would

@@ -523,3 +523,66 @@ def test_retag_junk_tmp_only_state_refuses_cleanly(spark, tmp_path):
     with pytest.raises(ValueError, match="non-table debris"):
         retag_table(spark, legacy_spelling, out, **kwargs)
     assert not os.path.lexists(out + ".retag.tmp")
+
+
+def test_retag_noop_sweeps_stranded_tmp_next_to_healthy_table(spark, tmp_path):
+    """ADVICE r15: junk- or real-shaped .retag.tmp debris sitting next to
+    an already-strict table must be reclaimed on the NO-OP path, the same
+    way a stranded .retag.old is — not wait for a legacy migration that
+    never comes."""
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is True  # now strict
+
+    # junk-shaped tmp (stray file)
+    with open(out + ".retag.tmp", "w") as f:
+        f.write("stray")
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is False
+    assert not os.path.lexists(out + ".retag.tmp")
+
+    # symlink-shaped tmp
+    os.symlink(tmp_path / "sf", out + ".retag.tmp")
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is False
+    assert not os.path.lexists(out + ".retag.tmp")
+
+    # real-directory tmp (crash before the swap began)
+    _rebuild_tiny(spark, legacy_spelling, out + ".retag.tmp")
+    assert retag_table(spark, legacy_spelling, out, **kwargs) is False
+    assert not os.path.lexists(out + ".retag.tmp")
+
+
+def test_retag_mismatch_after_forward_complete_names_consumed_original(
+    spark, tmp_path
+):
+    """ADVICE r15: when a rerun forward-completes a crashed swap and THEN
+    refuses on a genuine source mismatch, the error must say the parked
+    pre-crash original was consumed by that completion (it is no longer
+    recoverable), so the operator isn't left believing a restore exists."""
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    # crash window A debris, but the crashed run targeted legacy_spelling
+    _rebuild_tiny(spark, legacy_spelling, out + ".retag.tmp")
+    os.rename(out, out + ".retag.old")
+    # THIS call targets a different source → forward-complete, then refuse
+    other = tmp_path / "other_sf"
+    other.mkdir()
+    with pytest.raises(ValueError, match="consumed the parked original"):
+        retag_table(spark, str(other), out, **kwargs)
+    # the forward-completed table is installed and strict for the
+    # crashed run's own source — recoverable state, honestly described
+    got = dict(spark.read.parquet(out).schema["k"].metadata)["test_source"]
+    assert got == canonical_source(legacy_spelling)
+    # and a plain mismatch (no forward-complete) must NOT claim one
+    with pytest.raises(ValueError) as ei:
+        retag_table(spark, str(other), out, **kwargs)
+    assert "consumed the parked original" not in str(ei.value)
