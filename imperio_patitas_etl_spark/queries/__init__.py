@@ -63,16 +63,23 @@ _MODULES = (
 )
 
 # Round-16 window (exactly the 50 keys the driver samples). r16 is a
-# scale-evidence round (VERDICT r15). No rule-(a) keys at planning
-# time: `tools/rotation.py` reports 0 changed keys since boundary
-# 70fcaea81. The window is pure rule-(b) refresh per --plan-next
+# scale-evidence round (VERDICT r15). Rule (a): five keys changed
+# implementation this round — the bloom bitmap probe and the
+# shingle-set pre-collapse shared by the ngram-Jaccard family
+# (`tools/rotation.py` fingerprint diff vs boundary 70fcaea81) —
+# and lead the window. The rest is rule-(b) refresh per --plan-next
 # after folding CORRECTNESS_r15 into certification.py: all 25
 # remaining r12-latest rows (incl. the stalest cohort VERDICT r15
-# item 7 names: scan_parquet, limit, sort_limit) plus the 25 oldest
-# r13 rows. After this window lands, no key's latest driver row is
-# older than r13.
+# item 7 names: scan_parquet, limit, sort_limit) plus the oldest
+# r13 rows.
 _R16_FRONT = (
-    # -- rule (b) refresh: all remaining r12-latest rows (25)
+    # -- rule (a): implementation changed this round (5)
+    "bloom_prefilter_join",
+    "corpus_keep_list",
+    "dup_clusters",
+    "dup_clusters_star",
+    "ngram_jaccard_dedup",
+    # -- rule (b) refresh: stalest driver rows (45)
     "histogram_fixed",
     "intra_doc_dedup",
     "join_strategy_advisor",
@@ -98,7 +105,6 @@ _R16_FRONT = (
     "tpch_q5",
     "unpivot_long",
     "zorder_layout_audit",
-    # -- rule (b) fill: oldest r13 rows (25)
     "ab_test_summary",
     "bigram_logprob",
     "bom_rollup",
@@ -119,11 +125,6 @@ _R16_FRONT = (
     "gopher_filter",
     "group_corr",
     "group_linear_fit",
-    "item_cooccurrence",
-    "join_cost_left",
-    "join_price_broadcast",
-    "json_extract",
-    "khop_reach",
 )
 assert len(_R16_FRONT) == 50, len(_R16_FRONT)
 
