@@ -85,3 +85,46 @@ def test_cosine_dedup_finds_near_dups_and_prefilters_by_bucket(spark, tmp_path):
     assert got[(10, 11)] == pytest.approx(1.0)
     assert (10, 12) not in got and (11, 12) not in got
     assert all(c >= COS_DEDUP_T for c in got.values())
+
+
+def test_ngram_collapse_expands_groups_exactly(spark, tmp_path):
+    """r16 shingle-set pre-collapse (VERDICT r15 item 1): identical
+    (lang, shingle-set) groups run the AllPairs index ONCE per distinct
+    set; member pairs come back via relational expansion. Pins the three
+    expansion legs — intra-group cliques at jaccard 10000, cross-group
+    member pairs inheriting the representatives' exact value, and the
+    exclusions (empty shingle sets, NULL lang) that keep the collapse
+    aligned with the JACCARD_T3 guard and the lang equi-join."""
+    near_a = "w1 w2 w3 w4"          # 2 shingles
+    near_b = "w1 w2 w3 w4 w5 w6"    # 4 shingles, j(A,B) = 2/4 = 0.5
+    docs = [
+        # group A: three identical copies
+        (1, "en", near_a),
+        (2, "en", near_a),
+        (3, "en", near_a),
+        # group B: two identical copies, near-dup of group A
+        (4, "en", near_b),
+        (5, "en", near_b),
+        # identical SET under different lang: never pairs with group A
+        (6, "fr", near_a),
+        # empty shingle sets (< 3 tokens), identical: never pair
+        (7, "en", "too short"),
+        (8, "en", "too short"),
+        # NULL lang twins: the lang equi-join semantics exclude them
+        (9, None, "y1 y2 y3 y4"),
+        (10, None, "y1 y2 y3 y4"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, lang string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q_ngram_jaccard_dedup(spark, str(tmp_path))
+    pairs = sorted((r.doc_a, r.doc_b, r.jaccard_bp) for r in out.collect())
+    assert pairs == sorted(
+        [
+            # intra-group cliques: C(3,2) in A, C(2,2) in B
+            (1, 2, 10000), (1, 3, 10000), (2, 3, 10000), (4, 5, 10000),
+            # cross-group expansion: 3 x 2 member pairs at the reps' j = 0.5
+            (1, 4, 5000), (1, 5, 5000), (2, 4, 5000), (2, 5, 5000),
+            (3, 4, 5000), (3, 5, 5000),
+        ]
+    )
