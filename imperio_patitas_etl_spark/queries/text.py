@@ -311,16 +311,33 @@ def _ngram_pair_build(
     stay output-bounded.
     """
     _before = persistent_rdd_ids(spark)
-    s = _shingled(spark, sf_dir)
-    gw = Window.partitionBy("lang", "fp")
-    tagged = (
-        s.withColumn(
-            "fp", F.md5(F.array_join(F.array_sort("shingles"), "\x1e"))
-        )
-        .withColumn("gid", F.min("doc_id").over(gw))
-        .localCheckpoint()
-    )
+    tagged = _tag_shingle_groups(_shingled(spark, sf_dir)).localCheckpoint()
     shingle_ids = persistent_rdd_ids(spark) - _before
+    return _pairs_from_tagged(tagged), shingle_ids
+
+
+def _tag_shingle_groups(s: DataFrame) -> DataFrame:
+    """Annotate a shingled relation (doc_id, lang, shingles) with its
+    identical-set group: ``fp`` fingerprints the (order-normalized)
+    shingle set, ``gid`` is the group's min doc_id — the collapse key for
+    ``_pairs_from_tagged``. One window shuffle on (lang, fp); callers
+    checkpoint the result because every downstream subtree (freq, prefix,
+    both verify sides, both expansion sides) re-reads it."""
+    gw = Window.partitionBy("lang", "fp")
+    return s.withColumn(
+        "fp", F.md5(F.array_join(F.array_sort("shingles"), "\x1e"))
+    ).withColumn("gid", F.min("doc_id").over(gw))
+
+
+def _pairs_from_tagged(tagged: DataFrame) -> DataFrame:
+    """Near-dup pairs from a group-tagged shingled relation: AllPairs
+    index over one representative per distinct (lang, shingle-set) group
+    (``_pairs_from_shingled``), then relational expansion — cross-group
+    member pairs inherit their representatives' exact jaccard_bp, and
+    each non-empty group of b identical sets contributes its C(b,2)
+    clique at jaccard 10000 (see ``_ngram_pair_build``'s collapse note
+    for the proof obligations: empty sets and NULL langs are excluded to
+    match the JACCARD_T3 guard and the lang equi-join)."""
     reps = tagged.filter(F.col("doc_id") == F.col("gid")).select(
         "doc_id", "lang", "shingles"
     )
@@ -352,7 +369,7 @@ def _ngram_pair_build(
         F.col("ib.doc_id").alias("doc_b"),
         F.lit(10000).cast("long").alias("jaccard_bp"),
     )
-    return cross.unionByName(intra), shingle_ids
+    return cross.unionByName(intra)
 
 
 def _pairs_from_shingled(s: DataFrame) -> DataFrame:
@@ -2107,7 +2124,12 @@ def ngram_family_from_shingles(
     # diff is safe because this build runs no lazy .persist() whose RDD
     # could first register later (the CheckpointGenerations contract).
     _before = persistent_rdd_ids(spark)
-    pairs = _pairs_from_shingled(s).localCheckpoint()
+    # same identical-set pre-collapse as the registry keys (r16): the
+    # tagged relation is checkpointed because every collapse subtree
+    # re-reads it; its blocks join the family-owned set below
+    pairs = _pairs_from_tagged(
+        _tag_shingle_groups(s).localCheckpoint()
+    ).localCheckpoint()
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select("doc_a", "doc_b")
     clusters = connected_components(docs, edges)
