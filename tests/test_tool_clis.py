@@ -1,6 +1,7 @@
-"""CLI guard rails for the four remaining tools/ commands (VERDICT r14
-hygiene family: check.py r13, sweep_batch r13, rotation/retag r15 — this
-closes dump_plans, make_sf1, and the two probes).
+"""CLI guard rails for the tools/ commands (VERDICT r14 hygiene family:
+check.py r13, sweep_batch r13, rotation/retag r15, dump_plans/make_sf1
+and the two probes r15; the r16 scale-evidence tools — pipeline_bench,
+ngram_candidate_probe, scaling_curve — join the same rails below).
 
 The pre-r15 parsing in these four was hand-rolled ``sys.argv`` slicing:
 
@@ -52,10 +53,18 @@ ALL_TOOLS = [
     "make_sf1.py",
     "shared_build_probe.py",
     "shingle_family_probe.py",
+    "pipeline_bench.py",
+]
+
+#: r16 tools with VARIADIC positionals by design (N sf_dirs / N keys) —
+#: they share the help/typo'd-flag rails but not the arity test
+VARIADIC_TOOLS = [
+    "ngram_candidate_probe.py",
+    "scaling_curve.py",
 ]
 
 
-@pytest.mark.parametrize("tool", ALL_TOOLS)
+@pytest.mark.parametrize("tool", ALL_TOOLS + VARIADIC_TOOLS)
 def test_help_is_fast_path(tool):
     res = run_cli(tool, "--help")
     assert res.returncode == 0
@@ -63,7 +72,7 @@ def test_help_is_fast_path(tool):
     assert_no_spark(res)
 
 
-@pytest.mark.parametrize("tool", ALL_TOOLS)
+@pytest.mark.parametrize("tool", ALL_TOOLS + VARIADIC_TOOLS)
 def test_typoed_flag_is_an_error(tool):
     res = run_cli(tool, "--ful")
     assert res.returncode != 0
@@ -81,7 +90,14 @@ def test_stray_extra_positional_is_an_error(tool):
 
 
 @pytest.mark.parametrize(
-    "tool", ["dump_plans.py", "shared_build_probe.py", "shingle_family_probe.py"]
+    "tool",
+    [
+        "dump_plans.py",
+        "shared_build_probe.py",
+        "shingle_family_probe.py",
+        "pipeline_bench.py",
+        "ngram_candidate_probe.py",
+    ],
 )
 def test_missing_sf_dir_is_an_argument_error(tool):
     res = run_cli(tool, "/no/such/sf_dir")
@@ -136,4 +152,21 @@ def test_dump_plans_full_flag_equals_value_is_rejected():
     # a silently-summary run (the r13 check.py convention)
     res = run_cli("dump_plans.py", "--full=yes")
     assert res.returncode != 0
+    assert_no_spark(res)
+
+
+def test_scaling_curve_invalid_key_is_an_argument_error():
+    # key membership is validated against the registry BEFORE any
+    # SparkSession exists — a typo'd key must not cost a JVM boot and
+    # a KeyError mid-sweep
+    res = run_cli("scaling_curve.py", "no_such_query_key")
+    assert res.returncode != 0
+    assert "invalid query key" in res.stderr
+    assert_no_spark(res)
+
+
+def test_scaling_curve_zero_reps_is_an_argument_error():
+    res = run_cli("scaling_curve.py", "--reps", "0")
+    assert res.returncode != 0
+    assert "reps must be >= 1" in res.stderr
     assert_no_spark(res)

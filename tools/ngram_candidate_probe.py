@@ -34,6 +34,7 @@ Usage: python tools/ngram_candidate_probe.py [sf_dir ...]
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -42,11 +43,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql.window import Window  # noqa: E402
+DEFAULT_DIRS = (
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+    "/tmp/sf1",
+)
 
 
 def probe(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     from imperio_patitas_etl_spark.queries.text import (
         JACCARD_T3,
         _shingled,
@@ -135,13 +142,33 @@ def probe(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(
+        prog="ngram_candidate_probe.py",
+        allow_abbrev=False,
+        description=(
+            "Instrument the AllPairs candidate pipeline stage counts per "
+            "sf_dir; prints one JSON line each."
+        ),
+    )
+    ap.add_argument(
+        "sf_dirs",
+        nargs="*",
+        default=None,
+        help=f"scale-point directories (default: {' '.join(DEFAULT_DIRS)}; "
+        "explicitly-passed directories must exist, default ones are "
+        "skipped with a note when absent)",
+    )
+    args = ap.parse_args()
+    if args.sf_dirs:
+        for d in args.sf_dirs:
+            if not os.path.isdir(d):
+                ap.error(f"no such sf_dir: {d}")
+        dirs = list(args.sf_dirs)
+    else:
+        dirs = list(DEFAULT_DIRS)
+
     from pyspark.sql import SparkSession
 
-    dirs = sys.argv[1:] or [
-        "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1",
-        "/tmp/sf1",
-    ]
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

@@ -39,6 +39,7 @@ Usage: python tools/pipeline_bench.py [sf_dir] (default testdata sf0.1)
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -48,9 +49,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
-
 SRC_DIR = "/tmp/pipeline_bench_src"
 WH_DIR = "/tmp/pipeline_bench_wh"
 
@@ -59,7 +57,9 @@ WH_DIR = "/tmp/pipeline_bench_wh"
 INCR_DAYS = 11500
 
 
-def build_sources(spark: SparkSession, sf_dir: str) -> None:
+def build_sources(spark, sf_dir: str) -> None:
+    from pyspark.sql import functions as F
+
     from imperio_patitas_etl_spark.sources.parquet import load_table
 
     shutil.rmtree(SRC_DIR, ignore_errors=True)
@@ -240,12 +240,32 @@ def build_sources(spark: SparkSession, sf_dir: str) -> None:
     documents.write.mode("overwrite").parquet(f"{SRC_DIR}/documents.parquet")
 
 
-def _tables_equal(a: DataFrame, b: DataFrame) -> bool:
+def _tables_equal(a, b) -> bool:
     return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    ap = argparse.ArgumentParser(
+        prog="pipeline_bench.py",
+        allow_abbrev=False,
+        description=(
+            "Time the end-to-end EtlPipeline (sync-all → incremental → "
+            "idempotent re-sync) against dirty nested sources derived "
+            "from the sf_dir tables; prints one JSON line."
+        ),
+    )
+    ap.add_argument(
+        "sf_dir",
+        nargs="?",
+        default="/root/testdata/sf0.1",
+        help="source scale-factor directory (default: %(default)s)",
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    if not os.path.isdir(sf_dir):
+        ap.error(f"no such sf_dir: {sf_dir}")
+
+    from pyspark.sql import SparkSession
 
     from imperio_patitas_etl_spark.plans.pipeline import EtlPipeline
     from imperio_patitas_etl_spark.sinks.warehouse import ParquetWarehouse

@@ -59,19 +59,39 @@ POINTS = (
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser(prog="scaling_curve.py", allow_abbrev=False)
-    ap.add_argument("keys", nargs="*", default=None)
-    ap.add_argument("--reps", type=int, default=3)
+    ap = argparse.ArgumentParser(
+        prog="scaling_curve.py",
+        allow_abbrev=False,
+        description=(
+            "Fit per-key log-log scaling exponents over sf0.1/sf1/sf2; "
+            "one JSON line per key plus a markdown table on stderr."
+        ),
+    )
+    ap.add_argument(
+        "keys",
+        nargs="*",
+        default=None,
+        help="registry query keys (default: the r15 superlinear-watch set)",
+    )
+    ap.add_argument(
+        "--reps", type=int, default=3, help="warm reps per point (min is kept)"
+    )
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error(f"reps must be >= 1, got {args.reps}")
     keys = args.keys or list(WATCH_KEYS)
-
-    from pyspark.sql import SparkSession
 
     from imperio_patitas_etl_spark.queries import all_queries
 
+    registry = all_queries()
+    for key in keys:
+        if key not in registry:
+            ap.error(f"invalid query key: {key!r} is not in the registry")
     for _, d, _ in POINTS:
         if not os.path.isdir(d):
             sys.exit(f"missing scale point {d} — build it with tools/make_sf1.py")
+
+    from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master("local[32]")
@@ -81,7 +101,7 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    qs = all_queries()
+    qs = registry
     md = [
         "| query key | sf0.1 s | sf1 s | sf2 s | exp 0.1→2 | exp 1→2 |",
         "|---|---|---|---|---|---|",
