@@ -258,14 +258,24 @@ def retag_table(
     if tag == want:
         return False
     if tag != sf_dir.rstrip("/"):
-        consumed = (
-            " (note: this call first completed a crashed earlier run's "
-            "swap forward, which consumed the parked original at "
-            f"{bak!r} — the table now at {path} is that run's verified "
-            "rebuild, not the pre-crash table)"
-            if forward_completed
-            else ""
-        )
+        if forward_completed and not os.path.lexists(bak):
+            consumed = (
+                " (note: this call first completed a crashed earlier "
+                "run's swap forward, which consumed the parked original "
+                f"at {bak!r} — the table now at {path} is that run's "
+                "verified rebuild, not the pre-crash table)"
+            )
+        elif forward_completed:
+            # the best-effort bak cleanup failed, so the original IS
+            # still recoverable — say so instead of claiming consumption
+            consumed = (
+                " (note: this call first completed a crashed earlier "
+                "run's swap forward; the pre-crash original is still "
+                f"parked at {bak!r} — its cleanup failed — and can be "
+                "restored manually if the crashed run's source was wrong)"
+            )
+        else:
+            consumed = ""
         raise ValueError(
             f"refusing to re-tag {table_desc} at {path}: its tag {tag!r} "
             f"matches neither the strict canonical form {want!r} nor the "

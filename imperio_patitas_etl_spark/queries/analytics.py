@@ -319,8 +319,8 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     query result, checkable by the oracle, and whose position set can be
     persisted and reused across runs (a runtime filter cannot).
 
-    The broadcast representation is a DENSE BITMAP — {BLOOM_WORDS}
-    longs packing the 2^16 bits — NOT the sorted distinct-position
+    The broadcast representation is a DENSE BITMAP — 1,024 longs
+    (BLOOM_WORDS) packing the 2^16 bits — NOT the sorted distinct-position
     array the first cut shipped (r7-r15). The array form made every
     probe row pay three ``array_contains`` LINEAR scans of a position
     set whose length grows with the build side, so 10× data cost 10×

@@ -295,7 +295,7 @@ def _ngram_pair_build(
     hot-bucket fix applied to the AllPairs key, prompted by the
     tools/ngram_candidate_probe.py audit, VERDICT r15 item 1): Jaccard
     is a function of the shingle SET alone, so documents with identical
-    (lang, sorted-shingle) fingerprints are interchangeable. The
+    (lang, sorted-shingle-array) group keys are interchangeable. The
     AllPairs index runs over one representative per distinct set; a
     qualifying representative pair expands relationally to all member
     cross pairs (same jaccard_bp, exactly), and each non-empty group of
@@ -318,15 +318,19 @@ def _ngram_pair_build(
 
 def _tag_shingle_groups(s: DataFrame) -> DataFrame:
     """Annotate a shingled relation (doc_id, lang, shingles) with its
-    identical-set group: ``fp`` fingerprints the (order-normalized)
-    shingle set, ``gid`` is the group's min doc_id — the collapse key for
-    ``_pairs_from_tagged``. One window shuffle on (lang, fp); callers
-    checkpoint the result because every downstream subtree (freq, prefix,
-    both verify sides, both expansion sides) re-reads it."""
-    gw = Window.partitionBy("lang", "fp")
-    return s.withColumn(
-        "fp", F.md5(F.array_join(F.array_sort("shingles"), "\x1e"))
-    ).withColumn("gid", F.min("doc_id").over(gw))
+    identical-set group: ``gid`` is the min doc_id over the (lang,
+    sorted-shingle-array) window — the collapse key for
+    ``_pairs_from_tagged``. The window partitions on the SORTED ARRAY
+    ITSELF (Catalyst hashes/compares array values element-wise), not on
+    a joined-string fingerprint: any separator-based encoding is
+    ambiguous when a token can contain the separator (tokenization
+    splits on space only), and a collision there would merge two
+    genuinely different sets into one jaccard-10000 clique. One window
+    shuffle on (lang, set); callers checkpoint the result because every
+    downstream subtree (freq, prefix, both verify sides, both expansion
+    sides) re-reads it."""
+    gw = Window.partitionBy("lang", F.array_sort("shingles"))
+    return s.withColumn("gid", F.min("doc_id").over(gw))
 
 
 def _pairs_from_tagged(tagged: DataFrame) -> DataFrame:

@@ -79,12 +79,14 @@ def probe(spark, sf_dir: str) -> dict:
     ).localCheckpoint()
     n_prefix = pref.count()
     # the raw equi-join floor: per (lang, tok), C(prefix_df, 2) pairs
+    # F.sum over zero rows is NULL — a corpus of <3-token docs has an
+    # empty prefix set and must report 0, not crash int(None)
     cand_bound = (
         pref.groupBy("lang", "tok")
         .agg(F.count("*").alias("pdf"))
         .agg(F.sum(F.expr("pdf * (pdf - 1) div 2")).alias("cb"))
         .first()["cb"]
-    )
+    ) or 0
     a = pref.alias("a")
     b = pref.alias("b")
     pos_ok = (

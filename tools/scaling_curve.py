@@ -101,7 +101,20 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    from imperio_patitas_etl_spark.operators.checkpoint import (
+        persistent_rdd_ids,
+        release_rdds,
+    )
+
     qs = registry
+    # per-KEY checkpoint reclamation (r16 code review): the ngram/CC keys
+    # retain localCheckpoint blocks per call; 13 keys × 3 points × reps
+    # would pile ~100 generations into one driver and skew the later
+    # keys' minima. Released BETWEEN keys (never between reps: the
+    # bench A/B in SCALE.md §r16 measured the non-blocking unpersist
+    # storm bleeding into the next timed window — min-of-reps absorbs
+    # one polluted first rep, but per-rep release would pollute all).
+    baseline_ids = persistent_rdd_ids(spark)
     md = [
         "| query key | sf0.1 s | sf1 s | sf2 s | exp 0.1→2 | exp 1→2 |",
         "|---|---|---|---|---|---|",
@@ -131,6 +144,7 @@ def main() -> None:
             f"| {key} | {rec['sf0.1']} | {rec['sf1']} | {rec['sf2']} "
             f"| {rec['exp_full']} | {rec['exp_sf1_sf2']} |"
         )
+        release_rdds(spark, persistent_rdd_ids(spark) - baseline_ids)
     print("\n".join(md), file=sys.stderr)
     spark.stop()
 
