@@ -194,3 +194,75 @@ def test_bloom_has_no_false_negatives(spark, sf_dir):
     # 3 hashes over 2^16 slots with a KB-scale build side: the filter
     # must actually filter (pass rate well under 50% of probes)
     assert row["n_bloom_pass"] < row["n_probe"] / 2
+
+
+def test_bloom_bitmap_equals_position_set_semantics(spark, sf_dir):
+    """r16 bitmap rewrite: the dense 1,024-long bitmap must encode
+    EXACTLY the distinct bloom positions of the build side — the
+    membership test is a different representation, not a different
+    filter. Recomputes the pre-r16 position set inline (sort_array of
+    the distinct md5 positions) and checks each probed bit against it
+    for every distinct probe key."""
+    from pyspark.sql import functions as F
+
+    from imperio_patitas_etl_spark.queries.analytics import (
+        BLOOM_PART_SIZE,
+        BLOOM_SALTS,
+        _bloom_pos,
+    )
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    build = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == BLOOM_PART_SIZE)
+        .select("p_partkey")
+    )
+    positions = set(
+        r["pos"]
+        for r in build.select(
+            F.explode(
+                F.array(*[F.expr(_bloom_pos("p_partkey", s)) for s in BLOOM_SALTS])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .select(
+            "l_partkey",
+            *[
+                F.expr(_bloom_pos("l_partkey", s)).alias(f"p{i}")
+                for i, s in enumerate(BLOOM_SALTS)
+            ],
+        )
+        .collect()
+    )
+    # the operator's bloom_pass for a key is AND over its three bits;
+    # equivalence per-position implies equivalence of the whole filter
+    from imperio_patitas_etl_spark.queries.analytics import (
+        q_bloom_prefilter_join,
+    )
+
+    row = q_bloom_prefilter_join(spark, sf_dir).collect()[0]
+    expect_pass = sum(
+        1
+        for r in probe
+        if all(r[f"p{i}"] in positions for i in range(len(BLOOM_SALTS)))
+    )
+    # recount over non-distinct probe rows to compare with the operator
+    per_key = {
+        r["l_partkey"]: all(
+            r[f"p{i}"] in positions for i in range(len(BLOOM_SALTS))
+        )
+        for r in probe
+    }
+    got = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .collect()
+    )
+    assert row["n_bloom_pass"] == sum(1 for r in got if per_key[r["l_partkey"]])
+    assert expect_pass >= 1  # the filter admits the real matches
