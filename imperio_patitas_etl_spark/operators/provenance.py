@@ -177,8 +177,14 @@ def retag_table(
     bak = base + RETAG_OLD_SUFFIX
     #: set when THIS call completed a crashed run's swap forward — the
     #: parked original was consumed doing so, and the mismatch error
-    #: below must say so (ADVICE r15)
+    #: below must say so (ADVICE r15). ``bak_existed`` records whether
+    #: a parked original was actually THERE before the forward-
+    #: completion cleanup ran — the 'consumed' wording must key on the
+    #: pre-cleanup observation, not on post-cleanup absence, or a
+    #: contrived tmp-without-bak state would claim a consumption that
+    #: never happened (ADVICE r16)
     forward_completed = False
+    bak_existed = False
     # self-recover debris from a crashed previous run BEFORE reading:
     if not os.path.exists(base):
         if os.path.isdir(tmp) and not os.path.islink(tmp):
@@ -195,6 +201,7 @@ def retag_table(
             os.rename(tmp, base)
             spark.catalog.refreshByPath(base)
             forward_completed = True
+            bak_existed = os.path.lexists(bak)
             try:
                 _remove_table(bak)
             except OSError:
@@ -258,14 +265,14 @@ def retag_table(
     if tag == want:
         return False
     if tag != sf_dir.rstrip("/"):
-        if forward_completed and not os.path.lexists(bak):
+        if forward_completed and bak_existed and not os.path.lexists(bak):
             consumed = (
                 " (note: this call first completed a crashed earlier "
                 "run's swap forward, which consumed the parked original "
                 f"at {bak!r} — the table now at {path} is that run's "
                 "verified rebuild, not the pre-crash table)"
             )
-        elif forward_completed:
+        elif forward_completed and os.path.lexists(bak):
             # the best-effort bak cleanup failed, so the original IS
             # still recoverable — say so instead of claiming consumption
             consumed = (
@@ -273,6 +280,17 @@ def retag_table(
                 "run's swap forward; the pre-crash original is still "
                 f"parked at {bak!r} — its cleanup failed — and can be "
                 "restored manually if the crashed run's source was wrong)"
+            )
+        elif forward_completed:
+            # tmp existed but no parked original ever did (bak removed
+            # out-of-band before this call) — the swap was completed
+            # forward, but claiming a consumption that never happened
+            # would misdirect recovery (ADVICE r16)
+            consumed = (
+                " (note: this call first completed a crashed earlier "
+                "run's swap forward; no parked original was present at "
+                f"{bak!r} — the table now at {path} is that run's "
+                "verified rebuild)"
             )
         else:
             consumed = ""

@@ -62,71 +62,72 @@ _MODULES = (
     core,
 )
 
-# Round-16 window (exactly the 50 keys the driver samples). r16 is a
-# scale-evidence round (VERDICT r15). Rule (a): five keys changed
-# implementation this round — the bloom bitmap probe and the
-# shingle-set pre-collapse shared by the ngram-Jaccard family
-# (`tools/rotation.py` fingerprint diff vs boundary 70fcaea81) —
-# and lead the window. The rest is rule-(b) refresh per --plan-next
-# after folding CORRECTNESS_r15 into certification.py: all 25
-# remaining r12-latest rows (incl. the stalest cohort VERDICT r15
-# item 7 names: scan_parquet, limit, sort_limit) plus the oldest
-# r13 rows.
-_R16_FRONT = (
-    # -- rule (a): implementation changed this round (5)
-    "bloom_prefilter_join",
+# Round-17 window (exactly the 50 keys the driver samples). r17 is the
+# polish-and-re-certify round VERDICT r16 prescribed. Rule (a): four
+# keys changed implementation this round — the ngram-Jaccard family,
+# whose collapse window key became a fixed 16-byte injective netstring
+# digest instead of the full sorted shingle array (VERDICT r16 item 2;
+# `tools/rotation.py` fingerprint diff vs boundary f3dd4a146) — and
+# lead the window. The rest is rule-(b) refresh per --plan-next after
+# folding CORRECTNESS_r16 into certification.py: the remaining
+# r13-latest rows (incl. the stalest cohort VERDICT r16 item 4 names:
+# ab_test_summary…cusum_changepoint went green in r16; next-stalest is
+# the item_cooccurrence…tpch_q6 cohort) plus the oldest r14 rows.
+_R17_FRONT = (
+    # -- rule (a): implementation changed this round (4)
     "corpus_keep_list",
     "dup_clusters",
     "dup_clusters_star",
     "ngram_jaccard_dedup",
-    # -- rule (b) refresh: stalest driver rows (45)
-    "histogram_fixed",
-    "intra_doc_dedup",
-    "join_strategy_advisor",
-    "kmv_join_cardinality",
-    "limit",
-    "minhash_incremental",
-    "ndcg_eval",
-    "pack_sequences",
-    "pareto_frontier_2d",
-    "pii_redact",
-    "pivot_wide",
-    "power_iteration_pc",
-    "retention_cohorts",
-    "scan_parquet",
-    "scd2_asof_lookup",
-    "scd2_incremental",
-    "sort_limit",
-    "span_dedup",
-    "sql_interface",
-    "srm_check",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "unpivot_long",
-    "zorder_layout_audit",
-    "ab_test_summary",
-    "bigram_logprob",
-    "bom_rollup",
-    "cdc_apply",
-    "cusum_changepoint",
-    "dow_seasonal_residual",
-    "entity_resolution_blocked",
-    "equi_depth_histogram",
-    "explode_details",
-    "explode_variants",
-    "feature_scale",
-    "filter_project_client",
-    "filter_project_detail",
-    "filter_project_document",
-    "filter_project_product",
-    "fk_orphans_antijoin",
-    "funnel_time_bounded",
-    "gopher_filter",
-    "group_corr",
-    "group_linear_fit",
+    # -- rule (b) refresh: stalest driver rows (46)
+    "item_cooccurrence",
+    "join_cost_left",
+    "join_price_broadcast",
+    "json_extract",
+    "khop_reach",
+    "kmv_distinct_sketch",
+    "lang_id",
+    "multi_join_star",
+    "multimodal_decode_stub",
+    "multimodal_feature_extract",
+    "node_jaccard_linkpred",
+    "pagerank_copurchase",
+    "percentile_agg",
+    "quality_score",
+    "regex_email",
+    "regex_rut",
+    "simhash_near_dup",
+    "stratified_sample",
+    "stream_dedup",
+    "stream_session_window",
+    "stream_sliding_window",
+    "string_cleanup",
+    "tf_vectorize",
+    "timestamp_from_unix",
+    "token_count",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q21",
+    "tpch_q6",
+    "ann_recall",
+    "attribution_last_touch",
+    "bm25_topk",
+    "bpe_pair_merge",
+    "chunk_sequences",
+    "cm_sketch_topk",
+    "cosine_dedup_recall",
+    "count_by_flag",
+    "count_star",
+    "dedup_minhash_lsh",
+    "domain_mixture",
+    "domain_mixture_sample",
+    "dq_anomaly_mad",
+    "dq_profile",
+    "group_quantiles_exact",
+    "grouping_sets",
 )
-assert len(_R16_FRONT) == 50, len(_R16_FRONT)
+assert len(_R17_FRONT) == 50, len(_R17_FRONT)
 
 # Single importable alias for the current window (VERDICT r14 item 3):
 # tests consume CURRENT_FRONT so a rotation renames exactly one
@@ -134,7 +135,7 @@ assert len(_R16_FRONT) == 50, len(_R16_FRONT)
 # because the external driver's window-sampling contract is stated in
 # terms of `_R{N}_FRONT`; tests/test_rotation.py pins the convention
 # (the literal's round number must be certification-table max + 1).
-CURRENT_FRONT = _R16_FRONT
+CURRENT_FRONT = _R17_FRONT
 
 
 def all_queries() -> dict[str, QueryFn]:

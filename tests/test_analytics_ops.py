@@ -247,11 +247,6 @@ def test_bloom_bitmap_equals_position_set_semantics(spark, sf_dir):
     )
 
     row = q_bloom_prefilter_join(spark, sf_dir).collect()[0]
-    expect_pass = sum(
-        1
-        for r in probe
-        if all(r[f"p{i}"] in positions for i in range(len(BLOOM_SALTS)))
-    )
     # recount over non-distinct probe rows to compare with the operator
     per_key = {
         r["l_partkey"]: all(
@@ -265,4 +260,14 @@ def test_bloom_bitmap_equals_position_set_semantics(spark, sf_dir):
         .collect()
     )
     assert row["n_bloom_pass"] == sum(1 for r in got if per_key[r["l_partkey"]])
-    assert expect_pass >= 1  # the filter admits the real matches
+    # distinct-key pass count from the probe rows must agree with per_key
+    # exactly (ADVICE r16: this was a weak >=1 assertion on a variable the
+    # per_key recount had made redundant) — and be non-zero: the filter
+    # admits the real matches
+    expect_pass = sum(
+        1
+        for r in probe
+        if all(r[f"p{i}"] in positions for i in range(len(BLOOM_SALTS)))
+    )
+    assert expect_pass == sum(1 for v in per_key.values() if v)
+    assert expect_pass >= 1

@@ -586,3 +586,36 @@ def test_retag_mismatch_after_forward_complete_names_consumed_original(
     with pytest.raises(ValueError) as ei:
         retag_table(spark, str(other), out, **kwargs)
     assert "consumed the parked original" not in str(ei.value)
+
+
+def test_retag_mismatch_forward_complete_without_bak_claims_no_consumption(
+    spark, tmp_path
+):
+    """ADVICE r16: 'consumed the parked original' must key on the parked
+    original having actually EXISTED before the forward-completion
+    cleanup — in the contrived state where the verified tmp is present
+    but the .retag.old was removed out-of-band (so no original was ever
+    consumed), the mismatch note must say no parked original was present
+    instead of claiming a consumption that never happened."""
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    # window-A tmp, but the parked original is gone (out-of-band removal)
+    _rebuild_tiny(spark, legacy_spelling, out + ".retag.tmp")
+    shutil.rmtree(out)
+    assert not os.path.lexists(out + ".retag.old")
+    other = tmp_path / "other_sf_nobak"
+    other.mkdir()
+    with pytest.raises(ValueError) as ei:
+        retag_table(spark, str(other), out, **kwargs)
+    msg = str(ei.value)
+    assert "no parked original was present" in msg
+    assert "consumed the parked original" not in msg
+    # the forward-completed table is installed and strict for the
+    # crashed run's own source
+    got = dict(spark.read.parquet(out).schema["k"].metadata)["test_source"]
+    assert got == canonical_source(legacy_spelling)
