@@ -260,6 +260,18 @@ def main() -> None:
         default="/root/testdata/sf0.1",
         help="source scale-factor directory (default: %(default)s)",
     )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help=(
+            "run warehouse.compact() on every table after the initial "
+            "full sync, so the incremental/re-sync walls measure the "
+            "maintained layout instead of the worst-case one-file-per-"
+            "task layout (VERDICT r16 item 3: the ~2,400×60-row "
+            "fecha_dia layout makes the uncompacted walls metadata-"
+            "bound; this flag records the measured companion number)"
+        ),
+    )
     args = ap.parse_args()
     sf_dir = args.sf_dir
     if not os.path.isdir(sf_dir):
@@ -302,6 +314,15 @@ def main() -> None:
     snap1 = {t: pipe.warehouse.read(t).localCheckpoint() for t in tables}
     counts = {t: snap1[t].count() for t in tables}
 
+    t_compact = None
+    compact_files = None
+    if args.compact:
+        t0 = time.time()
+        compact_files = {
+            t: pipe.warehouse.compact(t) for t in tables
+        }
+        t_compact = time.time() - t0
+
     t0 = time.time()
     pipe.incremental(days=INCR_DAYS)
     t_incremental = time.time() - t0
@@ -317,20 +338,22 @@ def main() -> None:
         r["entity"]: [r["valid"], r["invalid"]]
         for r in pipe.report().collect()[:4]
     }
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "t_setup": round(t_setup, 1),
-                "t_sync_all": round(t_sync_all, 1),
-                "t_incremental": round(t_incremental, 1),
-                "t_resync_all": round(t_resync_all, 1),
-                "idempotent": idempotent,
-                "rows": counts,
-                "first_run_report": rep,
-            }
-        )
-    )
+    out = {
+        "sf_dir": sf_dir,
+        "t_setup": round(t_setup, 1),
+        "t_sync_all": round(t_sync_all, 1),
+        "t_incremental": round(t_incremental, 1),
+        "t_resync_all": round(t_resync_all, 1),
+        "idempotent": idempotent,
+        "rows": counts,
+        "first_run_report": rep,
+    }
+    if args.compact:
+        out["t_compact"] = round(t_compact, 1)
+        out["compact_files"] = {
+            t: list(fb) for t, fb in compact_files.items()
+        }
+    print(json.dumps(out))
     assert idempotent, "re-sync changed warehouse state"
     spark.stop()
 
