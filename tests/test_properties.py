@@ -295,3 +295,38 @@ def test_avg2_exact_matches_duckdb_and_decimal(spark, cents):
         c.sql_avg2_exact("SUM(v)", "COUNT(v)"), [x * 100 for x in cents]
     )
     assert float(duck) == want
+
+
+# --- shingle-set fingerprint injectivity (r17 collapse key) ----------------
+
+#: token alphabet chosen to attack every naive encoding: the netstring
+#: delimiter ':', the empty token, digit prefixes (attack the decimal
+#: length field), multi-char tokens that concatenate into each other
+_tok = st.sampled_from(["", ":", "a", "b", "ab", "a:b", "1", "1:", "12", ":a"])
+_shingle_sets = st.lists(st.lists(_tok, max_size=4), min_size=1, max_size=8)
+
+
+@_settings
+@given(sets=_shingle_sets)
+def test_shingle_fingerprint_groups_equal_exact_set_groups(spark, sets):
+    """``_shingle_set_fp`` equality must coincide EXACTLY with sorted-
+    array equality over random adversarial token sets — both directions:
+    same set ⇒ same fp (soundness of the collapse) and different set ⇒
+    different fp (no spurious jaccard-10000 cliques). The encoding layer
+    is injective by construction (netstring); this pins the
+    implementation against regressions (e.g. someone 'simplifying' the
+    length prefix away)."""
+    from imperio_patitas_etl_spark.queries.text import _shingle_set_fp
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sets)],
+        "i long, shingles array<string>",
+    )
+    fps = {
+        r["i"]: bytes(r["fp"])
+        for r in df.select("i", _shingle_set_fp("shingles").alias("fp")).collect()
+    }
+    for i, a in enumerate(sets):
+        for j, b in enumerate(sets):
+            same_set = sorted(a) == sorted(b)
+            assert (fps[i] == fps[j]) == same_set, (a, b)
