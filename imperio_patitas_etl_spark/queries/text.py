@@ -311,13 +311,23 @@ def _ngram_pair_build(
     stay output-bounded.
     """
     _before = persistent_rdd_ids(spark)
-    tagged = _tag_shingle_groups(_shingled(spark, sf_dir)).localCheckpoint()
+    # checkpoint the shingled relation BEFORE tagging: the join-shape
+    # tagger consumes its input twice (narrow fp branch + wide join
+    # side) and Catalyst does not CSE across the fork, so an
+    # un-materialized input would tokenize the corpus twice per action
+    # (measured +45% on the scratch builds). The input checkpoint is
+    # dead the moment the tagged checkpoint materializes (tagged
+    # truncates lineage), so it is released immediately.
+    s_ck = _shingled(spark, sf_dir).localCheckpoint()
+    _s_ids = persistent_rdd_ids(spark) - _before
+    tagged = _tag_shingle_groups(s_ck).localCheckpoint()
+    release_rdds(spark, _s_ids)
     shingle_ids = persistent_rdd_ids(spark) - _before
     return _pairs_from_tagged(tagged), shingle_ids
 
 
 def _shingle_set_fp(col: str = "shingles") -> Column:
-    """16-byte fingerprint of a shingle SET, injective by construction
+    """32-byte fingerprint of a shingle SET, injective by construction
     on the encoding layer: each element of the sorted array is netstring
     -encoded (``<decimal length>:<token>``) and the encodings are
     concatenated with NO separator — uniquely decodable (read digits to
@@ -325,11 +335,18 @@ def _shingle_set_fp(col: str = "shingles") -> Column:
     sorted arrays can never produce the same pre-hash string even when
     tokens contain ':' or are empty (the separator-ambiguity that rules
     out naive ``concat_ws`` joins, pinned adversarially in
-    tests/test_shingle_table.py). md5 then compresses the unbounded
-    encoding to a fixed 16 bytes; at 10^12 distinct sets (the 100 TB
-    regime) the birthday bound is ~10^24/2^129 ≈ 1.5e-15 — below any
-    hardware-error floor. ``shingles`` is never NULL by construction
-    (``_shingles_of`` CASEs to ``array()``), so no null guard."""
+    tests/test_shingle_table.py). sha2-256 then compresses the unbounded
+    encoding to a fixed 32 bytes. The hash must be cryptographic, not
+    just wide: a collision here silently merges two different documents
+    into a jaccard-10000 clique, and a web-scale corpus is attacker-
+    writable — md5 chosen-prefix collisions are practically
+    constructible, so an adversary could get a legitimate page dropped
+    as a "duplicate" of crafted content. sha2-256's constructible-
+    collision resistance closes that class (the same reason git moved
+    off sha1); the random-collision birthday bound at 10^12 distinct
+    sets is ~10^24/2^257 — negligible. ``shingles`` is never NULL by
+    construction (``_shingles_of`` CASEs to ``array()``), so no null
+    guard."""
     enc = F.concat_ws(
         "",
         F.transform(
@@ -339,27 +356,56 @@ def _shingle_set_fp(col: str = "shingles") -> Column:
             ),
         ),
     )
-    return F.unhex(F.md5(enc))
+    return F.unhex(F.sha2(enc, 256))
 
 
 def _tag_shingle_groups(s: DataFrame) -> DataFrame:
     """Annotate a shingled relation (doc_id, lang, shingles) with its
     identical-set group: ``gid`` is the min doc_id over the (lang,
-    shingle-set) window — the collapse key for ``_pairs_from_tagged``.
-    The window partitions on a fixed 16-byte injective-encoding digest
-    of the sorted array (``_shingle_set_fp``), NOT on the array itself
-    (the r16 plan): hashing/sorting the full shingle array as the
-    exchange key shipped every document's entire set through the
-    shuffle — exactly the "wide span text never travels as a shuffle
-    key" violation SCALE.md's span-dedup rule names (VERDICT r16 item 2).
-    The digest shuffles 16 bytes/row regardless of document size;
-    grouping equivalence with exact array equality is pinned on
-    separator-adversarial tokens in tests/test_shingle_table.py. One
-    window shuffle on (lang, fp); callers checkpoint the result because
-    every downstream subtree (freq, prefix, both verify sides, both
-    expansion sides) re-reads it."""
-    gw = Window.partitionBy("lang", _shingle_set_fp("shingles"))
-    return s.withColumn("gid", F.min("doc_id").over(gw))
+    shingle-set) group — the collapse key for ``_pairs_from_tagged``.
+    Group identity is a fixed 32-byte injective-encoding digest of the
+    sorted array (``_shingle_set_fp``), NOT the array itself (the r16
+    plan): hashing/sorting the full shingle array as the exchange key
+    shipped every document's entire set through the shuffle — the "wide
+    span text never travels as a shuffle key" violation SCALE.md's
+    span-dedup rule names (VERDICT r16 item 2). Grouping equivalence
+    with exact array equality is pinned on separator-adversarial tokens
+    in tests/test_shingle_table.py.
+
+    SHAPE — narrow aggregate + even join-back, not a window: a window
+    over (lang, fp) makes partition size equal duplicate-class size and
+    funnels every member's FULL ROW (arrays included) through one task
+    — at the mass-duplication regime this collapse exists for (say 10^8
+    copies of one boilerplate text) that is a straggler buffering the
+    whole class. Instead: (1) gid per group via a map-side-combinable
+    ``groupBy(lang, fp).agg(min)`` over a ~40-byte/row projection — the
+    hot class combines within map partitions, no row flood; (2) gid
+    back onto distinct doc_ids via a narrow join (skewed on the hot fp,
+    but rows are skinny and AQE skew-join splits a join partition,
+    which it cannot do for a window); (3) one equi-join of the wide
+    relation on unique ``doc_id`` — the only exchange the arrays ride,
+    and it is uniform by construction. ``lang`` joins null-safely: NULL
+    lang is a real group (window partitioning grouped NULLs; an inner
+    equi-join would silently drop those docs). INPUT CONTRACT: ``s`` is
+    consumed twice (narrow branch + wide side) and Catalyst does not
+    CSE across the fork, so the caller must pass a relation that is
+    cheap to evaluate twice — a localCheckpoint (``_ngram_pair_build``)
+    or a parquet table (``ngram_family_from_shingles``); an inline
+    split/transform pipeline here would tokenize the corpus twice per
+    action (measured +45% on the scratch builds before the input
+    checkpoint landed). Callers checkpoint the RESULT, so downstream
+    subtrees pay for neither. Equivalence with the window plan is
+    pinned by the grouping tests + the family row-equality suite."""
+    narrow = s.select(
+        "doc_id", "lang", _shingle_set_fp("shingles").alias("_fp")
+    )
+    gids = narrow.groupBy("lang", "_fp").agg(F.min("doc_id").alias("gid"))
+    gid_map = narrow.alias("n").join(
+        gids.alias("g"),
+        F.col("n.lang").eqNullSafe(F.col("g.lang"))
+        & (F.col("n._fp") == F.col("g._fp")),
+    ).select(F.col("n.doc_id").alias("doc_id"), "gid")
+    return s.join(gid_map, "doc_id")
 
 
 def _pairs_from_tagged(tagged: DataFrame) -> DataFrame:
@@ -2159,10 +2205,16 @@ def ngram_family_from_shingles(
     _before = persistent_rdd_ids(spark)
     # same identical-set pre-collapse as the registry keys (r16): the
     # tagged relation is checkpointed because every collapse subtree
-    # re-reads it; its blocks join the family-owned set below
-    pairs = _pairs_from_tagged(
-        _tag_shingle_groups(s).localCheckpoint()
-    ).localCheckpoint()
+    # re-reads it — but it is DEAD the moment the eager pairs
+    # checkpoint below materializes (every family consumer reads only
+    # the pair blocks), so release it immediately instead of holding
+    # the corpus-sized relation across both CC runs and the keep-list
+    # build until family.release() (the same early-release the registry
+    # path does in q_dup_clusters once CC checkpoints the edge set)
+    tagged = _tag_shingle_groups(s).localCheckpoint()
+    _tagged_ids = persistent_rdd_ids(spark) - _before
+    pairs = _pairs_from_tagged(tagged).localCheckpoint()
+    release_rdds(spark, _tagged_ids)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = pairs.select("doc_a", "doc_b")
     clusters = connected_components(docs, edges)

@@ -402,3 +402,19 @@ def test_scalar_crossjoins_pinned_to_broadcast(spark, sf_dir):
         plan = _plan(qs[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" in plan, key
+
+
+def test_ngram_jaccard_final_plan_restores_broadcasts(spark, sf_dir):
+    """The collapse tagger (r17) attaches gid via joins, and a join's
+    size-only estimate is the PRODUCT of its inputs, so the checkpoint's
+    carried statistics demote every STATIC downstream broadcast to a
+    SortMergeJoin (PLANS.md's starred row). This pins the property that
+    actually matters: after execution, the FINAL adaptive plan has
+    re-promoted broadcast hash joins from exact runtime sizes — i.e.
+    the static degradation is an estimation artifact, not a real plan
+    regression."""
+    df = all_queries()["ngram_jaccard_dedup"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert final.count("BroadcastHashJoin") >= 1

@@ -99,7 +99,7 @@ def test_materialize_shingle_table_is_idempotent(spark, sf_dir, tmp_path):
 
 def test_set_fingerprint_separator_adversarial_grouping(spark):
     """The r17 collapse key (VERDICT r16 item 2): ``_tag_shingle_groups``
-    partitions on a 16-byte netstring-encoded md5 of the sorted shingle
+    groups on a 32-byte netstring-encoded sha2-256 of the sorted shingle
     array instead of the array itself. This pins grouping EQUIVALENCE
     with exact array equality on the token shapes that break every naive
     separator join — tokens containing the ':' delimiter, empty tokens,
@@ -158,4 +158,4 @@ def test_set_fingerprint_separator_adversarial_grouping(spark):
         else:
             assert fp not in by_set.values(), (doc_id, key)
             by_set[key] = fp
-    assert len(fps[0]) == 16  # fixed 16-byte shuffle key
+    assert len(fps[0]) == 32  # fixed 32-byte (sha2-256) group key
