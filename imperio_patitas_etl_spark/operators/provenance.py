@@ -272,9 +272,14 @@ def retag_table(
                 f"at {bak!r} — the table now at {path} is that run's "
                 "verified rebuild, not the pre-crash table)"
             )
-        elif forward_completed and os.path.lexists(bak):
+        elif forward_completed and bak_existed and os.path.lexists(bak):
             # the best-effort bak cleanup failed, so the original IS
-            # still recoverable — say so instead of claiming consumption
+            # still recoverable — say so instead of claiming consumption.
+            # Gated on bak_existed, not just lexists-now: a .retag.old
+            # appearing out-of-band AFTER a bak-less forward completion
+            # is unknown junk, not the pre-crash original, and claiming
+            # it recoverable would misdirect recovery (ADVICE r17 — the
+            # same class the r16 fix closed for the consumed branch)
             consumed = (
                 " (note: this call first completed a crashed earlier "
                 "run's swap forward; the pre-crash original is still "
@@ -289,8 +294,8 @@ def retag_table(
             consumed = (
                 " (note: this call first completed a crashed earlier "
                 "run's swap forward; no parked original was present at "
-                f"{bak!r} — the table now at {path} is that run's "
-                "verified rebuild)"
+                f"{bak!r} when the swap completed — the table now at "
+                f"{path} is that run's verified rebuild)"
             )
         else:
             consumed = ""

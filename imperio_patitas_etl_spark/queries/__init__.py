@@ -62,72 +62,72 @@ _MODULES = (
     core,
 )
 
-# Round-17 window (exactly the 50 keys the driver samples). r17 is the
-# polish-and-re-certify round VERDICT r16 prescribed. Rule (a): four
-# keys changed implementation this round — the ngram-Jaccard family,
-# whose collapse window key became a fixed 16-byte injective netstring
-# digest instead of the full sorted shingle array (VERDICT r16 item 2;
-# `tools/rotation.py` fingerprint diff vs boundary f3dd4a146) — and
-# lead the window. The rest is rule-(b) refresh per --plan-next after
-# folding CORRECTNESS_r16 into certification.py: the remaining
-# r13-latest rows (incl. the stalest cohort VERDICT r16 item 4 names:
-# ab_test_summary…cusum_changepoint went green in r16; next-stalest is
-# the item_cooccurrence…tpch_q6 cohort) plus the oldest r14 rows.
-_R17_FRONT = (
+# Round-18 window (exactly the 50 keys the driver samples). Rule (a):
+# four keys changed implementation this round — the ngram-Jaccard
+# family again (VERDICT r17 item 1: the cluster consumers now feed
+# connected components the O(b)-per-class star edge set from
+# `_ngram_cc_edge_build` instead of the pair list's C(b,2) cliques;
+# plus the ADVICE r17 tagger hardenings — row-preserving gid join-back,
+# NULL-element fp sentinel — which touch the shared closure of all
+# four keys) — and lead the window. The rest is rule-(b) refresh per
+# --plan-next after folding CORRECTNESS_r17 into certification.py: the
+# stalest cohort is the r14-latest rows (hll_distinct_sketch …
+# window_running_sum), then the oldest r15 rows.
+_R18_FRONT = (
     # -- rule (a): implementation changed this round (4)
     "corpus_keep_list",
     "dup_clusters",
     "dup_clusters_star",
     "ngram_jaccard_dedup",
     # -- rule (b) refresh: stalest driver rows (46)
-    "item_cooccurrence",
-    "join_cost_left",
-    "join_price_broadcast",
-    "json_extract",
-    "khop_reach",
-    "kmv_distinct_sketch",
-    "lang_id",
-    "multi_join_star",
-    "multimodal_decode_stub",
-    "multimodal_feature_extract",
-    "node_jaccard_linkpred",
-    "pagerank_copurchase",
-    "percentile_agg",
-    "quality_score",
-    "regex_email",
-    "regex_rut",
-    "simhash_near_dup",
-    "stratified_sample",
-    "stream_dedup",
-    "stream_session_window",
-    "stream_sliding_window",
-    "string_cleanup",
-    "tf_vectorize",
-    "timestamp_from_unix",
-    "token_count",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q21",
-    "tpch_q6",
-    "ann_recall",
-    "attribution_last_touch",
-    "bm25_topk",
-    "bpe_pair_merge",
-    "chunk_sequences",
-    "cm_sketch_topk",
-    "cosine_dedup_recall",
-    "count_by_flag",
-    "count_star",
-    "dedup_minhash_lsh",
-    "domain_mixture",
-    "domain_mixture_sample",
-    "dq_anomaly_mad",
-    "dq_profile",
-    "group_quantiles_exact",
-    "grouping_sets",
+    "hll_distinct_sketch",
+    "hll_merge_audit",
+    "incremental_agg_merge",
+    "interval_concurrency",
+    "key_skew_audit",
+    "quality_gopher",
+    "quantile_sketch",
+    "range_join",
+    "salted_join_skew",
+    "semi_anti_membership",
+    "sessionize_events",
+    "sessionize_sharded",
+    "stream_tumbling_window",
+    "topk_per_group",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q22",
+    "tpch_q7",
+    "tpch_q9",
+    "triangle_count",
+    "unigram_logprob",
+    "union_except",
+    "upsert_latest_wins",
+    "upsert_merge",
+    "window_lag_rank",
+    "window_range_rolling",
+    "window_running_sum",
+    "ann_ivf",
+    "ann_ivf_trained",
+    "ann_lsh_bucketed",
+    "ann_topk_bruteforce",
+    "arith_derived",
+    "asof_join",
+    "casts",
+    "coalesce_defaults",
+    "cube_rollup",
+    "date_window",
+    "decontaminate_ngram",
+    "dedup_exact",
+    "dedup_first",
+    "dedup_simhash",
+    "delete_insert_antijoin",
+    "derived_cost_coalesce",
 )
-assert len(_R17_FRONT) == 50, len(_R17_FRONT)
+assert len(_R18_FRONT) == 50, len(_R18_FRONT)
 
 # Single importable alias for the current window (VERDICT r14 item 3):
 # tests consume CURRENT_FRONT so a rotation renames exactly one
@@ -135,7 +135,7 @@ assert len(_R17_FRONT) == 50, len(_R17_FRONT)
 # because the external driver's window-sampling contract is stated in
 # terms of `_R{N}_FRONT`; tests/test_rotation.py pins the convention
 # (the literal's round number must be certification-table max + 1).
-CURRENT_FRONT = _R17_FRONT
+CURRENT_FRONT = _R18_FRONT
 
 
 def all_queries() -> dict[str, QueryFn]:

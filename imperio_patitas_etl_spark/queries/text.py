@@ -310,6 +310,17 @@ def _ngram_pair_build(
     term scale with DISTINCT texts only while the emitted clique pairs
     stay output-bounded.
     """
+    tagged, shingle_ids = _tagged_build(spark, sf_dir)
+    return _pairs_from_tagged(tagged), shingle_ids
+
+
+def _tagged_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, set[int]]:
+    """Shingle + group-tag + checkpoint stage shared by
+    ``_ngram_pair_build`` (pair-list consumers) and
+    ``_ngram_cc_edge_build`` (connectivity-only consumers): returns the
+    checkpointed tagged relation and the block ids the caller owns."""
     _before = persistent_rdd_ids(spark)
     # checkpoint the shingled relation BEFORE tagging: the join-shape
     # tagger consumes its input twice (narrow fp branch + wide join
@@ -322,8 +333,24 @@ def _ngram_pair_build(
     _s_ids = persistent_rdd_ids(spark) - _before
     tagged = _tag_shingle_groups(s_ck).localCheckpoint()
     release_rdds(spark, _s_ids)
-    shingle_ids = persistent_rdd_ids(spark) - _before
-    return _pairs_from_tagged(tagged), shingle_ids
+    return tagged, persistent_rdd_ids(spark) - _before
+
+
+def _ngram_cc_edge_build(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, set[int]]:
+    """Connectivity-only edge build for the cluster consumers
+    (``dup_clusters`` / ``dup_clusters_star`` / ``corpus_keep_list``,
+    VERDICT r17 item 1): same tagged checkpoint as ``_ngram_pair_build``,
+    but the returned edge set is ``_cc_edges_from_tagged`` — O(b) star
+    edges per identical-set group instead of the C(b,2) clique the
+    pair-LIST key must emit by contract. Connected components on this
+    edge set equal components on the full pair list (proof in
+    ``_cc_edges_from_tagged``), so the cluster keys keep their oracles
+    while the edge volume into CC scales with corpus size, not with the
+    square of duplicate-class size."""
+    tagged, shingle_ids = _tagged_build(spark, sf_dir)
+    return _cc_edges_from_tagged(tagged), shingle_ids
 
 
 def _shingle_set_fp(col: str = "shingles") -> Column:
@@ -345,14 +372,22 @@ def _shingle_set_fp(col: str = "shingles") -> Column:
     collision resistance closes that class (the same reason git moved
     off sha1); the random-collision birthday bound at 10^12 distinct
     sets is ~10^24/2^257 — negligible. ``shingles`` is never NULL by
-    construction (``_shingles_of`` CASEs to ``array()``), so no null
-    guard."""
+    construction (``_shingles_of`` CASEs to ``array()``), so no
+    array-level null guard; a NULL ELEMENT, impossible from
+    ``_shingles_of`` but unenforced on the externally materialized
+    shingle-table path, encodes as the explicit sentinel ``~`` (ADVICE
+    r17): the inner ``concat`` is NULL-propagating, so injectivity no
+    longer rests on a no-NULL input contract — ``~`` is not a decimal
+    digit, so the stream stays uniquely decodable (read ``~`` or read
+    digits to ``:`` then that many chars), and ``array_sort`` places
+    NULLs deterministically (last)."""
     enc = F.concat_ws(
         "",
         F.transform(
             F.array_sort(F.col(col)),
-            lambda t: F.concat_ws(
-                "", F.length(t).cast("string"), F.lit(":"), t
+            lambda t: F.coalesce(
+                F.concat(F.length(t).cast("string"), F.lit(":"), t),
+                F.lit("~"),
             ),
         ),
     )
@@ -400,15 +435,43 @@ def _tag_shingle_groups(s: DataFrame) -> DataFrame:
         "doc_id", "lang", _shingle_set_fp("shingles").alias("_fp")
     )
     gids = narrow.groupBy("lang", "_fp").agg(F.min("doc_id").alias("gid"))
-    gid_map = narrow.alias("n").join(
-        gids.alias("g"),
-        F.col("n.lang").eqNullSafe(F.col("g.lang"))
-        & (F.col("n._fp") == F.col("g._fp")),
-    ).select(F.col("n.doc_id").alias("doc_id"), "gid")
+    # gid_map is aggregated to EXACTLY one row per doc_id (ADVICE r17):
+    # the raw narrow⋈gids relation has one row per INPUT row, so a
+    # duplicated doc_id in an externally materialized shingle table
+    # would multiply rows through the final join (2 input rows → 4
+    # output rows) and silently inflate every downstream pair count.
+    # The min-agg makes the join-back provably row-preserving instead of
+    # resting on an unenforced uniqueness contract; under the normal
+    # unique-doc_id input it is the identity, and its doc_id exchange is
+    # the same partitioning the final join needs anyway.
+    gid_map = (
+        narrow.alias("n")
+        .join(
+            gids.alias("g"),
+            F.col("n.lang").eqNullSafe(F.col("g.lang"))
+            & (F.col("n._fp") == F.col("g._fp")),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min("gid").alias("gid"))
+    )
     return s.join(gid_map, "doc_id")
 
 
-def _pairs_from_tagged(tagged: DataFrame) -> DataFrame:
+def _rep_pairs_from_tagged(tagged: DataFrame) -> DataFrame:
+    """AllPairs near-dup pairs over one representative per identical-set
+    group — the expensive index+verify pass both ``_pairs_from_tagged``
+    (full pair list) and ``_cc_edges_from_tagged`` (connectivity only)
+    expand from. A group's representative is the member whose doc_id
+    equals the group's gid (gid = min doc_id of the group)."""
+    reps = tagged.filter(F.col("doc_id") == F.col("gid")).select(
+        "doc_id", "lang", "shingles"
+    )
+    return _pairs_from_shingled(reps)
+
+
+def _pairs_from_tagged(
+    tagged: DataFrame, rep_pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-dup pairs from a group-tagged shingled relation: AllPairs
     index over one representative per distinct (lang, shingle-set) group
     (``_pairs_from_shingled``), then relational expansion — cross-group
@@ -416,11 +479,11 @@ def _pairs_from_tagged(tagged: DataFrame) -> DataFrame:
     each non-empty group of b identical sets contributes its C(b,2)
     clique at jaccard 10000 (see ``_ngram_pair_build``'s collapse note
     for the proof obligations: empty sets and NULL langs are excluded to
-    match the JACCARD_T3 guard and the lang equi-join)."""
-    reps = tagged.filter(F.col("doc_id") == F.col("gid")).select(
-        "doc_id", "lang", "shingles"
-    )
-    rep_pairs = _pairs_from_shingled(reps)
+    match the JACCARD_T3 guard and the lang equi-join). Callers that
+    also build the connectivity edge set pass a shared (checkpointed)
+    ``rep_pairs`` so the index pass runs once."""
+    if rep_pairs is None:
+        rep_pairs = _rep_pairs_from_tagged(tagged)
     # cross-group expansion: members inherit their representative's pairs
     ma = tagged.select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("ma"))
     mb = tagged.select(F.col("gid").alias("doc_b"), F.col("doc_id").alias("mb"))
@@ -449,6 +512,50 @@ def _pairs_from_tagged(tagged: DataFrame) -> DataFrame:
         F.lit(10000).cast("long").alias("jaccard_bp"),
     )
     return cross.unionByName(intra)
+
+
+def _cc_edges_from_tagged(
+    tagged: DataFrame, rep_pairs: DataFrame | None = None
+) -> DataFrame:
+    """Connectivity-equivalent edge set for connected components, O(b)
+    edges per identical-set group instead of ``_pairs_from_tagged``'s
+    C(b,2) clique (VERDICT r17 item 1): representative-level near-dup
+    pairs ∪ (gid, member) star edges for every qualifying non-rep member.
+    At the mass-duplication regime the collapse exists for (10⁸ copies of
+    one boilerplate text) this is 10⁸ edge rows into CC instead of
+    5×10¹⁵.
+
+    PROOF the components equal those of the full pair list:
+    (⊆) every star edge (gid, m) is a full-list edge — gid and m share a
+    group, and the qualifying filter here (non-empty shingles, non-NULL
+    lang) is exactly the full list's intra-clique membership filter; a
+    rep pair (r_a, r_b) is a full-list cross pair (the cross expansion
+    includes the reps themselves, since every group contains its rep).
+    (⊇) a full-list intra edge (m₁, m₂) is spanned by the star path
+    m₁–gid–m₂ (or IS a star edge when one endpoint is the rep); a
+    full-list cross edge (m_a ∈ A, m_b ∈ B) is spanned by
+    m_a–gid_A–gid_B–m_b: the rep pair (gid_A, gid_B) exists because
+    cross pairs only arise from rep pairs, and the star edges exist
+    because a rep emitted by the AllPairs index has non-empty shingles
+    and non-NULL lang (explode of an empty array yields no index
+    entries; the index equi-joins on lang), so its whole identical-set
+    group qualifies. Singleton groups and non-qualifying groups (empty
+    sets, NULL lang) get no edges from either set — their members label
+    themselves in CC, as the docs seed guarantees. Pinned clique-vs-star
+    on a ≥1,000-copy duplicate class in tests/test_cc_star_edges.py.
+
+    jaccard_bp is deliberately absent: this relation feeds ONLY
+    connectivity consumers; the pair-LIST key (``ngram_jaccard_dedup``)
+    keeps the full expansion, whose clique is output-bounded by
+    contract."""
+    if rep_pairs is None:
+        rep_pairs = _rep_pairs_from_tagged(tagged)
+    star = tagged.filter(
+        (F.size("shingles") > 0)
+        & F.col("lang").isNotNull()
+        & (F.col("doc_id") != F.col("gid"))
+    ).select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return rep_pairs.select("doc_a", "doc_b").unionByName(star)
 
 
 def _pairs_from_shingled(s: DataFrame) -> DataFrame:
@@ -1376,13 +1483,17 @@ def connected_components(docs: DataFrame, edges: DataFrame) -> DataFrame:
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pairs→clusters→canonical step that completes a real dedup
     pipeline: near-dup PAIRS (word-3-gram Jaccard ≥ 0.5, prefix-filtered —
-    same edge set as ``ngram_jaccard_dedup``) are clustered by connected
-    components, labeling every document with the minimum doc_id of its
-    duplicate cluster. Keeping rows where doc_id = cluster_id IS the
-    deduplicated corpus; everything else maps to its canonical survivor."""
-    pairs, shingle_ids = _ngram_pair_build(spark, sf_dir)
+    connectivity-equivalent to ``ngram_jaccard_dedup``'s edge set) are
+    clustered by connected components, labeling every document with the
+    minimum doc_id of its duplicate cluster. Keeping rows where doc_id =
+    cluster_id IS the deduplicated corpus; everything else maps to its
+    canonical survivor. CC consumes the O(b)-per-duplicate-class star
+    edge set (``_ngram_cc_edge_build``), not the pair list's C(b,2)
+    cliques — same components (proof at ``_cc_edges_from_tagged``), so
+    the oracle is unchanged."""
+    edges, shingle_ids = _ngram_cc_edge_build(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = connected_components(docs, pairs.select("doc_a", "doc_b"))
+    out = connected_components(docs, edges)
     # CC checkpointed the edge set eagerly — the shingle blocks are dead
     release_rdds(spark, shingle_ids)
     return out
@@ -1411,7 +1522,8 @@ ORACLE_DUP_CLUSTERS = f"""
 
 def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as ``dup_clusters`` — (doc_id, cluster_id = min doc_id
-    of the duplicate component) over the SAME Jaccard edge set — but
+    of the duplicate component) over the SAME star edge set
+    (``_ngram_cc_edge_build``) — but
     computed with the alternating large-star/small-star contraction
     (``operators/graph.py:connected_components_star``), the O(log n)-round
     path for graphs whose diameter is unbounded. Both algorithms reach the
@@ -1421,9 +1533,9 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter-bounded one."""
     from imperio_patitas_etl_spark.operators.graph import connected_components_star
 
-    pairs, shingle_ids = _ngram_pair_build(spark, sf_dir)
+    edges, shingle_ids = _ngram_cc_edge_build(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = connected_components_star(docs, pairs.select("doc_a", "doc_b"))
+    out = connected_components_star(docs, edges)
     # the star loop checkpointed the edge set — the shingle blocks are dead
     release_rdds(spark, shingle_ids)
     return out
@@ -2205,23 +2317,36 @@ def ngram_family_from_shingles(
     _before = persistent_rdd_ids(spark)
     # same identical-set pre-collapse as the registry keys (r16): the
     # tagged relation is checkpointed because every collapse subtree
-    # re-reads it — but it is DEAD the moment the eager pairs
-    # checkpoint below materializes (every family consumer reads only
-    # the pair blocks), so release it immediately instead of holding
-    # the corpus-sized relation across both CC runs and the keep-list
-    # build until family.release() (the same early-release the registry
-    # path does in q_dup_clusters once CC checkpoints the edge set)
+    # re-reads it — but it is DEAD the moment the eager pairs + edges
+    # checkpoints below materialize (every family consumer reads only
+    # those blocks), so release it immediately instead of holding the
+    # corpus-sized relation across both CC runs and the keep-list build
+    # until family.release() (the same early-release the registry path
+    # does in q_dup_clusters once CC checkpoints the edge set). The
+    # rep-level AllPairs pass is checkpointed ONCE and feeds both the
+    # full pair expansion (the ngram_jaccard_dedup output) and the
+    # connectivity star edges the CC variants consume (VERDICT r17
+    # item 1: O(b) edges per duplicate class into CC, not the C(b,2)
+    # clique only the pair-LIST output contractually needs).
     tagged = _tag_shingle_groups(s).localCheckpoint()
-    _tagged_ids = persistent_rdd_ids(spark) - _before
-    pairs = _pairs_from_tagged(tagged).localCheckpoint()
-    release_rdds(spark, _tagged_ids)
+    rep_pairs = _rep_pairs_from_tagged(tagged).localCheckpoint()
+    _build_ids = persistent_rdd_ids(spark) - _before
+    pairs = _pairs_from_tagged(tagged, rep_pairs).localCheckpoint()
+    _pre_edge_ids = persistent_rdd_ids(spark)
+    edges = _cc_edges_from_tagged(tagged, rep_pairs).localCheckpoint()
+    _edge_ids = persistent_rdd_ids(spark) - _pre_edge_ids
+    release_rdds(spark, _build_ids)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = pairs.select("doc_a", "doc_b")
     clusters = connected_components(docs, edges)
+    clusters_star = connected_components_star(docs, edges)
+    # both CC variants have checkpointed their symmetrized edge sets —
+    # the family's own edge checkpoint is dead; free it now instead of
+    # holding it until family.release()
+    release_rdds(spark, _edge_ids)
     family = {
         "ngram_jaccard_dedup": pairs,
         "dup_clusters": clusters,
-        "dup_clusters_star": connected_components_star(docs, edges),
+        "dup_clusters_star": clusters_star,
         "corpus_keep_list": _keep_list_from_clusters(spark, sf_dir, clusters),
     }
     return NgramFamily(family, spark, persistent_rdd_ids(spark) - _before)

@@ -1,0 +1,160 @@
+"""Connectivity star edges vs the full pair-list cliques (VERDICT r17
+item 1): the cluster consumers (``dup_clusters`` / ``dup_clusters_star``
+/ ``corpus_keep_list``) feed connected components
+``_cc_edges_from_tagged`` — rep-level near-dup pairs ∪ (gid, member)
+star edges, O(b) per identical-set group — instead of
+``_pairs_from_tagged``'s C(b,2) cliques, which only the pair-LIST key
+(``ngram_jaccard_dedup``) contractually needs. These tests pin the
+equivalence proof on the regime that motivates it: a mass-duplication
+fixture with a ≥1,000-copy duplicate class.
+
+Also pins the two r17 ADVICE hardenings on the tagger path:
+the gid join-back is row-preserving even for a (contract-violating)
+duplicated doc_id, and the shingle-set fingerprint encodes NULL array
+elements with an explicit sentinel instead of silently dropping the
+length prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from imperio_patitas_etl_spark.queries import text
+from imperio_patitas_etl_spark.queries.text import (
+    _cc_edges_from_tagged,
+    _pairs_from_tagged,
+    _shingle_set_fp,
+    _shingled,
+    _tag_shingle_groups,
+    connected_components,
+)
+
+# mass-duplication corpus: one 1,200-copy boilerplate class, a 3-copy
+# near-duplicate of it (Jaccard vs the boilerplate = 3/4 ≥ 0.5: shingle
+# sets {a b c, b c d, c d e} vs + {d e f}), an unrelated singleton, an
+# empty text, and a NULL-lang duplicate pair (excluded from edges by the
+# lang equi-join / intra qualifying filter).
+BOILER = "a b c d e"
+NEAR = "a b c d e f"
+N_BOILER = 1_200
+
+
+def _fixture(spark):
+    rows = [(i, "en", BOILER) for i in range(N_BOILER)]
+    rows += [(2_000 + i, "en", NEAR) for i in range(3)]
+    rows += [(3_000, "en", "x y z w v u t"), (3_001, "en", "")]
+    rows += [(4_000, None, "p q r s t"), (4_001, None, "p q r s t")]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _tagged(spark, docs):
+    s = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("__t")
+    ).select(
+        "doc_id", "lang", F.expr(text._shingles_of("__t")).alias("shingles")
+    )
+    return _tag_shingle_groups(s.localCheckpoint())
+
+
+def test_star_edges_give_identical_components_on_mass_duplication(spark):
+    docs = _fixture(spark)
+    tagged = _tagged(spark, docs).localCheckpoint()
+    ids = docs.select("doc_id")
+
+    clique = connected_components(
+        ids, _pairs_from_tagged(tagged).select("doc_a", "doc_b")
+    )
+    star = connected_components(ids, _cc_edges_from_tagged(tagged))
+
+    got = sorted(tuple(r) for r in star.collect())
+    want = sorted(tuple(r) for r in clique.collect())
+    assert got == want
+    # sanity on the fixture: boilerplate + near-dup collapse to ONE
+    # cluster labeled by the minimum doc_id; NULL-lang docs and the
+    # empty text stay singletons.
+    labels = dict(got)
+    assert labels[0] == 0 and labels[N_BOILER - 1] == 0 and labels[2_001] == 0
+    assert labels[3_000] == 3_000 and labels[3_001] == 3_001
+    assert labels[4_000] == 4_000 and labels[4_001] == 4_001
+
+
+def test_star_edge_count_is_linear_in_class_size(spark):
+    """The b=1,200 class contributes b−1 star edges (member→gid) and the
+    pair list its C(b,2)=719,400 clique — the O(b) vs O(b²) difference
+    VERDICT r17 item 1 names. Exact counts pinned so a regression that
+    reintroduces the clique into the CC path cannot pass silently."""
+    docs = _fixture(spark)
+    tagged = _tagged(spark, docs).localCheckpoint()
+
+    star_edges = _cc_edges_from_tagged(tagged)
+    pair_edges = _pairs_from_tagged(tagged)
+
+    # star: (1200−1) boilerplate + (3−1) near-dup class + 1 rep pair
+    # (boilerplate rep 0 — near-dup rep 2000); NULL-lang pair excluded
+    assert star_edges.count() == (N_BOILER - 1) + 2 + 1
+    # clique: C(1200,2) + C(3,2) intra + 1200·3 cross expansion
+    expected_clique = (
+        N_BOILER * (N_BOILER - 1) // 2 + 3 + N_BOILER * 3
+    )
+    assert pair_edges.count() == expected_clique
+
+
+def test_gid_join_back_is_row_preserving_on_duplicated_doc_id(spark):
+    """ADVICE r17: gid_map aggregates to one row per doc_id, so a
+    duplicated doc_id in an externally materialized shingle table tags
+    each input row once (2 in → 2 out) instead of multiplying through
+    the join (2 in → 4 out)."""
+    s = spark.createDataFrame(
+        [
+            (1, "en", ["a", "b"]),
+            (1, "en", ["a", "b"]),  # contract-violating duplicate key
+            (2, "en", ["a", "b"]),
+        ],
+        "doc_id long, lang string, shingles array<string>",
+    )
+    tagged = _tag_shingle_groups(s)
+    assert tagged.count() == s.count()
+    assert tagged.filter(F.col("doc_id") == 1).count() == 2
+    # both duplicate rows carry the single group gid
+    assert {r.gid for r in tagged.collect()} == {1}
+
+
+def test_fp_encodes_null_elements_explicitly(spark):
+    """ADVICE r17: a NULL array element encodes as the '~' sentinel, so
+    injectivity holds without the no-NULL-element input contract; the
+    sentinel is distinct from every real netstring (those start with a
+    decimal digit), and non-NULL encodings are unchanged."""
+    rows = [
+        (1, [None]),
+        (2, [""]),  # "0:"  — the nearest non-NULL neighbour
+        (3, []),  # empty stream
+        (4, ["a", None]),
+        (5, ["a"]),
+        (6, ["~"]),  # a literal tilde TOKEN: "1:~", not the sentinel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shingles array<string>")
+    fps = {
+        r.doc_id: bytes(r.fp)
+        for r in df.select(
+            "doc_id", _shingle_set_fp("shingles").alias("fp")
+        ).collect()
+    }
+    assert len(set(fps.values())) == len(fps), "fingerprints must be distinct"
+
+
+def test_registry_cluster_keys_share_components_with_pair_list(spark, sf_dir):
+    """End-to-end on real data: the registry cluster key (star-edge CC)
+    equals CC over the full pair list — the clique-vs-star equivalence on
+    the actual corpus, not just the synthetic fixture."""
+    tagged, ids_ = text._tagged_build(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    want = sorted(
+        tuple(r)
+        for r in connected_components(
+            docs, _pairs_from_tagged(tagged).select("doc_a", "doc_b")
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in text.q_dup_clusters(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0

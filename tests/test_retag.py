@@ -619,3 +619,47 @@ def test_retag_mismatch_forward_complete_without_bak_claims_no_consumption(
     # crashed run's own source
     got = dict(spark.read.parquet(out).schema["k"].metadata)["test_source"]
     assert got == canonical_source(legacy_spelling)
+
+
+def test_retag_out_of_band_bak_after_bakless_forward_is_not_recoverable(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r17: the 'cleanup failed, original still recoverable'
+    wording must key on the parked original having EXISTED at swap time
+    (bak_existed), not merely on lexists(bak) at error time — a
+    .retag.old that appears out-of-band AFTER a bak-less forward
+    completion is unknown junk, and reporting it as the restorable
+    pre-crash original would misdirect recovery. The out-of-band
+    appearance is simulated by making the forward-completion cleanup
+    itself drop junk at the bak path."""
+    from imperio_patitas_etl_spark.operators import provenance
+
+    legacy_spelling, out = _legacy_tiny_setup(spark, tmp_path)
+    kwargs = dict(
+        column="k",
+        key="test_source",
+        table_desc="test table",
+        rebuild=_rebuild_tiny,
+    )
+    # window-A tmp, parked original gone (bak-less forward completion)
+    _rebuild_tiny(spark, legacy_spelling, out + ".retag.tmp")
+    shutil.rmtree(out)
+    bak = out + ".retag.old"
+    assert not os.path.lexists(bak)
+
+    real_remove = provenance._remove_table
+
+    def remove_then_out_of_band_bak(path):
+        real_remove(path)
+        if path == bak:  # the post-swap cleanup probe — junk lands now
+            os.mkdir(bak)
+
+    monkeypatch.setattr(provenance, "_remove_table", remove_then_out_of_band_bak)
+    other = tmp_path / "other_sf_oob"
+    other.mkdir()
+    with pytest.raises(ValueError) as ei:
+        retag_table(spark, str(other), out, **kwargs)
+    msg = str(ei.value)
+    assert "no parked original was present" in msg
+    assert "still parked" not in msg
+    assert "consumed the parked original" not in msg
