@@ -138,10 +138,25 @@ class ParquetWarehouse:
         root: str,
         partitioned: bool = False,
         keep_history: bool = False,
+        merge_skip_unchanged: bool = False,
     ):
         self.spark = spark
         self.root = root
         self.partitioned = partitioned
+        #: with merge_skip_unchanged=True the partition-scoped MERGE
+        #: compares each touched partition's merged content against what
+        #: is already on disk (order-insensitive multiset digest) and
+        #: skips the dynamic-overwrite commit for partitions that are
+        #: byte-equivalent — the dominant case on idempotent re-syncs,
+        #: where the r17 A/B isolated the full re-sync wall to ~2,405
+        #: per-partition commit overheads (SCALE.md §r18 candidate).
+        #: Off by default: the compare adds one columnar re-read of the
+        #: touched partitions to every merge, which only pays for itself
+        #: when most merges are no-ops (periodic full re-syncs, replayed
+        #: windows). A manifest table format gets the same skip from
+        #: content-addressed data files; this is the plain-parquet
+        #: equivalent.
+        self.merge_skip_unchanged = merge_skip_unchanged
         #: with keep_history=True every atomic swap RETAINS the replaced
         #: table directory as an immutable numbered snapshot
         #: (_history/<table>/v<N>) instead of deleting it — directory-level
@@ -381,7 +396,11 @@ class ParquetWarehouse:
         merge_into_delta); plain-parquet mode computes latest-wins and swaps.
         On a partitioned table the merge is PARTITION-SCOPED: only the
         dates present in the source are read and dynamically overwritten —
-        an incremental day touches one day's files, not 100 TB.
+        an incremental day touches one day's files, not 100 TB. With
+        ``merge_skip_unchanged`` the touched partitions whose merged
+        content digests equal to what is on disk skip their overwrite
+        commit entirely (``_changed_partition_values``) — idempotent
+        re-syncs become read-bound instead of commit-bound.
         """
         self.ensure_table(table)
         key = MERGE_KEYS[table]
@@ -419,6 +438,17 @@ class ParquetWarehouse:
         tmp = self.path(table) + "_stage"
         merged.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.schema(self._storage_schema(table)).parquet(tmp)
+        if self.merge_skip_unchanged:
+            changed = self._changed_partition_values(staged, target, part_name)
+            if not changed:
+                # every touched partition merged to exactly what is on
+                # disk — the whole MERGE is a no-op; skip all commits
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            ccond = F.col(part_name).isin([d for d in changed if d is not None])
+            if any(d is None for d in changed):
+                ccond = ccond | F.col(part_name).isNull()
+            staged = staged.filter(ccond)
         (
             staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -426,6 +456,53 @@ class ParquetWarehouse:
             .parquet(self.path(table))
         )
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def _changed_partition_values(
+        self, staged: DataFrame, target: DataFrame, part_name: str
+    ) -> list:
+        """Touched-partition values whose merged content differs from the
+        partition already on disk, by exact order-insensitive multiset
+        digest: per partition, row count plus two independent sums of
+        64-bit per-row hashes (``xxhash64`` over every storage column;
+        the second sum salts the hash with a literal prefix). Equal
+        digests ⇔ equal row multisets up to a ~2^-128 random-collision
+        bound — the inputs are the warehouse's own rows, not
+        attacker-chosen, so the non-cryptographic bound is the right
+        trade for a JVM-side whole-stage-codegen compare (same rationale
+        as ``table_checksum_blocks``, queries/analytics.py). Sum (not
+        XOR) folding: XOR cancels duplicate rows pairwise, so a
+        partition gaining two copies of an existing row would digest
+        equal; a sum shifts by 2·h. Both sides collect one row per
+        touched partition — bounded by the source's date span, never by
+        table size — and the scans are columnar reads of exactly the
+        touched partitions (partition-pruned on the target side).
+
+        At 100 TB this turns an idempotent re-sync from write-bound to
+        read-bound: the r17 compacted-layout A/B isolated the full
+        re-sync wall to ~2,405 per-partition dynamic-overwrite commits
+        whose staged content was byte-equivalent to the target
+        (BASELINE.md §r17); a manifest-committing table format would
+        skip those by content-addressed data files, and this is the
+        plain-parquet equivalent."""
+        cols = list(staged.columns)
+        h1 = F.xxhash64(*cols).cast("decimal(38,0)")
+        h2 = F.xxhash64(F.lit("resync-salt"), *cols).cast("decimal(38,0)")
+
+        def digests(df: DataFrame) -> dict:
+            rows = (
+                df.groupBy(part_name)
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(h1).alias("s1"),
+                    F.sum(h2).alias("s2"),
+                )
+                .collect()
+            )
+            return {r[part_name]: (r["cnt"], r["s1"], r["s2"]) for r in rows}
+
+        a = digests(staged)
+        b = digests(target.select(*cols))
+        return [p for p in set(a) | set(b) if a.get(p) != b.get(p)]
 
     # -- K3: delete+insert ------------------------------------------------
     def delete_and_insert(self, table: str, source: DataFrame) -> None:

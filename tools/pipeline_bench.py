@@ -261,6 +261,18 @@ def main() -> None:
         help="source scale-factor directory (default: %(default)s)",
     )
     ap.add_argument(
+        "--skip-unchanged",
+        action="store_true",
+        help=(
+            "construct the warehouse with merge_skip_unchanged=True: the "
+            "partition-scoped MERGE digests each touched partition's "
+            "merged content against the on-disk partition and skips the "
+            "dynamic-overwrite commit when equal (SCALE.md §r18: the "
+            "idempotent re-sync wall is ~2,405 no-op per-partition "
+            "commits; this flag records the measured companion number)"
+        ),
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help=(
@@ -302,7 +314,12 @@ def main() -> None:
     }
     pipe = EtlPipeline(
         spark=spark,
-        warehouse=ParquetWarehouse(spark, WH_DIR, partitioned=True),
+        warehouse=ParquetWarehouse(
+            spark,
+            WH_DIR,
+            partitioned=True,
+            merge_skip_unchanged=args.skip_unchanged,
+        ),
         sources=sources,
     )
 
@@ -345,6 +362,7 @@ def main() -> None:
         "t_incremental": round(t_incremental, 1),
         "t_resync_all": round(t_resync_all, 1),
         "idempotent": idempotent,
+        "skip_unchanged": args.skip_unchanged,
         "rows": counts,
         "first_run_report": rep,
     }
