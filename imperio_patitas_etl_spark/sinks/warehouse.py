@@ -438,17 +438,24 @@ class ParquetWarehouse:
         tmp = self.path(table) + "_stage"
         merged.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.schema(self._storage_schema(table)).parquet(tmp)
-        if self.merge_skip_unchanged:
+        if self.merge_skip_unchanged and self._has_partitions(table, part_name):
             changed = self._changed_partition_values(staged, target, part_name)
             if not changed:
                 # every touched partition merged to exactly what is on
                 # disk — the whole MERGE is a no-op; skip all commits
                 shutil.rmtree(tmp, ignore_errors=True)
                 return
-            ccond = F.col(part_name).isin([d for d in changed if d is not None])
-            if any(d is None for d in changed):
-                ccond = ccond | F.col(part_name).isNull()
-            staged = staged.filter(ccond)
+            if len(changed) < len(days):
+                # filter only when something is actually skippable — on
+                # an all-changed merge the unfiltered staged write is
+                # the exact default-path plan (no 10^3-literal isin in
+                # the write stage)
+                ccond = F.col(part_name).isin(
+                    [d for d in changed if d is not None]
+                )
+                if any(d is None for d in changed):
+                    ccond = ccond | F.col(part_name).isNull()
+                staged = staged.filter(ccond)
         (
             staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -456,6 +463,17 @@ class ParquetWarehouse:
             .parquet(self.path(table))
         )
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def _has_partitions(self, table: str, part_name: str) -> bool:
+        """Cheap directory-listing probe: a table with no
+        ``<part_name>=`` directories (the first sync into a freshly
+        ensured table) has nothing skippable, so the digest compare is
+        bypassed entirely — no Spark job, no extra scan."""
+        p = self.path(table)
+        try:
+            return any(d.startswith(part_name + "=") for d in os.listdir(p))
+        except FileNotFoundError:
+            return False
 
     def _changed_partition_values(
         self, staged: DataFrame, target: DataFrame, part_name: str
