@@ -511,6 +511,16 @@ def _triangle_from_pairs(copurchase: DataFrame) -> DataFrame:
             (F.col("db") * F.lit(4294967296) + F.col("part_b")).alias("kb"),
         )
     )
+    # The oriented edge list feeds BOTH wedge sides and the closing
+    # semi-join — 3 references. Un-materialized, the static plan expanded
+    # the whole pair-build+degree+orientation subtree into each (measured
+    # 266 Exchange / 90 scan nodes at sf0.1 —
+    # plans/r18/triangle_count_before.txt), recomputation guarded only by
+    # runtime exchange reuse. One localCheckpoint of the O(E) oriented
+    # relation (the same bound CC's edge checkpoint already accepts) makes
+    # the one-pass pair build structural (guide §3.3/§5). Blocks stay
+    # alive — the returned plan reads them (standalone-key lifetime
+    # contract).
     oriented = keyed.select(
         F.when(F.col("ka") < F.col("kb"), F.col("part_a"))
         .otherwise(F.col("part_b"))
@@ -519,7 +529,7 @@ def _triangle_from_pairs(copurchase: DataFrame) -> DataFrame:
         .otherwise(F.col("part_a"))
         .alias("dst"),
         F.greatest("ka", "kb").alias("dst_k"),
-    )
+    ).localCheckpoint()
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,
@@ -624,10 +634,18 @@ def q_node_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_from_pairs(copurchase: DataFrame) -> DataFrame:
     """`node_jaccard_linkpred` downstream of the pair relation (shared
     with the materialized-edge pipeline path)."""
+    # The support-filtered edge list feeds the degree table, the adjacency
+    # table AND the existing-edge anti-join — un-materialized, the static
+    # plan expanded the pair build into each reference (42 Exchange / 14
+    # scan nodes at sf0.1 — plans/r18/node_jaccard_linkpred_before.txt).
+    # One localCheckpoint of the O(E) relation (CC's edge-checkpoint
+    # bound) makes the one-pass pair build structural (guide §3.3/§5);
+    # blocks stay alive — the returned plan reads them.
     edges = (
         copurchase
         .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
         .select("part_a", "part_b")
+        .localCheckpoint()
     )
     sym = edges.select(
         F.col("part_a").alias("node"), F.col("part_b").alias("nbr")
@@ -798,6 +816,8 @@ def _khop_from_pairs(spark: SparkSession, copurchase: DataFrame) -> DataFrame:
     materialized-edge pipeline path)."""
     from imperio_patitas_etl_spark.operators.checkpoint import (
         CheckpointGenerations,
+        persistent_rdd_ids,
+        release_rdds,
     )
 
     edges = (
@@ -805,11 +825,24 @@ def _khop_from_pairs(spark: SparkSession, copurchase: DataFrame) -> DataFrame:
         .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
         .select("part_a", "part_b")
     )
+    # The symmetric edge list is read by the seed scan AND by every hop's
+    # frontier join — 1 + KHOP_MAX references. Un-checkpointed, each one
+    # re-derived the whole co-purchase pair build (basket collect_set +
+    # intra-basket explode + pair groupBy) from the parquet scan: 4 full
+    # pipeline runs per call at KHOP_MAX=3, measured 4.6 s → 2.x s warm at
+    # sf0.1 (guide §2.4/§5 — reuse demands materialization; Catalyst does
+    # not CSE across DataFrame references, and only the loop's OWN rounds
+    # were checkpointed, same lesson as connected_components' edge set).
+    # Checkpointed BEFORE generation tracking starts (the
+    # CheckpointGenerations contract above) and released once the loop's
+    # final visited checkpoint no longer reads it.
+    _before_sym = persistent_rdd_ids(spark)
     sym = edges.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     ).unionAll(
         edges.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    )
+    ).localCheckpoint()
+    _sym_ids = persistent_rdd_ids(spark) - _before_sym
     nodes = sym.select("src").distinct()
     gens = CheckpointGenerations(spark)
     frontier = (
@@ -833,6 +866,9 @@ def _khop_from_pairs(spark: SparkSession, copurchase: DataFrame) -> DataFrame:
         # re-derive the frontier FROM the new checkpoint — keeping `nxt`
         # would lazily reference the generation just released
         frontier = visited.filter(F.col("hops") == hop)
+    # the returned plan reads only the final visited checkpoint — the
+    # edge blocks are dead here
+    release_rdds(spark, _sym_ids)
     return visited.select(F.col("src").alias("part_id"), "hops")
 
 

@@ -1083,10 +1083,23 @@ def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precedent): D² rows per chunk instead of D² per INPUT ROW — the
     # double-posexplode twin of this build emitted 20M rows at sf0.1
     # (6.9 s); this emits ~4096·chunks (1.5 s), identical exact values.
+    # The Gram table is referenced once per iteration plus once by the
+    # Rayleigh numerator — {POWER_ITERS}+1 subtree copies. Un-materialized,
+    # the STATIC plan duplicated the whole scan→mapInPandas→groupBy
+    # pipeline into every copy (measured 918 Exchange / 226 scan / 226
+    # MapInPandas nodes at sf0.1 — plans/r18/power_iteration_pc_before.txt),
+    # leaving "one Gram pass" to runtime exchange reuse and paying
+    # Catalyst/codegen for a ~1000-operator tree. One localCheckpoint of
+    # the D²-row aggregate (≤4096 rows, corpus-independent) makes the
+    # single data pass structural (guide §3.3/§5) and collapses the final
+    # plan to a handful of exchanges. Blocks stay alive for the session —
+    # bounded, the returned plan reads them (the ngram standalone-key
+    # lifetime contract).
     gram = (
         iv.mapInPandas(_partial_gram, "i int, j int, g_part long")
         .groupBy("i", "j")
         .agg(F.sum(F.expr("CAST(g_part AS DECIMAL(38,0))")).alias("g"))
+        .localCheckpoint()
     )
     v = spark.range(64).select(
         F.col("id").cast("int").alias("j"), F.lit(1_000_000).cast("long").alias("v")
@@ -1105,9 +1118,12 @@ def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign = v.filter(F.col("j") == 0).select(
         F.when(F.col("v") < 0, -1).otherwise(1).alias("s")
     )
+    # canon (D rows) feeds the numerator twice, the denominator, and the
+    # returned projection — 4 copies of the 3-iteration join chain in the
+    # static plan without this cut (same rationale as gram above).
     canon = v.crossJoin(F.broadcast(sign)).select(
         "j", (F.col("v") * F.col("s")).alias("comp_micro")
-    )
+    ).localCheckpoint()
     num = (
         gram.join(canon.select(F.col("j"), F.col("comp_micro").alias("vj")), "j")
         .join(canon.select(F.col("j").alias("i"), F.col("comp_micro").alias("vi")), "i")
