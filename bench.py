@@ -273,7 +273,10 @@ def main(argv: list[str] | None = None) -> None:
         (F.col("id") % 4).alias("s"), "id", F.lit(1).alias("w")
     )
     cum = partitioned_prefix_sum(tiny, "s", ["id"], "w", "cum", 8)
-    tot = cum.groupBy("s").agg(F.max("cum").alias("t"))
+    # totals from the INPUT relation, mirroring the r18 consumers
+    # (pps/equi-depth/quantiles now derive stratum totals without a
+    # second Arrow pass over the scan output)
+    tot = tiny.groupBy("s").agg(F.sum("w").alias("t"))
     cum.join(F.broadcast(tot), "s").filter(
         F.expr("(2*cum + t - 1) div (2*t) >= 1")
     ).count()

@@ -1279,7 +1279,11 @@ MAD_K = 3  # the classic "3 MADs from the median" rule
 
 
 def _exact_group_median(
-    df: "DataFrame", group_col: str, value_col: str, out_col: str
+    df: "DataFrame",
+    group_col: str,
+    value_col: str,
+    out_col: str,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact LOWER median of ``value_col`` per group — the element at
     rank (n+1) div 2 in (value, event_id) order — computed from the
@@ -1287,7 +1291,15 @@ def _exact_group_median(
     Window sort: with a handful of event types over 100 TB a
     ``Window.partitionBy(type)`` would serialize each type into one
     task. The lower median is an actual element, so no averaging float
-    enters the pipeline."""
+    enters the pipeline.
+
+    ``counts`` (group_col, n = group size) may be supplied by the caller
+    when it already exists; the default derives it from the INPUT
+    relation, not from ``max(rnk)`` over the scan output — the prefix
+    rank's max per group IS the group size, but reading it from
+    ``ranked`` re-ran the Arrow scan a second time per call (r18 plan
+    audit: every reference to a ``mapInPandas`` output is a separate
+    Python pass; guide §4 — cross the boundary once)."""
     ranked = partitioned_prefix_sum(
         df.withColumn("one", F.lit(1)),
         group_col,
@@ -1295,7 +1307,8 @@ def _exact_group_median(
         "one",
         "rnk",
     )
-    counts = ranked.groupBy(group_col).agg(F.max("rnk").alias("n"))
+    if counts is None:
+        counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
     return (
         ranked.join(F.broadcast(counts), group_col)
         .filter(F.col("rnk") == F.expr("(n + 1) div 2"))
@@ -1325,7 +1338,20 @@ def q_dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 1_000_000).cast("long").alias("vm"),
     )
-    med = _exact_group_median(e, "event_type", "vm", "med_micro")
+    # Group sizes are identical for both median passes (dev has exactly
+    # one row per event), so ONE counts relation serves both; and the
+    # 5-row median/MAD tables are localCheckpoint-ed because each is
+    # referenced twice (dev build + final projection; mad pick + final
+    # projection) — un-materialized, every reference re-ran its whole
+    # prefix-scan pipeline including the Arrow pass (16 MapInPandas / 26
+    # Exchange nodes in the static plan,
+    # plans/r18/dq_anomaly_mad_before.txt; now 2 MapInPandas — one per
+    # pass — with the final aggregate reading the Python-free dev
+    # relation). Guide §4.1/§3.3.
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    med = _exact_group_median(
+        e, "event_type", "vm", "med_micro", counts=counts
+    ).localCheckpoint()
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_id",
         "event_type",
@@ -1337,7 +1363,8 @@ def q_dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "vm",
         "mad_micro",
-    )
+        counts=counts,
+    ).localCheckpoint()
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
@@ -1424,7 +1451,11 @@ def q_group_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "one",
         "rnk",
     )
-    counts = ranked.groupBy("event_type").agg(F.max("rnk").alias("n"))
+    # group sizes from the INPUT relation, not max(rnk) over the scan
+    # output: every reference to a mapInPandas output is a separate Arrow
+    # pass (guide §4.1), so deriving counts from `ranked` re-ran the
+    # prefix scan just to read group sizes the raw scan already knows
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
     spec = spark.createDataFrame(
         [(q,) for q in QUANTILE_PCTS], "q_pct int"
     ).select(F.col("q_pct").cast("long").alias("q_pct"))

@@ -1177,7 +1177,10 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = partitioned_prefix_sum(
         o, "all", ["cents", "o_orderkey"], "one", "rank"
     )
-    n_total = ranked.agg(F.max("rank").alias("n_total"))
+    # total row count from the INPUT relation (max rank = N by
+    # construction): reading it from `ranked` re-ran the whole Arrow
+    # prefix pass a second time per call (guide §4.1 — one Python pass)
+    n_total = o.agg(F.count("*").alias("n_total"))
     b = EQUI_DEPTH_BUCKETS
     return (
         ranked.crossJoin(F.broadcast(n_total))

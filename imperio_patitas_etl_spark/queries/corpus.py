@@ -643,7 +643,11 @@ def q_pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.col("n_chars").alias("w")
     )
     cum = partitioned_prefix_sum(d, "source", ["doc_id"], "w", "cum")
-    tot = cum.groupBy("source").agg(F.max("cum").alias("t"))
+    # stratum totals from the INPUT relation (Σw = max cum by
+    # construction): reading them from `cum` re-ran the whole Arrow
+    # prefix pass a second time per call — every reference to a
+    # mapInPandas output is a separate Python pass (guide §4.1)
+    tot = d.groupBy("source").agg(F.sum("w").alias("t"))
     k = PPS_K
     pts = "((2*{k}*{x} + t - 1) div (2*t))"
     n_hits = (
