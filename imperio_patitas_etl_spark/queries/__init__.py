@@ -64,9 +64,9 @@ _MODULES = (
 
 # Round-18 window (exactly the 50 keys the driver samples). Rule (a):
 # four keys changed implementation this round — the ngram-Jaccard
-# family again (VERDICT r17 item 1: the cluster consumers now feed
-# connected components the O(b)-per-class star edge set from
-# `_ngram_cc_edge_build` instead of the pair list's C(b,2) cliques;
+# family again (VERDICT r17 item 1, extended in r18: the cluster
+# consumers now run connected components over the REP graph only via
+# `_clusters_via_rep_cc`, not the pair list's C(b,2) cliques;
 # plus the ADVICE r17 tagger hardenings — row-preserving gid join-back,
 # NULL-element fp sentinel — which touch the shared closure of all
 # four keys) — and lead the window. The rest is rule-(b) refresh per

@@ -319,7 +319,7 @@ def _tagged_build(
 ) -> tuple[DataFrame, set[int]]:
     """Shingle + group-tag + checkpoint stage shared by
     ``_ngram_pair_build`` (pair-list consumers) and
-    ``_ngram_cc_edge_build`` (connectivity-only consumers): returns the
+    ``_clusters_via_rep_cc`` (connectivity-only consumers): returns the
     checkpointed tagged relation and the block ids the caller owns."""
     _before = persistent_rdd_ids(spark)
     # checkpoint the shingled relation BEFORE tagging: the join-shape
@@ -336,21 +336,95 @@ def _tagged_build(
     return tagged, persistent_rdd_ids(spark) - _before
 
 
-def _ngram_cc_edge_build(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, set[int]]:
-    """Connectivity-only edge build for the cluster consumers
-    (``dup_clusters`` / ``dup_clusters_star`` / ``corpus_keep_list``,
-    VERDICT r17 item 1): same tagged checkpoint as ``_ngram_pair_build``,
-    but the returned edge set is ``_cc_edges_from_tagged`` — O(b) star
-    edges per identical-set group instead of the C(b,2) clique the
-    pair-LIST key must emit by contract. Connected components on this
-    edge set equal components on the full pair list (proof in
-    ``_cc_edges_from_tagged``), so the cluster keys keep their oracles
-    while the edge volume into CC scales with corpus size, not with the
-    square of duplicate-class size."""
-    tagged, shingle_ids = _tagged_build(spark, sf_dir)
-    return _cc_edges_from_tagged(tagged), shingle_ids
+def _clusters_via_rep_cc(
+    spark: SparkSession, sf_dir: str, cc_fn
+) -> DataFrame:
+    """Duplicate clustering for the cluster consumers (``dup_clusters``
+    / ``dup_clusters_star`` / ``corpus_keep_list``): connected
+    components over the REPRESENTATIVE graph only, members labeled
+    through their group id afterwards. This supersedes the r17 star-edge
+    build (rep pairs ∪ (gid, member) star edges, all fed into the CC
+    loop): the star edges carried one row PER QUALIFYING DOCUMENT
+    through every CC round — O(rounds · n) shuffled rows at 100 TB just
+    to tell each member what its gid already says. Here the iterative
+    loop sees only the near-dup REP pairs (the output-bounded AllPairs
+    result), and membership is applied once, outside the loop, as a
+    single equi-join on gid (r18; guide §2.3 — shuffle keys and
+    metadata, move the bulk exactly once).
+
+    PROOF the output equals CC over the full pair list (the oracle's
+    transitive closure): qualification (non-empty shingles, non-NULL
+    lang) is group-uniform, so the full edge set touches exactly the
+    qualifying docs; its components are unions of identical-set groups
+    connected through rep pairs (a cross pair (m_a, m_b) exists iff the
+    rep pair (gid_A, gid_B) does; intra pairs stay inside one group).
+    A component's label is its minimum doc_id = the minimum gid of its
+    groups (gid is each group's min member) = the min-label CC result
+    over the rep graph. Therefore: qualifying member → rep-CC label of
+    its gid (own gid when the rep is pairless and absent from the rep
+    graph); non-qualifying doc → no edges anywhere → itself. Pinned
+    clique-vs-rep-CC on a ≥1,000-copy duplicate class in
+    tests/test_cc_star_edges.py and end-to-end on real data.
+
+    Lifetime: the returned plan reads the skinny (doc_id, gid) member
+    checkpoint and the CC label checkpoint; the wide tagged relation is
+    released here — its arrays never outlive the build (the r17 star
+    build kept them alive through the edge checkpoint instead)."""
+    tagged, tagged_ids = _tagged_build(spark, sf_dir)
+    members = _qualifying_members(tagged).localCheckpoint()
+    # rep-pair checkpoint: the AllPairs index+verify pass runs exactly
+    # once — both the CC edge input and the endpoint seed read it (an
+    # un-checkpointed plan would re-run the index for the seed relation)
+    rep_pairs = (
+        _rep_pairs_from_tagged(tagged)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    release_rdds(spark, tagged_ids)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _labels_from_rep_cc(docs, members, rep_pairs, cc_fn)
+
+
+def _qualifying_members(tagged: DataFrame) -> DataFrame:
+    """Skinny (doc_id, gid) map of the docs that can carry edges in the
+    full pair list (non-empty shingles, non-NULL lang — qualification is
+    group-uniform, see ``_clusters_via_rep_cc``). 16 bytes/row, so the
+    wide tagged arrays never outlive the build once this (and the rep
+    pairs) are checkpointed."""
+    return tagged.filter(
+        (F.size("shingles") > 0) & F.col("lang").isNotNull()
+    ).select("doc_id", "gid")
+
+
+def _labels_from_rep_cc(
+    docs: DataFrame, members: DataFrame, rep_pairs: DataFrame, cc_fn
+) -> DataFrame:
+    """(doc_id, cluster_id) from rep-level connected components: run
+    ``cc_fn`` over the rep-pair endpoints only, then label every
+    qualifying member through its gid, everything else with itself
+    (equivalence proof at ``_clusters_via_rep_cc``). ``members`` and
+    ``rep_pairs`` must be cheap to evaluate repeatedly (checkpointed or
+    parquet-backed): ``cc_fn`` reads the edges and the endpoint seed,
+    and the returned plan reads ``members`` (plus, for the star
+    contraction, the endpoint seed again)."""
+    endpoints = (
+        rep_pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(rep_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    rep_cc = cc_fn(
+        endpoints, rep_pairs.select("doc_a", "doc_b")
+    ).select(
+        F.col("doc_id").alias("gid"), F.col("cluster_id").alias("rep_label")
+    )
+    return (
+        docs.join(members, "doc_id", "left")
+        .join(rep_cc, "gid", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep_label", "gid", "doc_id").alias("cluster_id"),
+        )
+    )
 
 
 def _shingle_set_fp(col: str = "shingles") -> Column:
@@ -460,7 +534,7 @@ def _tag_shingle_groups(s: DataFrame) -> DataFrame:
 def _rep_pairs_from_tagged(tagged: DataFrame) -> DataFrame:
     """AllPairs near-dup pairs over one representative per identical-set
     group — the expensive index+verify pass both ``_pairs_from_tagged``
-    (full pair list) and ``_cc_edges_from_tagged`` (connectivity only)
+    (full pair list) and ``_labels_from_rep_cc`` (connectivity only)
     expand from. A group's representative is the member whose doc_id
     equals the group's gid (gid = min doc_id of the group)."""
     reps = tagged.filter(F.col("doc_id") == F.col("gid")).select(
@@ -512,50 +586,6 @@ def _pairs_from_tagged(
         F.lit(10000).cast("long").alias("jaccard_bp"),
     )
     return cross.unionByName(intra)
-
-
-def _cc_edges_from_tagged(
-    tagged: DataFrame, rep_pairs: DataFrame | None = None
-) -> DataFrame:
-    """Connectivity-equivalent edge set for connected components, O(b)
-    edges per identical-set group instead of ``_pairs_from_tagged``'s
-    C(b,2) clique (VERDICT r17 item 1): representative-level near-dup
-    pairs ∪ (gid, member) star edges for every qualifying non-rep member.
-    At the mass-duplication regime the collapse exists for (10⁸ copies of
-    one boilerplate text) this is 10⁸ edge rows into CC instead of
-    5×10¹⁵.
-
-    PROOF the components equal those of the full pair list:
-    (⊆) every star edge (gid, m) is a full-list edge — gid and m share a
-    group, and the qualifying filter here (non-empty shingles, non-NULL
-    lang) is exactly the full list's intra-clique membership filter; a
-    rep pair (r_a, r_b) is a full-list cross pair (the cross expansion
-    includes the reps themselves, since every group contains its rep).
-    (⊇) a full-list intra edge (m₁, m₂) is spanned by the star path
-    m₁–gid–m₂ (or IS a star edge when one endpoint is the rep); a
-    full-list cross edge (m_a ∈ A, m_b ∈ B) is spanned by
-    m_a–gid_A–gid_B–m_b: the rep pair (gid_A, gid_B) exists because
-    cross pairs only arise from rep pairs, and the star edges exist
-    because a rep emitted by the AllPairs index has non-empty shingles
-    and non-NULL lang (explode of an empty array yields no index
-    entries; the index equi-joins on lang), so its whole identical-set
-    group qualifies. Singleton groups and non-qualifying groups (empty
-    sets, NULL lang) get no edges from either set — their members label
-    themselves in CC, as the docs seed guarantees. Pinned clique-vs-star
-    on a ≥1,000-copy duplicate class in tests/test_cc_star_edges.py.
-
-    jaccard_bp is deliberately absent: this relation feeds ONLY
-    connectivity consumers; the pair-LIST key (``ngram_jaccard_dedup``)
-    keeps the full expansion, whose clique is output-bounded by
-    contract."""
-    if rep_pairs is None:
-        rep_pairs = _rep_pairs_from_tagged(tagged)
-    star = tagged.filter(
-        (F.size("shingles") > 0)
-        & F.col("lang").isNotNull()
-        & (F.col("doc_id") != F.col("gid"))
-    ).select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    return rep_pairs.select("doc_a", "doc_b").unionByName(star)
 
 
 def _pairs_from_shingled(s: DataFrame) -> DataFrame:
@@ -1487,16 +1517,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered by connected components, labeling every document with the
     minimum doc_id of its duplicate cluster. Keeping rows where doc_id =
     cluster_id IS the deduplicated corpus; everything else maps to its
-    canonical survivor. CC consumes the O(b)-per-duplicate-class star
-    edge set (``_ngram_cc_edge_build``), not the pair list's C(b,2)
-    cliques — same components (proof at ``_cc_edges_from_tagged``), so
-    the oracle is unchanged."""
-    edges, shingle_ids = _ngram_cc_edge_build(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = connected_components(docs, edges)
-    # CC checkpointed the edge set eagerly — the shingle blocks are dead
-    release_rdds(spark, shingle_ids)
-    return out
+    canonical survivor. The CC loop runs on the REPRESENTATIVE graph
+    only — members are labeled through
+    their gid by one join outside the loop (``_clusters_via_rep_cc``,
+    r18; proof there), so the oracle is unchanged while per-round
+    shuffle volume scales with near-dup rep pairs, not corpus size."""
+    return _clusters_via_rep_cc(spark, sf_dir, connected_components)
 
 
 #: transitive closure over the SAME pair query, as a recursive CTE: reach
@@ -1522,9 +1548,9 @@ ORACLE_DUP_CLUSTERS = f"""
 
 def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as ``dup_clusters`` — (doc_id, cluster_id = min doc_id
-    of the duplicate component) over the SAME star edge set
-    (``_ngram_cc_edge_build``) — but
-    computed with the alternating large-star/small-star contraction
+    of the duplicate component) over the SAME representative graph
+    (``_clusters_via_rep_cc``, r18) — but the rep-level components come
+    from the alternating large-star/small-star contraction
     (``operators/graph.py:connected_components_star``), the O(log n)-round
     path for graphs whose diameter is unbounded. Both algorithms reach the
     same unique fixpoint (property-tested against a union-find oracle in
@@ -1533,12 +1559,7 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter-bounded one."""
     from imperio_patitas_etl_spark.operators.graph import connected_components_star
 
-    edges, shingle_ids = _ngram_cc_edge_build(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    out = connected_components_star(docs, edges)
-    # the star loop checkpointed the edge set — the shingle blocks are dead
-    release_rdds(spark, shingle_ids)
-    return out
+    return _clusters_via_rep_cc(spark, sf_dir, connected_components_star)
 
 
 #: deterministic "arriving batch" split for the incremental-MinHash key:
@@ -2325,24 +2346,29 @@ def ngram_family_from_shingles(
     # does in q_dup_clusters once CC checkpoints the edge set). The
     # rep-level AllPairs pass is checkpointed ONCE and feeds both the
     # full pair expansion (the ngram_jaccard_dedup output) and the
-    # connectivity star edges the CC variants consume (VERDICT r17
-    # item 1: O(b) edges per duplicate class into CC, not the C(b,2)
-    # clique only the pair-LIST output contractually needs).
+    # rep-graph CC both cluster variants run on (r18: the loop sees
+    # only rep pairs; members label through gid outside it — not the
+    # C(b,2) clique only the pair-LIST output contractually needs).
     tagged = _tag_shingle_groups(s).localCheckpoint()
+    _tagged_ids = persistent_rdd_ids(spark) - _before
+    members = _qualifying_members(tagged).localCheckpoint()
     rep_pairs = _rep_pairs_from_tagged(tagged).localCheckpoint()
-    _build_ids = persistent_rdd_ids(spark) - _before
     pairs = _pairs_from_tagged(tagged, rep_pairs).localCheckpoint()
-    _pre_edge_ids = persistent_rdd_ids(spark)
-    edges = _cc_edges_from_tagged(tagged, rep_pairs).localCheckpoint()
-    _edge_ids = persistent_rdd_ids(spark) - _pre_edge_ids
-    release_rdds(spark, _build_ids)
+    # the wide tagged arrays are dead once the skinny member map, the
+    # rep pairs, and the full pair expansion are materialized
+    release_rdds(spark, _tagged_ids)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    clusters = connected_components(docs, edges)
-    clusters_star = connected_components_star(docs, edges)
-    # both CC variants have checkpointed their symmetrized edge sets —
-    # the family's own edge checkpoint is dead; free it now instead of
-    # holding it until family.release()
-    release_rdds(spark, _edge_ids)
+    # both CC variants run on the REP graph only (r18,
+    # _clusters_via_rep_cc): the loop shuffles near-dup rep pairs, and
+    # membership lands once per variant as an equi-join on gid. The
+    # member and rep-pair checkpoints stay family-owned — the returned
+    # label plans read them.
+    clusters = _labels_from_rep_cc(
+        docs, members, rep_pairs, connected_components
+    )
+    clusters_star = _labels_from_rep_cc(
+        docs, members, rep_pairs, connected_components_star
+    )
     family = {
         "ngram_jaccard_dedup": pairs,
         "dup_clusters": clusters,

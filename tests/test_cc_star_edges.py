@@ -1,12 +1,14 @@
-"""Connectivity star edges vs the full pair-list cliques (VERDICT r17
-item 1): the cluster consumers (``dup_clusters`` / ``dup_clusters_star``
-/ ``corpus_keep_list``) feed connected components
-``_cc_edges_from_tagged`` — rep-level near-dup pairs ∪ (gid, member)
-star edges, O(b) per identical-set group — instead of
-``_pairs_from_tagged``'s C(b,2) cliques, which only the pair-LIST key
-(``ngram_jaccard_dedup``) contractually needs. These tests pin the
-equivalence proof on the regime that motivates it: a mass-duplication
-fixture with a ≥1,000-copy duplicate class.
+"""Rep-graph connected components vs the full pair-list cliques
+(VERDICT r17 item 1, extended in r18): the cluster consumers
+(``dup_clusters`` / ``dup_clusters_star`` / ``corpus_keep_list``) run CC
+over the REPRESENTATIVE graph only (``_labels_from_rep_cc`` — near-dup
+rep pairs as the loop's edge set, members labeled through their gid by
+one join outside the loop), instead of feeding the loop
+``_pairs_from_tagged``'s C(b,2) cliques (r16) or per-member star edges
+(r17), which only the pair-LIST key (``ngram_jaccard_dedup``)
+contractually needs. These tests pin the equivalence proof on the regime
+that motivates it: a mass-duplication fixture with a ≥1,000-copy
+duplicate class.
 
 Also pins the two r17 ADVICE hardenings on the tagger path:
 the gid join-back is row-preserving even for a (contract-violating)
@@ -21,8 +23,10 @@ from pyspark.sql import functions as F
 
 from imperio_patitas_etl_spark.queries import text
 from imperio_patitas_etl_spark.queries.text import (
-    _cc_edges_from_tagged,
+    _labels_from_rep_cc,
     _pairs_from_tagged,
+    _qualifying_members,
+    _rep_pairs_from_tagged,
     _shingle_set_fp,
     _shingled,
     _tag_shingle_groups,
@@ -32,8 +36,8 @@ from imperio_patitas_etl_spark.queries.text import (
 # mass-duplication corpus: one 1,200-copy boilerplate class, a 3-copy
 # near-duplicate of it (Jaccard vs the boilerplate = 3/4 ≥ 0.5: shingle
 # sets {a b c, b c d, c d e} vs + {d e f}), an unrelated singleton, an
-# empty text, and a NULL-lang duplicate pair (excluded from edges by the
-# lang equi-join / intra qualifying filter).
+# empty text, and a NULL-lang duplicate pair (excluded from the member
+# map by the qualifying filter / from rep pairs by the lang equi-join).
 BOILER = "a b c d e"
 NEAR = "a b c d e f"
 N_BOILER = 1_200
@@ -56,7 +60,7 @@ def _tagged(spark, docs):
     return _tag_shingle_groups(s.localCheckpoint())
 
 
-def test_star_edges_give_identical_components_on_mass_duplication(spark):
+def test_rep_cc_gives_identical_components_on_mass_duplication(spark):
     docs = _fixture(spark)
     tagged = _tagged(spark, docs).localCheckpoint()
     ids = docs.select("doc_id")
@@ -64,9 +68,16 @@ def test_star_edges_give_identical_components_on_mass_duplication(spark):
     clique = connected_components(
         ids, _pairs_from_tagged(tagged).select("doc_a", "doc_b")
     )
-    star = connected_components(ids, _cc_edges_from_tagged(tagged))
+    rep = _labels_from_rep_cc(
+        ids,
+        _qualifying_members(tagged).localCheckpoint(),
+        _rep_pairs_from_tagged(tagged)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(),
+        connected_components,
+    )
 
-    got = sorted(tuple(r) for r in star.collect())
+    got = sorted(tuple(r) for r in rep.collect())
     want = sorted(tuple(r) for r in clique.collect())
     assert got == want
     # sanity on the fixture: boilerplate + near-dup collapse to ONE
@@ -78,20 +89,25 @@ def test_star_edges_give_identical_components_on_mass_duplication(spark):
     assert labels[4_000] == 4_000 and labels[4_001] == 4_001
 
 
-def test_star_edge_count_is_linear_in_class_size(spark):
-    """The b=1,200 class contributes b−1 star edges (member→gid) and the
-    pair list its C(b,2)=719,400 clique — the O(b) vs O(b²) difference
-    VERDICT r17 item 1 names. Exact counts pinned so a regression that
-    reintroduces the clique into the CC path cannot pass silently."""
+def test_rep_graph_loop_input_is_constant_in_class_size(spark):
+    """The CC loop's edge input is ONE rep pair (boilerplate rep 0 —
+    near-dup rep 2000) regardless of the b=1,200 class size, where the
+    pair list carries its C(1200,2)=719,400 clique and the r17 star
+    build carried b−1 member edges per class through every round. The
+    member map is one skinny row per qualifying doc, touched once
+    outside the loop. Exact counts pinned so a regression that
+    reintroduces per-member rows into the CC path cannot pass
+    silently."""
     docs = _fixture(spark)
     tagged = _tagged(spark, docs).localCheckpoint()
 
-    star_edges = _cc_edges_from_tagged(tagged)
+    rep_pairs = _rep_pairs_from_tagged(tagged)
+    members = _qualifying_members(tagged)
     pair_edges = _pairs_from_tagged(tagged)
 
-    # star: (1200−1) boilerplate + (3−1) near-dup class + 1 rep pair
-    # (boilerplate rep 0 — near-dup rep 2000); NULL-lang pair excluded
-    assert star_edges.count() == (N_BOILER - 1) + 2 + 1
+    assert rep_pairs.count() == 1
+    # 1200 boilerplate + 3 near-dup + 1 qualifying singleton
+    assert members.count() == N_BOILER + 3 + 1
     # clique: C(1200,2) + C(3,2) intra + 1200·3 cross expansion
     expected_clique = (
         N_BOILER * (N_BOILER - 1) // 2 + 3 + N_BOILER * 3
@@ -143,8 +159,8 @@ def test_fp_encodes_null_elements_explicitly(spark):
 
 
 def test_registry_cluster_keys_share_components_with_pair_list(spark, sf_dir):
-    """End-to-end on real data: the registry cluster key (star-edge CC)
-    equals CC over the full pair list — the clique-vs-star equivalence on
+    """End-to-end on real data: the registry cluster key (rep-graph CC)
+    equals CC over the full pair list — the clique-vs-rep equivalence on
     the actual corpus, not just the synthetic fixture."""
     tagged, ids_ = text._tagged_build(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
