@@ -1212,6 +1212,112 @@ def _rep_stats_expr(g: int) -> str:
     )
 
 
+def _gopher_rep_stats(batches):
+    """Arrow-batched exact twin of the ``_rep_stats_expr`` ladder: per
+    document, n (token count), n_dup (tokens minus distinct tokens) and,
+    for every order g = 1..10, mx{g} (multiplicity of the most frequent
+    g-gram) / dup{g} (g-gram positions whose gram occurs more than
+    once).
+
+    All counting is EXACT — gram identity comes from ``np.unique``
+    (string equality, then pairwise integer re-encoding per order), no
+    hashing anywhere — so the outputs are bit-identical to the
+    higher-order-aggregate ladder (pinned row-for-row against
+    ``_rep_stats_expr`` in tests). The kernel exists because Spark's
+    higher-order functions evaluate their lambdas interpreted, outside
+    whole-stage codegen: the 10-order expression ladder measured ~3 µs
+    per n-gram position at sf0.1 (≈5 s for 2.7 M positions) while this
+    vectorized kernel does the same work in C loops (~0.7 s), a per-task
+    compute gap that follows the operator to any scale (guide §4.2 —
+    hand whole batches to vectorized native code instead of chains of
+    interpreted expressions).
+
+    Mechanics: flatten the batch's token arrays once; global token ids
+    via one ``np.unique``; order-g gram ids by re-encoding
+    (gid_{g−1}, next-token-id) pairs through ``np.unique`` per order —
+    ids stay < total positions, so the int64 pair packing never
+    overflows (asserted, the ``_partial_gram`` executable-contract
+    convention); per-(doc, gram) counts from one more ``np.unique``,
+    with per-doc max / dup-sums via ``reduceat`` over the sorted runs.
+    Documents shorter than g contribute mx = dup = 0, exactly like the
+    empty-gram-array fold. ``words`` is never NULL (split of the
+    non-null text column)."""
+    import numpy as np
+    import pandas as pd
+
+    orders = (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
+    for pdf in batches:
+        n_docs = len(pdf)
+        if n_docs == 0:
+            continue
+        words = pdf["words"]
+        lens = np.fromiter(
+            (len(w) for w in words), dtype=np.int64, count=n_docs
+        )
+        total = int(lens.sum())
+        assert total < 2**31, "token positions overflow one Arrow batch"
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in words])
+            if total
+            else np.empty(0, dtype=object)
+        )
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        _, tok_id = np.unique(flat, return_inverse=True)
+        tok_id = tok_id.astype(np.int64)
+        out = {"doc_id": pdf["doc_id"].to_numpy(), "n": lens}
+        k_tok = int(tok_id.max(initial=-1)) + 2
+        distinct_per_doc = np.bincount(
+            (np.unique(doc_idx * k_tok + tok_id) // k_tok).astype(np.int64),
+            minlength=n_docs,
+        )
+        out["n_dup"] = lens - distinct_per_doc
+        doc_end = (
+            offs[1:][doc_idx] if total else np.empty(0, dtype=np.int64)
+        )
+        pos = np.arange(total, dtype=np.int64)
+        gid = tok_id
+        valid = np.ones(total, dtype=bool)
+        for g in orders:
+            if g > 1:
+                fits = pos + g - 1 < doc_end
+                keep = fits[valid]
+                valid_pos = pos[valid][keep]
+                k_gid = int(gid.max(initial=-1)) + 2
+                key = gid[keep] * k_gid + tok_id[valid_pos + g - 1]
+                _, gid = np.unique(key, return_inverse=True)
+                gid = gid.astype(np.int64)
+                valid = np.zeros(total, dtype=bool)
+                valid[valid_pos] = True
+            else:
+                valid_pos = pos
+            mx = np.zeros(n_docs, dtype=np.int64)
+            dup = np.zeros(n_docs, dtype=np.int64)
+            if valid_pos.size:
+                k_doc = int(gid.max(initial=-1)) + 2
+                u, cnt = np.unique(
+                    doc_idx[valid_pos] * k_doc + gid, return_counts=True
+                )
+                docs_u = (u // k_doc).astype(np.int64)
+                starts = np.searchsorted(docs_u, np.arange(n_docs))
+                ends = np.searchsorted(docs_u, np.arange(n_docs) + 1)
+                nz = ends > starts
+                if nz.any():
+                    mx[nz] = np.maximum.reduceat(cnt, starts[nz])
+                    dupc = np.where(cnt > 1, cnt, 0)
+                    csum = np.concatenate([[0], np.cumsum(dupc)])
+                    dup[nz] = csum[ends[nz]] - csum[starts[nz]]
+            out[f"mx{g}"] = mx
+            out[f"dup{g}"] = dup
+        yield pd.DataFrame(out)
+
+
+_GOPHER_STATS_SCHEMA = "doc_id long, n long, n_dup long, " + ", ".join(
+    f"mx{g} long, dup{g} long" for g in (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
+)
+
+
 def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals, full ladder (Rae et al. 2021 §A1.1
     adapted to the whitespace-token corpus): duplicate-token fraction,
@@ -1219,25 +1325,24 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact half-up integer basis points over n-gram POSITIONS
     (positions(g) = n_words − g + 1).
 
-    Scale shape: ZERO shuffles. Every signal is a per-document function of
-    that document's own tokens, so each order's stats fold per row over
-    the sorted n-gram array (``_rep_stats_expr``) — the whole query is one
-    narrow projection over the scan, embarrassingly parallel at any
-    corpus size. (The first cut of this query exploded a tagged
-    (doc, g, gram) stream through two groupBys; correct, but it shuffled
-    ~10× the token stream to compute per-row facts — the relational twin
-    survives as the DuckDB oracle.)"""
+    Scale shape: ZERO shuffles. Every signal is a per-document function
+    of that document's own tokens, computed by the Arrow-batched
+    ``_gopher_rep_stats`` kernel — one narrow pass over the scan,
+    embarrassingly parallel at any corpus size. (The first cut exploded
+    a tagged (doc, g, gram) stream through two groupBys — it shuffled
+    ~10× the token stream; the r2 rewrite folded per row with
+    higher-order ``aggregate`` lambdas — zero shuffle but interpreted
+    per element, measured 6× slower than the kernel at sf0.1 with the
+    same exact outputs; the relational twin survives as the DuckDB
+    oracle and the HOF ladder as the kernel's pinned reference,
+    ``_rep_stats_expr``.) Trade-off accepted knowingly: the opaque
+    kernel computes all 10 orders even for consumers that prune columns
+    (``gopher_filter`` needs two), but the full kernel still undercuts
+    the pruned two-order expression ladder (guide §4.2)."""
     d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.split("text", " ").alias("words")).select(
-        "doc_id",
-        "words",
-        F.size("words").cast("long").alias("n"),
-        (F.size("words") - F.size(F.array_distinct("words"))).cast("long").alias("n_dup"),
-        *[
-            F.expr(_rep_stats_expr(g)).alias(f"st{g}")
-            for g in (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
-        ],
-    )
+    base = d.select(
+        "doc_id", F.split("text", " ").alias("words")
+    ).mapInPandas(_gopher_rep_stats, _GOPHER_STATS_SCHEMA)
 
     def _bp_half_up(num_col, den_col):
         num = num_col * 10000 * 2 + den_col
@@ -1256,12 +1361,12 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n").alias("n_words"),
         _bp_half_up(F.col("n_dup"), F.col("n")).alias("dup_token_bp"),
-        _pos_bp(F.col("st1.mx"), 1).alias("top_token_bp"),
-        _pos_bp(F.col("st2.mx"), 2).alias("top_bigram_bp"),
-        _pos_bp(F.col("st3.mx"), 3).alias("top_3gram_bp"),
-        _pos_bp(F.col("st4.mx"), 4).alias("top_4gram_bp"),
+        _pos_bp(F.col("mx1"), 1).alias("top_token_bp"),
+        _pos_bp(F.col("mx2"), 2).alias("top_bigram_bp"),
+        _pos_bp(F.col("mx3"), 3).alias("top_3gram_bp"),
+        _pos_bp(F.col("mx4"), 4).alias("top_4gram_bp"),
         *[
-            _pos_bp(F.col(f"st{g}.dup"), g).alias(f"dup_{g}gram_bp")
+            _pos_bp(F.col(f"dup{g}"), g).alias(f"dup_{g}gram_bp")
             for g in GOPHER_DUP_NS
         ],
     )

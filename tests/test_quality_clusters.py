@@ -114,3 +114,55 @@ def test_quality_gopher_hand_computed(spark, tmp_path):
     assert (r4.n_words, r4.dup_token_bp, r4.top_token_bp, r4.top_bigram_bp) == (
         5, 6000, 6000, 5000,
     )
+
+
+def test_gopher_kernel_matches_hof_ladder_exactly(spark, sf_dir):
+    """The r18 Arrow kernel (``_gopher_rep_stats``) must be bit-identical
+    to the higher-order-aggregate ladder it replaced
+    (``_rep_stats_expr``), on the real corpus AND on adversarial tokens
+    (consecutive/trailing spaces -> empty-string tokens, single words,
+    empty text, heavy repetition past every order)."""
+    from pyspark.sql import functions as F
+
+    from imperio_patitas_etl_spark.queries.text import (
+        GOPHER_DUP_NS,
+        GOPHER_TOP_NS,
+        _GOPHER_STATS_SCHEMA,
+        _gopher_rep_stats,
+        _rep_stats_expr,
+    )
+    from imperio_patitas_etl_spark.sources.parquet import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    adversarial = spark.createDataFrame(
+        [
+            (10_001, "a  b   c a  b"),   # empty-string tokens
+            (10_002, " leading"),
+            (10_003, "trailing "),
+            (10_004, ""),
+            (10_005, "w"),
+            (10_006, "r r r r r r r r r r r r"),  # dups at every order
+        ],
+        "doc_id long, text string",
+    )
+    base = corpus.unionByName(adversarial).select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    kern = base.mapInPandas(_gopher_rep_stats, _GOPHER_STATS_SCHEMA)
+    ladder = base.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n"),
+        (F.size("words") - F.size(F.array_distinct("words")))
+        .cast("long")
+        .alias("n_dup"),
+        *[
+            c
+            for g in (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
+            for c in (
+                F.expr(_rep_stats_expr(g))[f"mx"].cast("long").alias(f"mx{g}"),
+                F.expr(_rep_stats_expr(g))["dup"].cast("long").alias(f"dup{g}"),
+            )
+        ],
+    )
+    assert kern.exceptAll(ladder).count() == 0
+    assert ladder.exceptAll(kern).count() == 0
