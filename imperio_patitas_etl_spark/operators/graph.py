@@ -155,7 +155,11 @@ def pagerank_fixed(
         )
         .localCheckpoint()
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    # the degree table is read by every iteration's contribution join
+    # and by the rank seed; checkpointing the skinny (node, deg) relation
+    # keeps the per-iteration plan a leaf join instead of re-deriving the
+    # aggregate per reference (26 -> ~8 static Exchange nodes at sf0.1)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     ranks = deg.select("src", F.lit(unit).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (

@@ -56,7 +56,15 @@ def _baskets(li: DataFrame) -> DataFrame:
 
 def _copurchase_pairs(li: DataFrame) -> DataFrame:
     """Support-counted unordered part pairs (part_a < part_b) that appear
-    in the same order.
+    in the same order (see ``_copurchase_pairs_from_baskets``)."""
+    return _copurchase_pairs_from_baskets(_baskets(li))
+
+
+def _copurchase_pairs_from_baskets(b: DataFrame) -> DataFrame:
+    """The pair build over an already-derived basket relation — split
+    out (r18) so ``q_item_cooccurrence`` can feed the SAME checkpointed
+    basket table to the pair build and to the item/order marginals
+    instead of re-deriving the distinct scan three times.
 
     Scale shape: one shuffle to ``collect_set`` per order (partial-agg
     combinable), then the pair space is generated INSIDE each basket via
@@ -65,7 +73,7 @@ def _copurchase_pairs(li: DataFrame) -> DataFrame:
     caps the basket at top-N items before exploding (same bound the
     AllPairs prefix filter uses in ``ngram_jaccard_dedup``)."""
     baskets = (
-        _baskets(li)
+        b
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
@@ -133,7 +141,13 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself always fits a long. Item counts are vocabulary-sized and
     broadcast back onto the pair table."""
     li = load_table(spark, sf_dir, "lineitem")
-    return _cooccurrence_from_pairs(_copurchase_pairs(li), _baskets(li))
+    # ONE distinct (order, part) pass: the basket relation feeds the
+    # pair build, the item marginals, and the order count — three
+    # separate distinct-scan subtrees before this checkpoint (22
+    # Exchange / 8 scan static nodes, plans/r18/item_cooccurrence_before
+    # .txt; guide §3.3/§5)
+    b = _baskets(li).localCheckpoint()
+    return _cooccurrence_from_pairs(_copurchase_pairs_from_baskets(b), b)
 
 
 ORACLE_ITEM_COOCCURRENCE = f"""

@@ -764,7 +764,16 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     ∪ exact-dup edges. Fully deterministic (fixed perms, md5 hashing), so
     the oracle replicates it exactly.
     """
-    fp = docs.select("doc_id", "text", F.md5("text").alias("rfp"))
+    # the fingerprinted relation feeds the rep pick, the rep text join,
+    # AND the exact-dup edge build — un-materialized, the scan + md5 ran
+    # once per reference (16 scan nodes in the static plan,
+    # plans/r18/dedup_minhash_lsh_before.txt: 4 full corpus re-reads at
+    # runtime, scans carry no exchange for AQE to reuse). One
+    # localCheckpoint bounds it to one pass (guide §3.3/§5 — the CC
+    # edge-checkpoint size class).
+    fp = docs.select(
+        "doc_id", "text", F.md5("text").alias("rfp")
+    ).localCheckpoint()
     rep = fp.groupBy("rfp").agg(F.min("doc_id").alias("rep_id"))
     reps = (
         fp.join(rep, (fp.rfp == rep.rfp) & (fp.doc_id == rep.rep_id))

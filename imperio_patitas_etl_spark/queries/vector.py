@@ -788,7 +788,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     table. The corpus is UNIFORM RANDOM — the hardest case for ANN, since
     true neighbors don't cluster; on real embedding corpora the same
     index shapes reach far higher recall at the same probe fraction."""
-    bf = q_ann_topk_bruteforce(spark, sf_dir).select("q_id", "vec_id")
+    # the exact top-k table is referenced four times (two semi-joins +
+    # two denominators); un-materialized, the static plan duplicated the
+    # whole brute-force search per reference (44 Exchange / 24 scan
+    # nodes, plans/r18/ann_recall_before.txt) and each ran at runtime —
+    # the k·n_queries-row result is checkpointed instead (bounded,
+    # corpus-independent; guide §3.3/§5)
+    bf = (
+        q_ann_topk_bruteforce(spark, sf_dir)
+        .select("q_id", "vec_id")
+        .localCheckpoint()
+    )
 
     def _recall(approx: DataFrame, method: str) -> DataFrame:
         hits = (
