@@ -377,11 +377,16 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = toks.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
+    # read by the document-frequency aggregate AND the scoring join —
+    # un-materialized, each reference re-exploded and re-filtered the
+    # corpus token stream; bounded by (matching docs × query terms), so
+    # the checkpoint is tiny (guide §3.3)
     tf = (
         toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*BM25_TERMS))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = (
@@ -947,11 +952,17 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream; both the run and the ideal ranking are
     TakeOrdered-{BM25_TOPK} heads; the final fold is {BM25_TOPK} rows."""
     d = load_table(spark, sf_dir, "documents")
+    # read by the run join AND the ideal ranking — un-materialized, each
+    # reference re-exploded the corpus token stream (22 Exchange / 10
+    # scan static nodes, plans/r18/ndcg_eval_before.txt); the relevance
+    # table is bounded by docs containing query terms, so the
+    # checkpoint is tiny (guide §3.3)
     rel = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok").isin(*BM25_TERMS))
         .groupBy("doc_id")
         .agg(F.least(F.count("*"), F.lit(NDCG_REL_CAP)).alias("rel"))
+        .localCheckpoint()
     )
     w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
     run = (

@@ -1769,7 +1769,11 @@ def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs is a one-scalar parquet count (metadata-cheap; the
     vocabulary-style constant every TF-IDF needs)."""
     n_docs = load_table(spark, sf_dir, "documents").count()
-    tf = q_tf_vectorize(spark, sf_dir)
+    # the tf triples feed the document-frequency aggregate AND the
+    # weight join — un-materialized, the whole vectorize pipeline
+    # (scan + explode + two groupBys) ran twice per call (18 Exchange /
+    # 8 scan static nodes, plans/r18/tfidf_weights_before.txt)
+    tf = q_tf_vectorize(spark, sf_dir).localCheckpoint()
     dfc = tf.groupBy("term_id").agg(F.count("*").alias("df"))
     idf = F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0
     raw = (
@@ -2084,10 +2088,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.split("text", " ").alias("t"))
+    # vocabulary-bounded and read twice (both marginal joins) — one tiny
+    # checkpoint instead of two corpus token explodes (guide §3.3); the
+    # bigram stream stays recomputed for the same reason as
+    # bigram_logprob (corpus-sized, write ≈ re-explode)
     uni = (
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     # Spark's sequence(0, -1) DESCENDS instead of being empty — guard the
     # single-token doc (the DuckDB twin's generate_series(1, 0) is empty).
@@ -2197,10 +2206,19 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one doc_id-keyed sum — two data-sized shuffles total."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # the unigram table is read three times (both backoff joins + the
+    # corpus total) and each un-materialized reference re-exploded the
+    # corpus token stream; it is vocabulary-bounded, so one tiny
+    # checkpoint removes two full scans (guide §3.3). The bigram stream
+    # (2 references: pair counts + scoring) is deliberately NOT
+    # materialized — it is corpus-sized, so a checkpoint write costs
+    # about what the second explode does; recompute keeps the memory
+    # footprint flat instead.
     uni = (
         toks.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
     )
     n_total = uni.agg(F.sum("cnt").alias("n_total"))
     # sequence(0, -1) descends instead of being empty — guard 1-token docs
