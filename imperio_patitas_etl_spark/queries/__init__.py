@@ -63,29 +63,50 @@ _MODULES = (
 )
 
 # Round-18 window (exactly the 50 keys the driver samples). Rule (a):
-# four keys changed implementation this round — the ngram-Jaccard
-# family again (VERDICT r17 item 1, extended in r18: the cluster
-# consumers now run connected components over the REP graph only via
-# `_clusters_via_rep_cc`, not the pair list's C(b,2) cliques;
-# plus the ADVICE r17 tagger hardenings — row-preserving gid join-back,
-# NULL-element fp sentinel — which touch the shared closure of all
-# four keys) — and lead the window. The rest is rule-(b) refresh per
-# --plan-next after folding CORRECTNESS_r17 into certification.py: the
-# stalest cohort is the r14-latest rows (hll_distinct_sketch …
-# window_running_sum), then the oldest r15 rows.
+# 24 keys changed implementation this round (the r18 OPTIMIZATION pass,
+# fingerprint-detected by tools/rotation.py): the ngram-Jaccard cluster
+# family now runs connected components over the REP graph only
+# (`_clusters_via_rep_cc`); quality_gopher/gopher_filter moved to the
+# exact Arrow repetition kernel; the prefix-scan consumers read the
+# Python boundary once; and a dozen keys gained bounded localCheckpoints
+# at multiply-referenced cut points (khop/triangle/node-jaccard/pagerank
+# edges, the PCA Gram table, the recall brute-force table, the minhash
+# fingerprint relation, basket/unigram/tf/relevance aggregates).
+# upsert_merge carries the inherited partition-skip MERGE. All 24 lead
+# the window; the rest is the rule-(b) stalest cohort carried over from
+# the pre-optimization window draft.
 _R18_FRONT = (
-    # -- rule (a): implementation changed this round (4)
+    # -- rule (a): implementation changed this round (24)
+    "ann_recall",
+    "bigram_logprob",
+    "bm25_topk",
     "corpus_keep_list",
+    "dedup_minhash_lsh",
+    "dq_anomaly_mad",
     "dup_clusters",
     "dup_clusters_star",
+    "equi_depth_histogram",
+    "gopher_filter",
+    "group_quantiles_exact",
+    "item_cooccurrence",
+    "khop_reach",
+    "ndcg_eval",
     "ngram_jaccard_dedup",
-    # -- rule (b) refresh: stalest driver rows (46)
+    "node_jaccard_linkpred",
+    "pagerank_copurchase",
+    "pmi_collocations",
+    "power_iteration_pc",
+    "pps_systematic_sample",
+    "quality_gopher",
+    "tfidf_weights",
+    "triangle_count",
+    "upsert_merge",
+    # -- rule (b) refresh: stalest driver rows (26)
     "hll_distinct_sketch",
     "hll_merge_audit",
     "incremental_agg_merge",
     "interval_concurrency",
     "key_skew_audit",
-    "quality_gopher",
     "quantile_sketch",
     "range_join",
     "salted_join_skew",
@@ -102,30 +123,11 @@ _R18_FRONT = (
     "tpch_q22",
     "tpch_q7",
     "tpch_q9",
-    "triangle_count",
     "unigram_logprob",
     "union_except",
     "upsert_latest_wins",
-    "upsert_merge",
     "window_lag_rank",
     "window_range_rolling",
-    "window_running_sum",
-    "ann_ivf",
-    "ann_ivf_trained",
-    "ann_lsh_bucketed",
-    "ann_topk_bruteforce",
-    "arith_derived",
-    "asof_join",
-    "casts",
-    "coalesce_defaults",
-    "cube_rollup",
-    "date_window",
-    "decontaminate_ngram",
-    "dedup_exact",
-    "dedup_first",
-    "dedup_simhash",
-    "delete_insert_antijoin",
-    "derived_cost_coalesce",
 )
 assert len(_R18_FRONT) == 50, len(_R18_FRONT)
 
