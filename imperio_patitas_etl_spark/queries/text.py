@@ -1243,10 +1243,12 @@ def _gopher_rep_stats(batches):
 
     Mechanics: flatten the batch's token arrays once; global token ids
     via one ``np.unique``; order-g gram ids by re-encoding
-    (gid_{g−1}, next-token-id) pairs through ``np.unique`` per order —
-    ids stay < total positions, so the int64 pair packing never
-    overflows (asserted, the ``_partial_gram`` executable-contract
-    convention); per-(doc, gram) counts from one more ``np.unique``,
+    (gid_{g−1}, next-token-id) pairs through ``np.unique`` per order,
+    packed as ``gid * k_tok + tok_id`` — the multiplier bounds the
+    range of the ADDED term (tok_id < k_tok), so the packing is
+    injective for any batch size, and gid < total < 2^31 with
+    k_tok < 2^31 (asserted) keeps the int64 product overflow-free;
+    per-(doc, gram) counts from one more ``np.unique``,
     with per-doc max / dup-sums via ``reduceat`` over the sorted runs.
     Documents shorter than g contribute mx = dup = 0, exactly like the
     empty-gram-array fold. ``words`` is never NULL (split of the
@@ -1293,8 +1295,12 @@ def _gopher_rep_stats(batches):
                 fits = pos + g - 1 < doc_end
                 keep = fits[valid]
                 valid_pos = pos[valid][keep]
-                k_gid = int(gid.max(initial=-1)) + 2
-                key = gid[keep] * k_gid + tok_id[valid_pos + g - 1]
+                # Pack (gid, next-token) pairs: the multiplier must bound
+                # the ADDED term's range (tok_id < k_tok), not gid's —
+                # gid < total < 2^31 and k_tok < 2^31, so the int64
+                # product cannot overflow.
+                assert k_tok < 2**31
+                key = gid[keep] * k_tok + tok_id[valid_pos + g - 1]
                 _, gid = np.unique(key, return_inverse=True)
                 gid = gid.astype(np.int64)
                 valid = np.zeros(total, dtype=bool)

@@ -166,3 +166,61 @@ def test_gopher_kernel_matches_hof_ladder_exactly(spark, sf_dir):
     )
     assert kern.exceptAll(ladder).count() == 0
     assert ladder.exceptAll(kern).count() == 0
+
+
+def test_gopher_kernel_short_doc_small_batch_fuzz():
+    """Small batches must count exactly too: the gram-pair packing is
+    ``gid * k_tok + tok_id`` — multiplying by anything smaller (e.g. the
+    (g-1)-gram id range, as a pre-r19 version did) collides distinct
+    (gid, tok) pairs whenever a batch holds fewer distinct (g-1)-grams
+    than distinct tokens, merging distinct n-grams and inflating
+    mx{g}/dup{g}. 500 random short-doc corpora vs a brute-force
+    Counter oracle (the buggy packing failed 71/500 of exactly these)."""
+    import random
+    from collections import Counter
+
+    import pandas as pd
+
+    from imperio_patitas_etl_spark.queries.text import (
+        GOPHER_DUP_NS,
+        GOPHER_TOP_NS,
+        _gopher_rep_stats,
+    )
+
+    orders = (*GOPHER_TOP_NS, *GOPHER_DUP_NS)
+
+    def brute(docs):
+        rows = []
+        for doc_id, toks in docs:
+            row = {
+                "doc_id": doc_id,
+                "n": len(toks),
+                "n_dup": len(toks) - len(set(toks)),
+            }
+            for g in orders:
+                c = Counter(
+                    tuple(toks[i : i + g]) for i in range(len(toks) - g + 1)
+                )
+                row[f"mx{g}"] = max(c.values()) if c else 0
+                row[f"dup{g}"] = sum(v for v in c.values() if v > 1)
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    rng = random.Random(42)
+    for _ in range(500):
+        docs = [
+            (i, [f"t{rng.randint(0, 40)}" for _ in range(rng.randint(0, 12))])
+            for i in range(rng.randint(1, 12))
+        ]
+        pdf = pd.DataFrame(
+            {"doc_id": [d for d, _ in docs], "words": [w for _, w in docs]}
+        )
+        out = (
+            pd.concat(list(_gopher_rep_stats(iter([pdf]))), ignore_index=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = brute(docs).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out, exp.astype(out.dtypes.to_dict()), check_like=True
+        )
