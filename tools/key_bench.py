@@ -49,11 +49,13 @@ def main(argv: list[str] | None = None) -> None:
                 "overwrite"
             ).save()
             ts.append(round(time.perf_counter() - t0, 3))
-        ts_sorted = sorted(ts[1:]) if len(ts) > 1 else ts
+        # With --reps 1 there is no warm measurement: report null rather
+        # than letting the cold (Catalyst+codegen) time masquerade as warm.
+        warm = sorted(ts[1:])
         out[key] = {
             "cold": ts[0],
-            "warm_min": ts_sorted[0],
-            "warm_med": ts_sorted[len(ts_sorted) // 2],
+            "warm_min": warm[0] if warm else None,
+            "warm_med": warm[len(warm) // 2] if warm else None,
         }
         print(f"{key}\tcold={ts[0]}\twarm={ts[1:]}", flush=True)
     print(json.dumps(out))
