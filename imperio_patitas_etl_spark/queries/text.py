@@ -764,21 +764,26 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     ∪ exact-dup edges. Fully deterministic (fixed perms, md5 hashing), so
     the oracle replicates it exactly.
     """
-    # the fingerprinted relation feeds the rep pick, the rep text join,
-    # AND the exact-dup edge build — un-materialized, the scan + md5 ran
-    # once per reference (16 scan nodes in the static plan,
-    # plans/r18/dedup_minhash_lsh_before.txt: 4 full corpus re-reads at
-    # runtime, scans carry no exchange for AQE to reuse). One
-    # localCheckpoint bounds it to one pass (guide §3.3/§5 — the CC
-    # edge-checkpoint size class).
+    # the fingerprinted relation feeds the rep pick AND the exact-dup
+    # edge build — un-materialized, the scan + md5 ran once per reference
+    # (plans/r18/dedup_minhash_lsh_before.txt: 4 full corpus re-reads at
+    # runtime). One localCheckpoint bounds it to one pass (guide
+    # §3.3/§5), and ONLY the skinny (doc_id, rfp, ok3) projection is
+    # materialized (≤48 B/row — the CC edge-checkpoint size class): the
+    # r18 version checkpointed the full corpus TEXT here, a corpus-sized
+    # executor-local copy with no lineage fault-tolerance (guide §5;
+    # VERDICT/ADVICE r18). Representative text is recovered from the
+    # parquet scan by an id join instead — at 100 TB one extra
+    # fault-tolerant columnar scan in place of a full-corpus local write.
     fp = docs.select(
-        "doc_id", "text", F.md5("text").alias("rfp")
+        "doc_id",
+        F.md5("text").alias("rfp"),
+        (F.size(F.split("text", " ")) >= 3).alias("ok3"),
     ).localCheckpoint()
     rep = fp.groupBy("rfp").agg(F.min("doc_id").alias("rep_id"))
-    reps = (
-        fp.join(rep, (fp.rfp == rep.rfp) & (fp.doc_id == rep.rep_id))
-        .select("doc_id", "text")
-    )
+    reps = docs.join(
+        rep.select(F.col("rep_id").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
     sigs = _minhash_sigs(reps)
     # bands carry ONLY (doc_id, band): candidate generation is a groupBy on
     # the band key with bucket-local pair explosion — ONE pass over the
@@ -802,25 +807,38 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint()
     )
-    # candidate pairs are tiny relative to the corpus (that is LSH's whole
-    # point): broadcast them, join the raw text, and shingle ONLY the
-    # paired docs — the corpus-wide shingle pipeline runs once (in sigs),
-    # not three times, and the verification shuffles nothing.
-    txt_a = reps.select(
-        F.col("doc_id").alias("doc_a"), F.split("text", " ").alias("t_a")
+    # candidate pairs are tiny relative to the corpus (that is LSH's
+    # whole point), so they are checkpointed (output-bounded) and their
+    # shingle sets recovered with ONE corpus scan + broadcast id
+    # semi-join, also checkpointed (guide §8 — decide on lightweight
+    # proxies, attach the heavy payload once). Verification is then two
+    # broadcast joins over tiny materialized relations: the corpus-wide
+    # pipelines run once each and the verification shuffles nothing.
+    pair_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    txt_b = reps.select(
-        F.col("doc_id").alias("doc_b"), F.split("text", " ").alias("t_b")
+    txt = (
+        docs.join(F.broadcast(pair_ids), "doc_id")
+        .select("doc_id", F.split("text", " ").alias("__t"))
+        .select("doc_id", F.expr(_shingles_of("__t")).alias("sh"))
+        .localCheckpoint()
     )
     verified = (
-        txt_a.join(F.broadcast(cand), "doc_a")
-        .join(txt_b, "doc_b")
-        .select(
+        cand.join(
+            F.broadcast(
+                txt.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+            ),
             "doc_a",
+        )
+        .join(
+            F.broadcast(
+                txt.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+            ),
             "doc_b",
-            F.expr(_shingles_of("t_a")).alias("sh_a"),
-            F.expr(_shingles_of("t_b")).alias("sh_b"),
         )
         .select(
             "doc_a",
@@ -843,7 +861,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     edges = (
         fp.join(rep, "rfp")
         .filter(F.col("doc_id") > F.col("rep_id"))
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .filter("ok3")
         .select(
             F.col("rep_id").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
