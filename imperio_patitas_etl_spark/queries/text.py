@@ -310,30 +310,55 @@ def _ngram_pair_build(
     term scale with DISTINCT texts only while the emitted clique pairs
     stay output-bounded.
     """
-    tagged, shingle_ids = _tagged_build(spark, sf_dir)
-    return _pairs_from_tagged(tagged), shingle_ids
+    groups, groups_ids, member_map, member_ids = _grouped_build(spark, sf_dir)
+    return _pairs_from_grouped(groups, member_map), groups_ids | member_ids
 
 
-def _tagged_build(
+def _grouped_build(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, set[int]]:
-    """Shingle + group-tag + checkpoint stage shared by
+) -> tuple[DataFrame, set[int], DataFrame, set[int]]:
+    """Shingle + group-collapse + checkpoint stage shared by
     ``_ngram_pair_build`` (pair-list consumers) and
-    ``_clusters_via_rep_cc`` (connectivity-only consumers): returns the
-    checkpointed tagged relation and the block ids the caller owns."""
+    ``_clusters_via_rep_cc`` (connectivity-only consumers). Returns
+    ``(groups, groups_ids, member_map, member_ids)``:
+
+    - ``groups`` — ONE wide (doc_id, lang, shingles) row per distinct
+      (lang, shingle-set) group (the representative rows), checkpointed;
+    - ``member_map`` — skinny (doc_id, gid, qual) for EVERY document
+      (qual = can carry edges: non-empty shingles, non-NULL lang —
+      group-uniform), checkpointed.
+
+    This replaces the r16-r18 ``tagged`` checkpoint, which materialized
+    every MEMBER's full shingle array — m× the distinct-text volume on a
+    corpus with duplicate multiplicity m, exactly the regime the
+    identical-set collapse exists for. No consumer ever needed the
+    member arrays: the AllPairs index/verify reads rep arrays only, the
+    cross/intra expansions and the CC member labeling read (doc_id, gid)
+    only. Materializing groups + member_map instead makes the wide
+    checkpoint scale with DISTINCT texts (guide §2.3 — shuffle/persist
+    keys and metadata, not payloads).
+
+    The intermediate shingled relation is checkpointed for the build's
+    duration: it feeds the narrow fingerprint pass and the wide rep join
+    (Catalyst does not CSE across the fork — un-materialized, the
+    split+transform+array_distinct pipeline would tokenize the corpus
+    once per eager consumer, measured +45% on the scratch builds), and
+    it is released the moment the groups checkpoint lands. At warehouse
+    scale this transient is the write-once shingle TABLE SCALE.md
+    describes (``materialize_shingle_table``), at which point this
+    in-session copy disappears entirely."""
     _before = persistent_rdd_ids(spark)
-    # checkpoint the shingled relation BEFORE tagging: the join-shape
-    # tagger consumes its input twice (narrow fp branch + wide join
-    # side) and Catalyst does not CSE across the fork, so an
-    # un-materialized input would tokenize the corpus twice per action
-    # (measured +45% on the scratch builds). The input checkpoint is
-    # dead the moment the tagged checkpoint materializes (tagged
-    # truncates lineage), so it is released immediately.
     s_ck = _shingled(spark, sf_dir).localCheckpoint()
     _s_ids = persistent_rdd_ids(spark) - _before
-    tagged = _tag_shingle_groups(s_ck).localCheckpoint()
+    member_map = _member_map(s_ck).localCheckpoint()
+    member_ids = persistent_rdd_ids(spark) - _before - _s_ids
+    groups = s_ck.join(
+        member_map.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint()
+    groups_ids = persistent_rdd_ids(spark) - _before - _s_ids - member_ids
     release_rdds(spark, _s_ids)
-    return tagged, persistent_rdd_ids(spark) - _before
+    return groups, groups_ids, member_map, member_ids
 
 
 def _clusters_via_rep_cc(
@@ -366,34 +391,27 @@ def _clusters_via_rep_cc(
     clique-vs-rep-CC on a ≥1,000-copy duplicate class in
     tests/test_cc_star_edges.py and end-to-end on real data.
 
-    Lifetime: the returned plan reads the skinny (doc_id, gid) member
-    checkpoint and the CC label checkpoint; the wide tagged relation is
-    released here — its arrays never outlive the build (the r17 star
-    build kept them alive through the edge checkpoint instead)."""
-    tagged, tagged_ids = _tagged_build(spark, sf_dir)
-    members = _qualifying_members(tagged).localCheckpoint()
+    Lifetime: the returned plan reads the skinny (doc_id, gid, qual)
+    member checkpoint and the CC label checkpoint; the wide rep arrays
+    (``groups``) are released here the moment the rep pairs are
+    materialized — no wide relation outlives the build (r19: the member
+    qualification flag rides the member-map checkpoint, so the separate
+    qualifying-members checkpoint job is gone too)."""
+    groups, groups_ids, member_map, _member_ids = _grouped_build(
+        spark, sf_dir
+    )
+    members = member_map.filter("qual").select("doc_id", "gid")
     # rep-pair checkpoint: the AllPairs index+verify pass runs exactly
     # once — both the CC edge input and the endpoint seed read it (an
     # un-checkpointed plan would re-run the index for the seed relation)
     rep_pairs = (
-        _rep_pairs_from_tagged(tagged)
+        _pairs_from_shingled(groups)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    release_rdds(spark, tagged_ids)
+    release_rdds(spark, groups_ids)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return _labels_from_rep_cc(docs, members, rep_pairs, cc_fn)
-
-
-def _qualifying_members(tagged: DataFrame) -> DataFrame:
-    """Skinny (doc_id, gid) map of the docs that can carry edges in the
-    full pair list (non-empty shingles, non-NULL lang — qualification is
-    group-uniform, see ``_clusters_via_rep_cc``). 16 bytes/row, so the
-    wide tagged arrays never outlive the build once this (and the rep
-    pairs) are checkpointed."""
-    return tagged.filter(
-        (F.size("shingles") > 0) & F.col("lang").isNotNull()
-    ).select("doc_id", "gid")
 
 
 def _labels_from_rep_cc(
@@ -468,57 +486,57 @@ def _shingle_set_fp(col: str = "shingles") -> Column:
     return F.unhex(F.sha2(enc, 256))
 
 
-def _tag_shingle_groups(s: DataFrame) -> DataFrame:
-    """Annotate a shingled relation (doc_id, lang, shingles) with its
-    identical-set group: ``gid`` is the min doc_id over the (lang,
-    shingle-set) group — the collapse key for ``_pairs_from_tagged``.
-    Group identity is a fixed 32-byte injective-encoding digest of the
-    sorted array (``_shingle_set_fp``), NOT the array itself (the r16
-    plan): hashing/sorting the full shingle array as the exchange key
-    shipped every document's entire set through the shuffle — the "wide
-    span text never travels as a shuffle key" violation SCALE.md's
-    span-dedup rule names (VERDICT r16 item 2). Grouping equivalence
-    with exact array equality is pinned on separator-adversarial tokens
-    in tests/test_shingle_table.py.
+def _member_map(s: DataFrame) -> DataFrame:
+    """Skinny (doc_id, gid, qual) identical-set group map of a shingled
+    relation (doc_id, lang, shingles): ``gid`` is the min doc_id over
+    the (lang, shingle-set) group — the collapse key for
+    ``_pairs_from_grouped`` — and ``qual`` whether the doc can carry
+    edges in the full pair list (non-empty shingles, non-NULL lang —
+    group-uniform). Group identity is a fixed 32-byte injective-encoding
+    digest of the sorted array (``_shingle_set_fp``), NOT the array
+    itself (the r16 plan): hashing/sorting the full shingle array as the
+    exchange key shipped every document's entire set through the shuffle
+    — the "wide span text never travels as a shuffle key" violation
+    SCALE.md's span-dedup rule names (VERDICT r16 item 2). Grouping
+    equivalence with exact array equality is pinned on
+    separator-adversarial tokens in tests/test_shingle_table.py.
 
     SHAPE — narrow aggregate + even join-back, not a window: a window
     over (lang, fp) makes partition size equal duplicate-class size and
-    funnels every member's FULL ROW (arrays included) through one task
-    — at the mass-duplication regime this collapse exists for (say 10^8
-    copies of one boilerplate text) that is a straggler buffering the
-    whole class. Instead: (1) gid per group via a map-side-combinable
+    funnels every member's FULL ROW through one task — at the
+    mass-duplication regime this collapse exists for (say 10^8 copies of
+    one boilerplate text) that is a straggler buffering the whole class.
+    Instead: (1) gid per group via a map-side-combinable
     ``groupBy(lang, fp).agg(min)`` over a ~40-byte/row projection — the
     hot class combines within map partitions, no row flood; (2) gid
     back onto distinct doc_ids via a narrow join (skewed on the hot fp,
     but rows are skinny and AQE skew-join splits a join partition,
-    which it cannot do for a window); (3) one equi-join of the wide
-    relation on unique ``doc_id`` — the only exchange the arrays ride,
-    and it is uniform by construction. ``lang`` joins null-safely: NULL
-    lang is a real group (window partitioning grouped NULLs; an inner
-    equi-join would silently drop those docs). INPUT CONTRACT: ``s`` is
-    consumed twice (narrow branch + wide side) and Catalyst does not
-    CSE across the fork, so the caller must pass a relation that is
-    cheap to evaluate twice — a localCheckpoint (``_ngram_pair_build``)
-    or a parquet table (``ngram_family_from_shingles``); an inline
-    split/transform pipeline here would tokenize the corpus twice per
-    action (measured +45% on the scratch builds before the input
-    checkpoint landed). Callers checkpoint the RESULT, so downstream
-    subtrees pay for neither. Equivalence with the window plan is
-    pinned by the grouping tests + the family row-equality suite."""
+    which it cannot do for a window). The shingle ARRAYS never enter
+    this function's exchanges at all (r19: the r16-r18 tagger joined
+    the wide relation back per member; now only the rep rows are
+    re-joined to arrays, in ``_grouped_build``). ``lang`` joins
+    null-safely: NULL lang is a real group (an inner equi-join would
+    silently drop those docs). INPUT CONTRACT: ``s`` is consumed once,
+    narrowly; it must still be cheap to evaluate (the caller also joins
+    it for the rep arrays) — a localCheckpoint (``_grouped_build``) or a
+    parquet table (``ngram_family_from_shingles``)."""
     narrow = s.select(
-        "doc_id", "lang", _shingle_set_fp("shingles").alias("_fp")
+        "doc_id",
+        "lang",
+        _shingle_set_fp("shingles").alias("_fp"),
+        (
+            (F.size("shingles") > 0) & F.col("lang").isNotNull()
+        ).alias("qual"),
     )
     gids = narrow.groupBy("lang", "_fp").agg(F.min("doc_id").alias("gid"))
-    # gid_map is aggregated to EXACTLY one row per doc_id (ADVICE r17):
-    # the raw narrow⋈gids relation has one row per INPUT row, so a
-    # duplicated doc_id in an externally materialized shingle table
-    # would multiply rows through the final join (2 input rows → 4
-    # output rows) and silently inflate every downstream pair count.
-    # The min-agg makes the join-back provably row-preserving instead of
-    # resting on an unenforced uniqueness contract; under the normal
-    # unique-doc_id input it is the identity, and its doc_id exchange is
-    # the same partitioning the final join needs anyway.
-    gid_map = (
+    # aggregated to EXACTLY one row per doc_id (ADVICE r17): the raw
+    # narrow⋈gids relation has one row per INPUT row, so a duplicated
+    # doc_id in an externally materialized shingle table would multiply
+    # rows through downstream joins (2 input rows → 4 output rows) and
+    # silently inflate every pair count. The min/max-agg makes the map
+    # provably row-unique instead of resting on an unenforced uniqueness
+    # contract; under the normal unique-doc_id input it is the identity.
+    return (
         narrow.alias("n")
         .join(
             gids.alias("g"),
@@ -526,41 +544,35 @@ def _tag_shingle_groups(s: DataFrame) -> DataFrame:
             & (F.col("n._fp") == F.col("g._fp")),
         )
         .groupBy(F.col("n.doc_id").alias("doc_id"))
-        .agg(F.min("gid").alias("gid"))
+        .agg(F.min("gid").alias("gid"), F.max("qual").alias("qual"))
     )
-    return s.join(gid_map, "doc_id")
 
 
-def _rep_pairs_from_tagged(tagged: DataFrame) -> DataFrame:
-    """AllPairs near-dup pairs over one representative per identical-set
-    group — the expensive index+verify pass both ``_pairs_from_tagged``
-    (full pair list) and ``_labels_from_rep_cc`` (connectivity only)
-    expand from. A group's representative is the member whose doc_id
-    equals the group's gid (gid = min doc_id of the group)."""
-    reps = tagged.filter(F.col("doc_id") == F.col("gid")).select(
-        "doc_id", "lang", "shingles"
-    )
-    return _pairs_from_shingled(reps)
-
-
-def _pairs_from_tagged(
-    tagged: DataFrame, rep_pairs: DataFrame | None = None
+def _pairs_from_grouped(
+    groups: DataFrame,
+    member_map: DataFrame,
+    rep_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-dup pairs from a group-tagged shingled relation: AllPairs
-    index over one representative per distinct (lang, shingle-set) group
-    (``_pairs_from_shingled``), then relational expansion — cross-group
+    """Near-dup pairs from the grouped build (``_grouped_build``):
+    AllPairs index over the representative rows (``groups``,
+    ``_pairs_from_shingled``), then relational expansion — cross-group
     member pairs inherit their representatives' exact jaccard_bp, and
     each non-empty group of b identical sets contributes its C(b,2)
     clique at jaccard 10000 (see ``_ngram_pair_build``'s collapse note
     for the proof obligations: empty sets and NULL langs are excluded to
-    match the JACCARD_T3 guard and the lang equi-join). Callers that
-    also build the connectivity edge set pass a shared (checkpointed)
-    ``rep_pairs`` so the index pass runs once."""
+    match the JACCARD_T3 guard and the lang equi-join — the member map's
+    group-uniform ``qual`` flag). Callers that also build the
+    connectivity edge set pass a shared (checkpointed) ``rep_pairs`` so
+    the index pass runs once."""
     if rep_pairs is None:
-        rep_pairs = _rep_pairs_from_tagged(tagged)
+        rep_pairs = _pairs_from_shingled(groups)
     # cross-group expansion: members inherit their representative's pairs
-    ma = tagged.select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("ma"))
-    mb = tagged.select(F.col("gid").alias("doc_b"), F.col("doc_id").alias("mb"))
+    ma = member_map.select(
+        F.col("gid").alias("doc_a"), F.col("doc_id").alias("ma")
+    )
+    mb = member_map.select(
+        F.col("gid").alias("doc_b"), F.col("doc_id").alias("mb")
+    )
     cross = (
         rep_pairs.join(ma, "doc_a")
         .join(mb, "doc_b")
@@ -571,9 +583,7 @@ def _pairs_from_tagged(
         )
     )
     # intra-group cliques: identical non-empty sets are exact duplicates
-    me = tagged.filter(
-        (F.size("shingles") > 0) & F.col("lang").isNotNull()
-    ).select("gid", "doc_id")
+    me = member_map.filter("qual").select("gid", "doc_id")
     ia = me.alias("ia")
     ib = me.alias("ib")
     intra = ia.join(
@@ -2492,27 +2502,31 @@ def ngram_family_from_shingles(
     # diff is safe because this build runs no lazy .persist() whose RDD
     # could first register later (the CheckpointGenerations contract).
     _before = persistent_rdd_ids(spark)
-    # same identical-set pre-collapse as the registry keys (r16): the
-    # tagged relation is checkpointed because every collapse subtree
-    # re-reads it — but it is DEAD the moment the eager pairs + edges
-    # checkpoints below materialize (every family consumer reads only
-    # those blocks), so release it immediately instead of holding the
-    # corpus-sized relation across both CC runs and the keep-list build
-    # until family.release() (the same early-release the registry path
-    # does in q_dup_clusters once CC checkpoints the edge set). The
-    # rep-level AllPairs pass is checkpointed ONCE and feeds both the
-    # full pair expansion (the ngram_jaccard_dedup output) and the
-    # rep-graph CC both cluster variants run on (r18: the loop sees
-    # only rep pairs; members label through gid outside it — not the
-    # C(b,2) clique only the pair-LIST output contractually needs).
-    tagged = _tag_shingle_groups(s).localCheckpoint()
-    _tagged_ids = persistent_rdd_ids(spark) - _before
-    members = _qualifying_members(tagged).localCheckpoint()
-    rep_pairs = _rep_pairs_from_tagged(tagged).localCheckpoint()
-    pairs = _pairs_from_tagged(tagged, rep_pairs).localCheckpoint()
-    # the wide tagged arrays are dead once the skinny member map, the
-    # rep pairs, and the full pair expansion are materialized
-    release_rdds(spark, _tagged_ids)
+    # same identical-set pre-collapse as the registry keys (r16, grouped
+    # build shape since r19): the skinny member map and the rep-level
+    # wide rows are checkpointed; the rep arrays (``groups``) are DEAD
+    # the moment the eager pairs checkpoint below materializes (every
+    # family consumer reads only the pair/member blocks), so they are
+    # released immediately instead of held across both CC runs and the
+    # keep-list build until family.release(). The rep-level AllPairs
+    # pass is checkpointed ONCE and feeds both the full pair expansion
+    # (the ngram_jaccard_dedup output) and the rep-graph CC both cluster
+    # variants run on (r18: the loop sees only rep pairs; members label
+    # through gid outside it — not the C(b,2) clique only the pair-LIST
+    # output contractually needs).
+    member_map = _member_map(s).localCheckpoint()
+    _skinny_ids = persistent_rdd_ids(spark) - _before
+    groups = s.join(
+        member_map.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint()
+    _groups_ids = persistent_rdd_ids(spark) - _before - _skinny_ids
+    members = member_map.filter("qual").select("doc_id", "gid")
+    rep_pairs = _pairs_from_shingled(groups).localCheckpoint()
+    pairs = _pairs_from_grouped(groups, member_map, rep_pairs).localCheckpoint()
+    # the wide rep arrays are dead once the rep pairs and the full pair
+    # expansion are materialized
+    release_rdds(spark, _groups_ids)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     # both CC variants run on the REP graph only (r18,
     # _clusters_via_rep_cc): the loop shuffles near-dup rep pairs, and

@@ -4,17 +4,17 @@
 over the REPRESENTATIVE graph only (``_labels_from_rep_cc`` — near-dup
 rep pairs as the loop's edge set, members labeled through their gid by
 one join outside the loop), instead of feeding the loop
-``_pairs_from_tagged``'s C(b,2) cliques (r16) or per-member star edges
+``_pairs_from_grouped``'s C(b,2) cliques (r16) or per-member star edges
 (r17), which only the pair-LIST key (``ngram_jaccard_dedup``)
 contractually needs. These tests pin the equivalence proof on the regime
 that motivates it: a mass-duplication fixture with a ≥1,000-copy
 duplicate class.
 
 Also pins the two r17 ADVICE hardenings on the tagger path:
-the gid join-back is row-preserving even for a (contract-violating)
-duplicated doc_id, and the shingle-set fingerprint encodes NULL array
-elements with an explicit sentinel instead of silently dropping the
-length prefix.
+the member map stays one row per doc_id even for a (contract-violating)
+duplicated input doc_id, and the shingle-set fingerprint encodes NULL
+array elements with an explicit sentinel instead of silently dropping
+the length prefix.
 """
 
 from __future__ import annotations
@@ -24,12 +24,11 @@ from pyspark.sql import functions as F
 from imperio_patitas_etl_spark.queries import text
 from imperio_patitas_etl_spark.queries.text import (
     _labels_from_rep_cc,
-    _pairs_from_tagged,
-    _qualifying_members,
-    _rep_pairs_from_tagged,
+    _member_map,
+    _pairs_from_grouped,
+    _pairs_from_shingled,
     _shingle_set_fp,
     _shingled,
-    _tag_shingle_groups,
     connected_components,
 )
 
@@ -51,27 +50,34 @@ def _fixture(spark):
     return spark.createDataFrame(rows, "doc_id long, lang string, text string")
 
 
-def _tagged(spark, docs):
+def _grouped(spark, docs):
+    """(groups, member_map) via the r19 grouped build over a synthetic
+    corpus — the same checkpointed shapes ``_grouped_build`` produces."""
     s = docs.select(
         "doc_id", "lang", F.split("text", " ").alias("__t")
     ).select(
         "doc_id", "lang", F.expr(text._shingles_of("__t")).alias("shingles")
-    )
-    return _tag_shingle_groups(s.localCheckpoint())
+    ).localCheckpoint()
+    member_map = _member_map(s).localCheckpoint()
+    groups = s.join(
+        member_map.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint()
+    return groups, member_map
 
 
 def test_rep_cc_gives_identical_components_on_mass_duplication(spark):
     docs = _fixture(spark)
-    tagged = _tagged(spark, docs).localCheckpoint()
+    groups, member_map = _grouped(spark, docs)
     ids = docs.select("doc_id")
 
     clique = connected_components(
-        ids, _pairs_from_tagged(tagged).select("doc_a", "doc_b")
+        ids, _pairs_from_grouped(groups, member_map).select("doc_a", "doc_b")
     )
     rep = _labels_from_rep_cc(
         ids,
-        _qualifying_members(tagged).localCheckpoint(),
-        _rep_pairs_from_tagged(tagged)
+        member_map.filter("qual").select("doc_id", "gid"),
+        _pairs_from_shingled(groups)
         .select("doc_a", "doc_b")
         .localCheckpoint(),
         connected_components,
@@ -99,15 +105,20 @@ def test_rep_graph_loop_input_is_constant_in_class_size(spark):
     reintroduces per-member rows into the CC path cannot pass
     silently."""
     docs = _fixture(spark)
-    tagged = _tagged(spark, docs).localCheckpoint()
+    groups, member_map = _grouped(spark, docs)
 
-    rep_pairs = _rep_pairs_from_tagged(tagged)
-    members = _qualifying_members(tagged)
-    pair_edges = _pairs_from_tagged(tagged)
+    rep_pairs = _pairs_from_shingled(groups)
+    members = member_map.filter("qual").select("doc_id", "gid")
+    pair_edges = _pairs_from_grouped(groups, member_map)
 
     assert rep_pairs.count() == 1
     # 1200 boilerplate + 3 near-dup + 1 qualifying singleton
     assert members.count() == N_BOILER + 3 + 1
+    # the WIDE checkpointed relation is one row per distinct (lang,
+    # shingle-set) group — boilerplate, near-dup, singleton, empty,
+    # NULL-lang — not one per member (r19: the r16-r18 tagged build
+    # materialized every member's full shingle array)
+    assert groups.count() == 5
     # clique: C(1200,2) + C(3,2) intra + 1200·3 cross expansion
     expected_clique = (
         N_BOILER * (N_BOILER - 1) // 2 + 3 + N_BOILER * 3
@@ -115,11 +126,11 @@ def test_rep_graph_loop_input_is_constant_in_class_size(spark):
     assert pair_edges.count() == expected_clique
 
 
-def test_gid_join_back_is_row_preserving_on_duplicated_doc_id(spark):
-    """ADVICE r17: gid_map aggregates to one row per doc_id, so a
-    duplicated doc_id in an externally materialized shingle table tags
-    each input row once (2 in → 2 out) instead of multiplying through
-    the join (2 in → 4 out)."""
+def test_member_map_is_row_unique_on_duplicated_doc_id(spark):
+    """ADVICE r17: the member map aggregates to EXACTLY one row per
+    doc_id, so a duplicated doc_id in an externally materialized shingle
+    table cannot multiply rows through the downstream pair-expansion
+    joins (2 input rows → 4 output pairs)."""
     s = spark.createDataFrame(
         [
             (1, "en", ["a", "b"]),
@@ -128,11 +139,20 @@ def test_gid_join_back_is_row_preserving_on_duplicated_doc_id(spark):
         ],
         "doc_id long, lang string, shingles array<string>",
     )
-    tagged = _tag_shingle_groups(s)
-    assert tagged.count() == s.count()
-    assert tagged.filter(F.col("doc_id") == 1).count() == 2
-    # both duplicate rows carry the single group gid
-    assert {r.gid for r in tagged.collect()} == {1}
+    mm = _member_map(s)
+    assert mm.count() == 2  # one row per DISTINCT doc_id
+    # both docs carry the single group gid and qualify
+    rows = {r.doc_id: (r.gid, r.qual) for r in mm.collect()}
+    assert rows == {1: (1, True), 2: (1, True)}
+    # and the intra-group clique is emitted exactly once
+    groups = s.join(
+        mm.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
+        "doc_id",
+    ).dropDuplicates(["doc_id"])
+    pairs = sorted(
+        tuple(r) for r in _pairs_from_grouped(groups, mm).collect()
+    )
+    assert pairs == [(1, 2, 10000)]
 
 
 def test_fp_encodes_null_elements_explicitly(spark):
@@ -162,12 +182,13 @@ def test_registry_cluster_keys_share_components_with_pair_list(spark, sf_dir):
     """End-to-end on real data: the registry cluster key (rep-graph CC)
     equals CC over the full pair list — the clique-vs-rep equivalence on
     the actual corpus, not just the synthetic fixture."""
-    tagged, ids_ = text._tagged_build(spark, sf_dir)
+    groups, _gids, member_map, _mids = text._grouped_build(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     want = sorted(
         tuple(r)
         for r in connected_components(
-            docs, _pairs_from_tagged(tagged).select("doc_a", "doc_b")
+            docs,
+            _pairs_from_grouped(groups, member_map).select("doc_a", "doc_b"),
         ).collect()
     )
     got = sorted(

@@ -98,7 +98,7 @@ def test_materialize_shingle_table_is_idempotent(spark, sf_dir, tmp_path):
 
 
 def test_set_fingerprint_separator_adversarial_grouping(spark):
-    """The r17 collapse key (VERDICT r16 item 2): ``_tag_shingle_groups``
+    """The r17 collapse key (VERDICT r16 item 2): ``_member_map``
     groups on a 32-byte netstring-encoded sha2-256 of the sorted shingle
     array instead of the array itself. This pins grouping EQUIVALENCE
     with exact array equality on the token shapes that break every naive
@@ -135,7 +135,7 @@ def test_set_fingerprint_separator_adversarial_grouping(spark):
     )
     got = {
         r["doc_id"]: r["gid"]
-        for r in text._tag_shingle_groups(s).collect()
+        for r in text._member_map(s).collect()
     }
     # exact-equality reference grouping, computed driver-side
     ref_gid: dict[tuple, int] = {}
