@@ -79,9 +79,12 @@ def connected_components_star(docs: DataFrame, edges: DataFrame) -> DataFrame:
     of O(diameter).
 
     Convergence: both edge sets are DISTINCT, so set equality is
-    |cur| = |nxt| AND nxt\\cur = ∅ — one cheap count over checkpointed
-    rows plus ONE one-sided ``exceptAll`` probe (limit-1 short circuit),
-    instead of a two-sided difference per round."""
+    |cur| = |nxt| AND nxt\\cur = ∅ — ONE aggregate per round over a left
+    join of the new checkpoint against the old yields both the
+    cardinality and the novel-edge count (r19: the r18 count +
+    ``exceptAll`` probe was two jobs on converged rounds; on the tiny
+    rep graphs the cluster keys feed this loop, per-job overhead IS the
+    round cost)."""
     gens = CheckpointGenerations(edges.sparkSession)
     cur = (
         edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
@@ -94,14 +97,28 @@ def connected_components_star(docs: DataFrame, edges: DataFrame) -> DataFrame:
     for _ in range(STAR_MAX_ROUNDS):
         nxt = _small_star(_large_star(cur)).localCheckpoint()
         gens.mark()
-        n_nxt = nxt.count()
-        changed = (
-            1 if n_nxt != n_cur else nxt.exceptAll(cur).limit(1).count()
+        # both sides distinct ⇒ the left join is row-preserving on nxt:
+        # count(*) = |nxt|, unmatched rows = |nxt \ cur|
+        probe = (
+            nxt.join(
+                cur.select("a", "b", F.lit(1).alias("__seen")),
+                ["a", "b"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(
+                    F.when(F.col("__seen").isNull(), F.lit(1))
+                ).alias("novel"),
+            )
+            .first()
         )
+        n_nxt = probe["n"]
+        changed = n_nxt != n_cur or probe["novel"] > 0
         # cur's blocks are dead once the convergence probe has read them
         gens.release_previous()
         cur, n_cur = nxt, n_nxt
-        if changed == 0:
+        if not changed:
             break
     else:
         raise RuntimeError(
