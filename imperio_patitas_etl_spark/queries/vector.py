@@ -753,17 +753,36 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     where vec_id = cluster_id is the deduplicated embedding corpus.
     Reuses ``connected_components`` (min-label propagation,
     localCheckpoint per round); near-dup clumps have tiny diameters, the
-    star-contraction twin exists for anything else."""
+    star-contraction twin exists for anything else.
+
+    The loop runs over the pair ENDPOINTS only (r19 — the embedding twin
+    of the text side's r18 rep-graph CC): a vector with no near-dup edge
+    can never change its label, so seeding the loop with the whole
+    corpus shuffled one (id, label) row per VECTOR per round just to
+    return it unchanged. Endpoints-only, the per-round volume scales
+    with the near-dup set; everyone else labels itself through one left
+    join outside the loop. The edge list is checkpointed
+    (output-bounded — that is the LSH prefilter's point) because both
+    the endpoint seed and the loop read it."""
     from imperio_patitas_etl_spark.queries.text import connected_components
 
-    pairs = q_embedding_cosine_dedup(spark, sf_dir).select(
-        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    pairs = (
+        q_embedding_cosine_dedup(spark, sf_dir)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint()
     )
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cc = connected_components(endpoints, pairs)
     vecs = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
-    return connected_components(vecs, pairs).select(
-        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    return vecs.join(cc, "doc_id", "left").select(
+        F.col("doc_id").alias("vec_id"),
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
     )
 
 
