@@ -949,6 +949,11 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile ranks over the k-row sample use ceiling integer arithmetic
     on exact cent values, so both engines pick the identical element."""
     li = load_table(spark, sf_dir, "lineitem")
+    # the sample is referenced twice (rank window + count) and Catalyst
+    # does not CSE across references — un-materialized, the bottom-k
+    # TakeOrderedAndProject re-ran the full table scan per reference
+    # (2 scans, plans/r19/quantile_sketch_before.txt). Bounded at QSK_K
+    # rows, so checkpoint it (guide §3.3; r19).
     sample = (
         li.select(
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
@@ -956,6 +961,7 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
         .limit(QSK_K)
+        .localCheckpoint()
     )
     w = Window.orderBy("cents", "h")
     ranked = sample.select(
