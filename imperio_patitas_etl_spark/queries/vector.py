@@ -549,7 +549,11 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     import numpy as np
 
-    v = _with_ivec(spark, sf_dir)
+    # referenced three times at runtime (centroid collect, Lloyd sums
+    # pass, final assignment pass) — un-materialized, each re-ran the
+    # float→integer transform over the corpus (r19, same fix as
+    # ann_recall; guide §3.3)
+    v = _with_ivec(spark, sf_dir).localCheckpoint()
     cent_ids, cent_mat, cent_norms = _collect_centroids(v)
     assign0 = _assign_fn(cent_ids, cent_mat, cent_norms, 1)
 
