@@ -963,10 +963,17 @@ def q_cosine_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan; the plan under audit stays shuffle-bounded."""
     n_rows = load_table(spark, sf_dir, "embeddings").count()
     v = _with_ivec(spark, sf_dir)
-    vb = v.withColumn("bucket", _bucket_expr(collect_planes(v, dedup_n_planes(n_rows))))
+    # referenced three times at runtime (both sides of the LSH self-join
+    # + the blocked all-pairs denominator) — un-materialized, each
+    # re-ran the float→integer transform over the corpus (r19, the
+    # ann_recall fix; guide §3.3). The blocked pass reads the same
+    # checkpoint and ignores the bucket column.
+    vb = v.withColumn(
+        "bucket", _bucket_expr(collect_planes(v, dedup_n_planes(n_rows)))
+    ).localCheckpoint()
     found = cosine_pairs_lsh(vb, COS_DEDUP_T)
     hits = found.agg(F.count("*").cast("long").alias("hits"))
-    denom = _allpairs_count_blocked(v, COS_DEDUP_T).agg(
+    denom = _allpairs_count_blocked(vb, COS_DEDUP_T).agg(
         F.sum("partial").cast("long").alias("denom")
     )
     num = F.col("hits") * 10000 * 2 + F.col("denom")
