@@ -338,26 +338,32 @@ def _grouped_build(
     checkpoint scale with DISTINCT texts (guide §2.3 — shuffle/persist
     keys and metadata, not payloads).
 
-    The intermediate shingled relation is checkpointed for the build's
-    duration: it feeds the narrow fingerprint pass and the wide rep join
-    (Catalyst does not CSE across the fork — un-materialized, the
-    split+transform+array_distinct pipeline would tokenize the corpus
-    once per eager consumer, measured +45% on the scratch builds), and
-    it is released the moment the groups checkpoint lands. At warehouse
-    scale this transient is the write-once shingle TABLE SCALE.md
-    describes (``materialize_shingle_table``), at which point this
-    in-session copy disappears entirely."""
+    NO corpus-wide relation is ever materialized: the transient
+    checkpoint feeding the group collapse is the SKINNY narrow
+    projection (doc_id, lang, fp, qual — the fingerprint pass consumes
+    it twice, aggregate branch + join-back, and Catalyst does not CSE
+    across the fork; un-checkpointed it would tokenize+hash the corpus
+    twice, measured +45% on the scratch builds), released the moment the
+    member map lands. The rep arrays for ``groups`` come from a SECOND
+    tokenize scan joined to the rep ids — one extra fault-tolerant
+    columnar pass in place of the r16-r18 full-corpus wide checkpoint
+    (guide §8 — re-read from storage rather than materialize payloads;
+    the same trade the r19 minhash fix makes). At warehouse scale the
+    second scan disappears into the write-once shingle TABLE SCALE.md
+    describes (``materialize_shingle_table``)."""
     _before = persistent_rdd_ids(spark)
-    s_ck = _shingled(spark, sf_dir).localCheckpoint()
-    _s_ids = persistent_rdd_ids(spark) - _before
-    member_map = _member_map(s_ck).localCheckpoint()
-    member_ids = persistent_rdd_ids(spark) - _before - _s_ids
-    groups = s_ck.join(
+    narrow_ck = _narrow_of(_shingled(spark, sf_dir)).localCheckpoint()
+    _n_ids = persistent_rdd_ids(spark) - _before
+    member_map = _member_map(narrow_ck).localCheckpoint()
+    member_ids = persistent_rdd_ids(spark) - _before - _n_ids
+    release_rdds(spark, _n_ids)
+    groups = _shingled(spark, sf_dir).join(
         member_map.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
         "doc_id",
     ).localCheckpoint()
-    groups_ids = persistent_rdd_ids(spark) - _before - _s_ids - member_ids
-    release_rdds(spark, _s_ids)
+    groups_ids = (
+        persistent_rdd_ids(spark) - _before - _n_ids - member_ids
+    )
     return groups, groups_ids, member_map, member_ids
 
 
@@ -486,20 +492,33 @@ def _shingle_set_fp(col: str = "shingles") -> Column:
     return F.unhex(F.sha2(enc, 256))
 
 
-def _member_map(s: DataFrame) -> DataFrame:
-    """Skinny (doc_id, gid, qual) identical-set group map of a shingled
-    relation (doc_id, lang, shingles): ``gid`` is the min doc_id over
-    the (lang, shingle-set) group — the collapse key for
-    ``_pairs_from_grouped`` — and ``qual`` whether the doc can carry
-    edges in the full pair list (non-empty shingles, non-NULL lang —
-    group-uniform). Group identity is a fixed 32-byte injective-encoding
-    digest of the sorted array (``_shingle_set_fp``), NOT the array
-    itself (the r16 plan): hashing/sorting the full shingle array as the
-    exchange key shipped every document's entire set through the shuffle
-    — the "wide span text never travels as a shuffle key" violation
-    SCALE.md's span-dedup rule names (VERDICT r16 item 2). Grouping
-    equivalence with exact array equality is pinned on
-    separator-adversarial tokens in tests/test_shingle_table.py.
+def _narrow_of(s: DataFrame) -> DataFrame:
+    """Skinny (doc_id, lang, _fp, qual) projection of a shingled
+    relation — the group-collapse input. ``_fp`` is the fixed 32-byte
+    injective-encoding digest of the sorted array (``_shingle_set_fp``),
+    NOT the array itself (the r16 plan): hashing/sorting the full
+    shingle array as the exchange key shipped every document's entire
+    set through the shuffle — the "wide span text never travels as a
+    shuffle key" violation SCALE.md's span-dedup rule names (VERDICT r16
+    item 2). ``qual`` = the doc can carry edges in the full pair list
+    (non-empty shingles, non-NULL lang — group-uniform)."""
+    return s.select(
+        "doc_id",
+        "lang",
+        _shingle_set_fp("shingles").alias("_fp"),
+        (
+            (F.size("shingles") > 0) & F.col("lang").isNotNull()
+        ).alias("qual"),
+    )
+
+
+def _member_map(narrow: DataFrame) -> DataFrame:
+    """Skinny (doc_id, gid, qual) identical-set group map from the
+    ``_narrow_of`` projection: ``gid`` is the min doc_id over the
+    (lang, shingle-set-fingerprint) group — the collapse key for
+    ``_pairs_from_grouped``. Grouping equivalence with exact array
+    equality is pinned on separator-adversarial tokens in
+    tests/test_shingle_table.py.
 
     SHAPE — narrow aggregate + even join-back, not a window: a window
     over (lang, fp) makes partition size equal duplicate-class size and
@@ -516,18 +535,11 @@ def _member_map(s: DataFrame) -> DataFrame:
     the wide relation back per member; now only the rep rows are
     re-joined to arrays, in ``_grouped_build``). ``lang`` joins
     null-safely: NULL lang is a real group (an inner equi-join would
-    silently drop those docs). INPUT CONTRACT: ``s`` is consumed once,
-    narrowly; it must still be cheap to evaluate (the caller also joins
-    it for the rep arrays) — a localCheckpoint (``_grouped_build``) or a
-    parquet table (``ngram_family_from_shingles``)."""
-    narrow = s.select(
-        "doc_id",
-        "lang",
-        _shingle_set_fp("shingles").alias("_fp"),
-        (
-            (F.size("shingles") > 0) & F.col("lang").isNotNull()
-        ).alias("qual"),
-    )
+    silently drop those docs). INPUT CONTRACT: ``narrow`` is consumed
+    TWICE (aggregate branch + join-back) and Catalyst does not CSE
+    across the fork, so the caller must pass a relation cheap to
+    evaluate twice — a localCheckpoint (``_grouped_build``,
+    ``ngram_family_from_shingles``)."""
     gids = narrow.groupBy("lang", "_fp").agg(F.min("doc_id").alias("gid"))
     # aggregated to EXACTLY one row per doc_id (ADVICE r17): the raw
     # narrow⋈gids relation has one row per INPUT row, so a duplicated
@@ -2514,7 +2526,10 @@ def ngram_family_from_shingles(
     # variants run on (r18: the loop sees only rep pairs; members label
     # through gid outside it — not the C(b,2) clique only the pair-LIST
     # output contractually needs).
-    member_map = _member_map(s).localCheckpoint()
+    narrow_ck = _narrow_of(s).localCheckpoint()
+    _narrow_ids = persistent_rdd_ids(spark) - _before
+    member_map = _member_map(narrow_ck).localCheckpoint()
+    release_rdds(spark, _narrow_ids)
     _skinny_ids = persistent_rdd_ids(spark) - _before
     groups = s.join(
         member_map.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),

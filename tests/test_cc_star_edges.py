@@ -25,6 +25,7 @@ from imperio_patitas_etl_spark.queries import text
 from imperio_patitas_etl_spark.queries.text import (
     _labels_from_rep_cc,
     _member_map,
+    _narrow_of,
     _pairs_from_grouped,
     _pairs_from_shingled,
     _shingle_set_fp,
@@ -58,7 +59,7 @@ def _grouped(spark, docs):
     ).select(
         "doc_id", "lang", F.expr(text._shingles_of("__t")).alias("shingles")
     ).localCheckpoint()
-    member_map = _member_map(s).localCheckpoint()
+    member_map = _member_map(_narrow_of(s)).localCheckpoint()
     groups = s.join(
         member_map.filter(F.col("doc_id") == F.col("gid")).select("doc_id"),
         "doc_id",
@@ -139,7 +140,7 @@ def test_member_map_is_row_unique_on_duplicated_doc_id(spark):
         ],
         "doc_id long, lang string, shingles array<string>",
     )
-    mm = _member_map(s)
+    mm = _member_map(_narrow_of(s))
     assert mm.count() == 2  # one row per DISTINCT doc_id
     # both docs carry the single group gid and qualify
     rows = {r.doc_id: (r.gid, r.qual) for r in mm.collect()}

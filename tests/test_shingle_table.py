@@ -135,7 +135,7 @@ def test_set_fingerprint_separator_adversarial_grouping(spark):
     )
     got = {
         r["doc_id"]: r["gid"]
-        for r in text._member_map(s).collect()
+        for r in text._member_map(text._narrow_of(s)).collect()
     }
     # exact-equality reference grouping, computed driver-side
     ref_gid: dict[tuple, int] = {}
