@@ -62,74 +62,74 @@ _MODULES = (
     core,
 )
 
-# Round-18 window (exactly the 50 keys the driver samples). Rule (a):
-# 24 keys changed implementation this round (the r18 OPTIMIZATION pass,
-# fingerprint-detected by tools/rotation.py): the ngram-Jaccard cluster
-# family now runs connected components over the REP graph only
-# (`_clusters_via_rep_cc`); quality_gopher/gopher_filter moved to the
-# exact Arrow repetition kernel; the prefix-scan consumers read the
-# Python boundary once; and a dozen keys gained bounded localCheckpoints
-# at multiply-referenced cut points (khop/triangle/node-jaccard/pagerank
-# edges, the PCA Gram table, the recall brute-force table, the minhash
-# fingerprint relation, basket/unigram/tf/relevance aggregates).
-# upsert_merge carries the inherited partition-skip MERGE. All 24 lead
-# the window; the rest is the rule-(b) stalest cohort carried over from
-# the pre-optimization window draft.
-_R18_FRONT = (
-    # -- rule (a): implementation changed this round (24)
+# Round-19 window (exactly the 50 keys the driver samples). Rule (a):
+# 15 keys changed implementation this round (the r19 OPTIMIZATION pass,
+# fingerprint-detected by tools/rotation.py): the ngram-Jaccard family
+# moved to the grouped build (rep arrays + skinny member map, star
+# convergence probe folded to one aggregate); the Gopher kernel's
+# gram-pair packing collision was fixed (ADVICE r18 high);
+# dedup_minhash_lsh's fingerprint checkpoint was skinnied; the ANN tier
+# shares one materialized integerization (ann_recall / ann_ivf_trained /
+# cosine_dedup_recall — the shared-v parameter also flips the three
+# search builders' fingerprints); embedding_dup_clusters runs CC over
+# pair endpoints only; quantile_sketch checkpoints its bounded sample.
+# All 15 lead the window; the rest is the rule-(b) stalest cohort
+# (window_running_sum r14, then the r15 block in key order).
+_R19_FRONT = (
+    # -- rule (a): implementation changed this round (15)
+    "ann_ivf",
+    "ann_ivf_trained",
+    "ann_lsh_bucketed",
     "ann_recall",
-    "bigram_logprob",
-    "bm25_topk",
+    "ann_topk_bruteforce",
     "corpus_keep_list",
+    "cosine_dedup_recall",
     "dedup_minhash_lsh",
-    "dq_anomaly_mad",
     "dup_clusters",
     "dup_clusters_star",
-    "equi_depth_histogram",
+    "embedding_dup_clusters",
     "gopher_filter",
-    "group_quantiles_exact",
-    "item_cooccurrence",
-    "khop_reach",
-    "ndcg_eval",
     "ngram_jaccard_dedup",
-    "node_jaccard_linkpred",
-    "pagerank_copurchase",
-    "pmi_collocations",
-    "power_iteration_pc",
-    "pps_systematic_sample",
     "quality_gopher",
-    "tfidf_weights",
-    "triangle_count",
-    "upsert_merge",
-    # -- rule (b) refresh: stalest driver rows (26)
-    "hll_distinct_sketch",
-    "hll_merge_audit",
-    "incremental_agg_merge",
-    "interval_concurrency",
-    "key_skew_audit",
     "quantile_sketch",
-    "range_join",
-    "salted_join_skew",
-    "semi_anti_membership",
-    "sessionize_events",
-    "sessionize_sharded",
-    "stream_tumbling_window",
-    "topk_per_group",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    "tpch_q7",
-    "tpch_q9",
-    "unigram_logprob",
-    "union_except",
-    "upsert_latest_wins",
-    "window_lag_rank",
-    "window_range_rolling",
+    # -- rule (b) refresh: stalest driver rows (35)
+    "window_running_sum",
+    "arith_derived",
+    "asof_join",
+    "casts",
+    "coalesce_defaults",
+    "cube_rollup",
+    "date_window",
+    "decontaminate_ngram",
+    "dedup_exact",
+    "dedup_first",
+    "dedup_simhash",
+    "delete_insert_antijoin",
+    "derived_cost_coalesce",
+    "distinct_agg",
+    "doc_fingerprint",
+    "dq_flags",
+    "embedding_cosine_dedup",
+    "event_funnel",
+    "event_transition_matrix",
+    "exists_any_agg",
+    "groupby_avg",
+    "lag_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "resample_ffill",
+    "rolling_distinct_users",
+    "rolling_median_daily",
+    "scd2_history",
+    "scd2_time_weighted",
+    "session_path_trigrams",
+    "snapshot_diff",
+    "stream_interval_join",
+    "stream_rolling_distinct",
+    "table_checksum_blocks",
+    "tpch_q1",
 )
-assert len(_R18_FRONT) == 50, len(_R18_FRONT)
+assert len(_R19_FRONT) == 50, len(_R19_FRONT)
 
 # Single importable alias for the current window (VERDICT r14 item 3):
 # tests consume CURRENT_FRONT so a rotation renames exactly one
@@ -137,7 +137,7 @@ assert len(_R18_FRONT) == 50, len(_R18_FRONT)
 # because the external driver's window-sampling contract is stated in
 # terms of `_R{N}_FRONT`; tests/test_rotation.py pins the convention
 # (the literal's round number must be certification-table max + 1).
-CURRENT_FRONT = _R18_FRONT
+CURRENT_FRONT = _R19_FRONT
 
 
 def all_queries() -> dict[str, QueryFn]:
